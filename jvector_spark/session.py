@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults chosen for the 100TB design point (AQE on, skew-join on, Arrow
+transport for pandas UDFs) but sized here for local[N] testing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip jvector_spark for shipping to executors (spark-submit --py-files
+    equivalent; the north rule's deployment mode). Cached per process."""
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / "jvector_spark_pyfiles.zip"
+    with zipfile.ZipFile(out, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, Path("jvector_spark") / py.relative_to(pkg_dir))
+    return str(out)
+
+
+def get_spark(
+    app_name: str = "jvector_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match cores; on a real cluster this would be
+        # ~2-3x total executor cores (AQE coalesces the excess).
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else int(n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    # ship the package to executors so UDF closures can import it regardless
+    # of the worker's cwd/PYTHONPATH (same contract as --py-files)
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
