@@ -1,0 +1,279 @@
+"""Block-max pruned top-k BM25 over segments (the GraphSearcher analog).
+
+Reference mapping (SURVEY §3):
+  * GraphSearcher beam search with bounded NodeQueue k-heap + early
+    termination (GraphSearcher.searchOneLayer:387-451, stopSearch:340-351,
+    NodeQueue.java:42-101) -> MaxScore/block-max pruned term-at-a-time
+    scoring with a bounded per-query top-k and threshold θ.
+  * Two-phase approx+rerank (reranking:465-501) -> block-max upper bounds
+    (cheap, metadata-only) decide what to decode; exact BM25 scores what
+    survives.
+  * Multi-index combine with rerankFloor (GraphSearcher.java:368-385) ->
+    θ propagates across segments scored sequentially in one task; the global
+    merge is a partial-top-k union (per-segment top-k is a superset of each
+    segment's contribution to the global top-k).
+  * Tie-break contract (SearchResult.NodeScore.compareTo:101-106):
+    score desc, docid asc — enforced via lexsort everywhere.
+
+Exactness: pruning never changes results. A doc is only skipped when the sum
+of block-max upper bounds of every term it could contain is STRICTLY below
+θ (the current kth score), so it cannot enter the top-k even on a tie.
+Scores accumulate in canonical sorted-term order in float64 — bit-identical
+to the brute-force oracle.
+
+All inner loops are numpy-vectorized; Python iterates only over query terms
+(<=5) and segments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jvector_spark import B, K1
+from jvector_spark.sources.segment import SegmentReader, load_manifest
+
+
+def idf_map(n_docs: int, df_by_term: dict[str, int]) -> dict[str, float]:
+    """Lucene-flavor idf per term (same constants as the oracle)."""
+    return {
+        t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        for t, df in df_by_term.items()
+    }
+
+
+def global_term_stats(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> dict[str, int]:
+    """Global df for the query terms, aggregated across segment dictionaries.
+
+    The dictionaries are parquet sorted by term -> the isin filter is pushed
+    to the scan (row-group pruning); the aggregation is dictionary-sized.
+    """
+    dict_glob = os.path.join(index_dir, "seg-*", "terms.parquet")
+    rows = (
+        spark.read.parquet(dict_glob)
+        .where(F.col("term").isin(list(terms)))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+
+
+def score_query_on_segment(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    theta: float,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (docids, scores) of one query against one segment,
+    pruning with block-max bounds against incoming threshold theta."""
+    terms = sorted({t for t in terms if t in idfs and reader.has_term(t)})
+    if not terms:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    rows = {t: reader.term_row(t) for t in terms}
+    block_ub: dict[str, np.ndarray] = {}
+    term_ub = np.empty(len(terms))
+    for i, t in enumerate(terms):
+        r = rows[t]
+        mtf = np.asarray(r["block_max_tf"], dtype=np.int64)
+        mdl = np.asarray(r["block_min_dl"], dtype=np.int64)
+        # same code path as the exact score (tf-norm is monotone in tf, anti-
+        # monotone in dl, so (max_tf, min_dl) bounds every posting in the
+        # block), inflated by 1e-9 relative so float rounding can never put
+        # the bound below a real score — pruning must stay sound at ties.
+        ub = idfs[t] * _tf_norm(mtf, mdl, avgdl) * (1.0 + 1e-9)
+        block_ub[t] = ub
+        term_ub[i] = ub.max()
+
+    total_ub = float(term_ub.sum())
+    if total_ub < theta:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    # MaxScore split: terms that cannot (even jointly) introduce a new
+    # top-k doc generate no candidates; their postings are only gathered
+    # for docs already in the candidate set.
+    order = np.argsort(term_ub, kind="stable")
+    csum = np.cumsum(term_ub[order])
+    n_nonessential = int(np.searchsorted(csum, theta, side="left"))
+    nonessential = {terms[i] for i in order[:n_nonessential]}
+
+    # candidate generation with per-block skipping (BMW): a block whose
+    # upper bound plus every other term's upper bound stays below theta
+    # cannot introduce a new top-k doc by itself.
+    gen: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    gen_mask: dict[str, np.ndarray] = {}
+    cand_parts = []
+    for i, t in enumerate(terms):
+        if t in nonessential:
+            gen_mask[t] = np.zeros(len(block_ub[t]), dtype=bool)
+            continue
+        other = total_ub - term_ub[i]
+        mask = block_ub[t] + other >= theta
+        gen_mask[t] = mask
+        d, tf = reader.decode_term(t, None if mask.all() else mask)
+        gen[t] = (d, tf)
+        cand_parts.append(d)
+    if not cand_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    candidates = np.unique(np.concatenate(cand_parts))
+
+    # exact scoring in canonical sorted-term order (oracle bit-parity)
+    scores = np.zeros(len(candidates), dtype=np.float64)
+    for t in terms:
+        r = rows[t]
+        parts_d, parts_tf = [], []
+        if t in gen:
+            parts_d.append(gen[t][0])
+            parts_tf.append(gen[t][1])
+        # gather pass: non-generating blocks that overlap the candidate set
+        gmask = ~gen_mask[t]
+        if gmask.any():
+            first = np.asarray(r["block_first"], dtype=np.int64)
+            last = np.asarray(r["block_last"], dtype=np.int64)
+            lo = np.searchsorted(candidates, first, side="left")
+            overlap = (lo < len(candidates)) & gmask
+            overlap[overlap] &= candidates[lo[overlap]] <= last[overlap]
+            if overlap.any():
+                d, tf = reader.decode_term(t, overlap)
+                idx = np.searchsorted(candidates, d)
+                keep = (idx < len(candidates))
+                keep[keep] &= candidates[idx[keep]] == d[keep]
+                parts_d.append(d[keep])
+                parts_tf.append(tf[keep])
+        if not parts_d:
+            continue
+        d = np.concatenate(parts_d)
+        tf = np.concatenate(parts_tf)
+        if len(d) == 0:
+            continue
+        pos = np.searchsorted(candidates, d)
+        contrib = idfs[t] * _tf_norm(tf, reader.doclen(d), avgdl)
+        # docids are unique within a term (gen/gather block sets are
+        # disjoint), so fancy-index add is safe and faster than np.add.at
+        scores[pos] += contrib
+
+    top = np.lexsort((candidates, -scores))[:k]
+    return candidates[top], scores[top]
+
+
+class _TopK:
+    """Per-query bounded top-k accumulator across segments (the NodeQueue /
+    BoundedLongHeap analog, util/BoundedLongHeap.java:33-80)."""
+
+    __slots__ = ("k", "docids", "scores")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.docids = np.zeros(0, np.int64)
+        self.scores = np.zeros(0, np.float64)
+
+    def push(self, docids: np.ndarray, scores: np.ndarray) -> None:
+        if len(docids) == 0:
+            return
+        d = np.concatenate([self.docids, docids])
+        s = np.concatenate([self.scores, scores])
+        order = np.lexsort((d, -s))[: self.k]
+        self.docids, self.scores = d[order], s[order]
+
+    @property
+    def theta(self) -> float:
+        """kth best score so far — the pruning threshold (WAND θ; analog of
+        stopSearch's worst-of-topK, GraphSearcher.java:340-351)."""
+        return float(self.scores[-1]) if len(self.scores) >= self.k else 0.0
+
+
+def search_partition(
+    seg_paths: list[str],
+    queries: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+) -> pd.DataFrame:
+    """Score all queries against a list of segments sequentially, θ
+    propagating segment-to-segment (the multi-sstable rerankFloor pattern)."""
+    states = {
+        int(q.qid): _TopK(int(q.k)) for q in queries.itertuples()
+    }
+    qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
+    for path in seg_paths:
+        reader = SegmentReader(path)
+        for qid, st in states.items():
+            d, s = score_query_on_segment(
+                reader, qterms[qid], idfs, st.k, st.theta, avgdl
+            )
+            st.push(d, s)
+    out = [
+        pd.DataFrame({"qid": qid, "docid": st.docids, "score": st.scores})
+        for qid, st in states.items()
+        if len(st.docids)
+    ]
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                           "docid": pd.Series([], dtype="int64"),
+                           "score": pd.Series([], dtype="float64")})
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed top-k BM25: scatter segments over tasks, per-task partial
+    top-k (bounded k rows per query per task), global TakeOrderedAndProject
+    merge. Returns (qid, rank, docid, score).
+
+    queries: pandas (qid:int, terms:list[str], k:int). Queries are broadcast
+    (small); segments are the parallel dimension — at 10^12 docs this is
+    thousands of segments fanned over the cluster, each task streaming its
+    segments with θ propagation.
+    """
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    all_terms = sorted({t for ts in queries["terms"] for t in ts})
+    dfm = global_term_stats(spark, index_dir, all_terms) if all_terms else {}
+    idfs = idf_map(n_docs, dfm)
+
+    sc = spark.sparkContext
+    b_q = sc.broadcast(queries[["qid", "terms", "k"]])
+    b_idfs = sc.broadcast(idfs)
+    if num_tasks is None:
+        num_tasks = min(len(seg_paths),
+                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in seg_paths], "path string"
+    ).repartition(num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        if paths:
+            yield search_partition(paths, b_q.value, b_idfs.value, avgdl)
+
+    partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    ks = F.create_map(
+        *[x for q in queries.itertuples() for x in (F.lit(int(q.qid)), F.lit(int(q.k)))]
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ks[F.col("qid")])
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), "docid", "score")
+    )

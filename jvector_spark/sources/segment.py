@@ -1,0 +1,396 @@
+"""Doc-partitioned index segments: the OnDiskGraphIndex analog.
+
+Reference mapping (SURVEY §2.1/§2.9):
+  * OnDiskGraphIndex header/records/footer + version magic
+    (graph/disk/OnDiskGraphIndex.java:66-107) -> seg dir with terms.parquet
+    (dictionary + per-block metadata), postings.bin (compressed streams),
+    docs.parquet (docid map + doclen + sha256), meta.json (version, ranges,
+    checksum).
+  * Footer-last sequential write for object storage
+    (OnDiskSequentialGraphIndexWriter.java:28-56) -> write into `<seg>.tmp/`
+    then atomic rename + `_SUCCESS` marker written last.
+  * CheckpointManager resumability (examples/util/CheckpointManager.java:
+    33-112) -> input-fingerprint check: a re-run skips segments whose
+    fingerprint matches (status='resumed'), giving partition-granular
+    resumable builds (north rule).
+
+Postings layout (the PQ-code/FusedADC analog, SURVEY §2.8): one varint gap
+stream for ALL terms (each term's first value is its absolute first docid,
+subsequent values are docid gaps — cross-block gaps included), then one
+varint tf stream. Per-block metadata (byte offsets, value counts, first/last
+docid, max_tf, min_dl) lives in the dictionary, so:
+  * whole-term decode = ONE varint_decode + cumsum (no per-block calls);
+  * block-selective decode = per-block byte ranges (skip-pointer analog of
+    the graph's O(1) record addressing, OnDiskGraphIndex.baseNodeOffsetFor);
+  * (max_tf, min_dl) per block upper-bounds the BM25 tf-norm for block-max
+    pruning (FusedADC-style inline metadata, feature/FusedADC.java:39-59).
+
+Scale shape: each segment is built by ONE executor task from ONE docid-range
+partition in a single mapInPandas pass (tokenize -> postings -> streams ->
+files) — the index build needs **zero shuffle** beyond the docid
+assignment's range partition. Encoding is 2 vectorized varint calls per
+segment; per-block stats use np.maximum/minimum.reduceat. This is the
+Lucene/ES doc-partitioned model: at 10^12 files the build is embarrassingly
+parallel, each task bounded by its partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+
+from jvector_spark import BLOCK_SIZE, SEGMENT_FORMAT_VERSION
+from jvector_spark.functions.codec import varint_decode, varint_encode, varint_nbytes
+from jvector_spark.functions.tokenizer import tokenize_series
+
+MANIFEST_SCHEMA = (
+    "segment_id string, path string, status string, min_docid long, "
+    "max_docid long, n_docs long, n_terms long, n_postings long, "
+    "bytes_postings long, build_sec double, fingerprint string"
+)
+
+
+def _fingerprint(docids: np.ndarray, shas: pd.Series) -> str:
+    h = hashlib.sha256()
+    h.update(docids.astype("<i8").tobytes())
+    h.update("".join(shas.tolist()).encode())
+    return h.hexdigest()
+
+
+def encode_postings_frame(
+    p_term: np.ndarray,
+    p_doc: np.ndarray,
+    p_tf: np.ndarray,
+    p_dl: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[pa.Table, bytes]:
+    """Postings sorted by (term, docid) -> (dictionary table, postings blob).
+
+    Fully vectorized: one varint_encode for the gap stream, one for the tf
+    stream; block stats via reduceat. Shared by the segment builder and the
+    merge-compactor.
+    """
+    n = len(p_doc)
+    terms, term_starts = np.unique(p_term, return_index=True)
+    # term_starts is sorted because p_term is sorted
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = p_doc[0]
+    gaps[1:] = (p_doc[1:] - p_doc[:-1]).astype(np.uint64)
+    gaps[term_starts] = p_doc[term_starts].astype(np.uint64)  # absolute at term start
+
+    gap_nb = varint_nbytes(gaps)
+    gap_off = np.concatenate(([0], np.cumsum(gap_nb)))  # len n+1
+    tf_u = p_tf.astype(np.uint64)
+    tf_nb = varint_nbytes(tf_u)
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
+    gap_bytes = varint_encode(gaps)
+    tf_bytes = varint_encode(tf_u)
+    tf_region = len(gap_bytes)
+    blob = gap_bytes + tf_bytes
+
+    # block boundaries: every block_size postings within each term
+    term_bounds = np.append(term_starts, n)
+    tlens = np.diff(term_bounds)
+    nblocks_per_term = (tlens + block_size - 1) // block_size
+    # vectorized block-start construction
+    total_blocks = int(nblocks_per_term.sum())
+    b_term = np.repeat(np.arange(len(terms)), nblocks_per_term)
+    within = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(nblocks_per_term)[:-1])), nblocks_per_term
+    )
+    b_start = term_starts[b_term] + within * block_size
+    b_end = np.minimum(b_start + block_size, term_bounds[b_term + 1])
+
+    blk_max_tf = np.maximum.reduceat(p_tf, b_start)
+    blk_min_dl = np.minimum.reduceat(p_dl, b_start)
+    blk_first = p_doc[b_start]
+    blk_last = p_doc[b_end - 1]
+    blk_doc_off = gap_off[b_start]
+    blk_doc_len = gap_off[b_end] - blk_doc_off
+    blk_tf_off = tf_off[b_start] + tf_region
+    blk_tf_len = tf_off[b_end] - tf_off[b_start]
+    blk_n = b_end - b_start
+
+    # per-term list columns via Arrow offset arrays (no Python loop)
+    loff = pa.array(
+        np.concatenate(([0], np.cumsum(nblocks_per_term))).astype(np.int32)
+    )
+
+    def lst(vals, typ):
+        return pa.ListArray.from_arrays(loff, pa.array(vals, typ))
+
+    df_counts = tlens.astype(np.int64)
+    cf = np.add.reduceat(p_tf.astype(np.int64), term_starts)
+    tbl = pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(df_counts, pa.int64()),
+        "cf": pa.array(cf, pa.int64()),
+        "block_n": lst(blk_n.astype(np.int32), pa.int32()),
+        "block_first": lst(blk_first.astype(np.int64), pa.int64()),
+        "block_last": lst(blk_last.astype(np.int64), pa.int64()),
+        "block_doc_off": lst(blk_doc_off.astype(np.int64), pa.int64()),
+        "block_doc_len": lst(blk_doc_len.astype(np.int32), pa.int32()),
+        "block_tf_off": lst(blk_tf_off.astype(np.int64), pa.int64()),
+        "block_tf_len": lst(blk_tf_len.astype(np.int32), pa.int32()),
+        "block_max_tf": lst(blk_max_tf.astype(np.int32), pa.int32()),
+        "block_min_dl": lst(blk_min_dl.astype(np.int32), pa.int32()),
+    })
+    return tbl, blob
+
+
+def write_segment_files(
+    seg_dir: str,
+    terms_tbl: pa.Table,
+    blob: bytes,
+    docs_pdf: pd.DataFrame,
+    meta_extra: dict,
+) -> dict:
+    """Write a segment dir atomically (tmp -> rename -> _SUCCESS last)."""
+    tmp_dir = seg_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms_tbl, os.path.join(tmp_dir, "terms.parquet"))
+    with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
+        f.write(blob)
+    pq.write_table(
+        pa.Table.from_pandas(docs_pdf, preserve_index=False),
+        os.path.join(tmp_dir, "docs.parquet"),
+    )
+    docids = docs_pdf["docid"].to_numpy(np.int64)
+    meta = {
+        "version": SEGMENT_FORMAT_VERSION,
+        "min_docid": int(docids.min()), "max_docid": int(docids.max()),
+        "n_docs": int(len(docs_pdf)),
+        "n_terms": int(terms_tbl.num_rows),
+        "n_postings": int(terms_tbl.column("df").to_numpy().sum()) if terms_tbl.num_rows else 0,
+        "bytes_postings": len(blob),
+        "sum_dl": int(docs_pdf["dl"].sum()),
+        "postings_sha256": hashlib.sha256(blob).hexdigest(),
+        **meta_extra,
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    os.rename(tmp_dir, seg_dir)
+    with open(os.path.join(seg_dir, "_SUCCESS"), "w") as f:
+        f.write(meta.get("fingerprint", ""))
+    return meta
+
+
+def _build_one_segment(
+    pdf: pd.DataFrame,
+    index_dir: str,
+    mode: str,
+    content_col: str,
+    key_cols: tuple[str, ...],
+    block_size: int,
+) -> pd.DataFrame:
+    t0 = time.time()
+    pdf = pdf.sort_values("docid", kind="mergesort").reset_index(drop=True)
+    docids = pdf["docid"].to_numpy(np.int64)
+    shas = pdf[content_col].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    fp = _fingerprint(docids, shas)
+    seg_id = f"seg-{int(docids[0]):012d}"
+    seg_dir = os.path.join(index_dir, seg_id)
+
+    def manifest_row(status: str, meta: dict, secs: float) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "segment_id": seg_id, "path": seg_dir, "status": status,
+            "min_docid": meta["min_docid"], "max_docid": meta["max_docid"],
+            "n_docs": meta["n_docs"], "n_terms": meta["n_terms"],
+            "n_postings": meta["n_postings"],
+            "bytes_postings": meta["bytes_postings"],
+            "build_sec": secs, "fingerprint": fp,
+        }])
+
+    meta_path = os.path.join(seg_dir, "meta.json")
+    if os.path.exists(os.path.join(seg_dir, "_SUCCESS")) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return manifest_row("resumed", meta, 0.0)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+
+    # tokenize + postings (vectorized pandas; no per-row Python)
+    toks = tokenize_series(pdf[content_col], mode)
+    lens = toks.map(len).to_numpy(np.int64)
+    ex = pd.DataFrame({
+        "docid": docids.repeat(lens),
+        "term": [t for lst in toks for t in lst],
+    })
+    postings = (
+        ex.groupby(["term", "docid"], sort=True).size().rename("tf").reset_index()
+    )
+    dl_by_doc = pd.Series(lens, index=docids)
+    p_dl = postings["docid"].map(dl_by_doc).to_numpy(np.int64)
+
+    terms_tbl, blob = encode_postings_frame(
+        postings["term"].to_numpy(), postings["docid"].to_numpy(np.int64),
+        postings["tf"].to_numpy(np.int64), p_dl, block_size,
+    )
+    docs_pdf = pd.DataFrame({
+        "docid": docids, "dl": lens,
+        **{c: pdf[c] for c in key_cols},
+        "content_sha": shas,
+    })
+    meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
+        "segment_id": seg_id, "block_size": block_size,
+        "tokenizer_mode": mode, "codec": "varint", "fingerprint": fp,
+    })
+    return manifest_row("built", meta, time.time() - t0)
+
+
+def build_index(
+    docs_with_ids: DataFrame,
+    index_dir: str,
+    mode: str = "code",
+    num_segments: int | None = None,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    block_size: int = BLOCK_SIZE,
+) -> pd.DataFrame:
+    """Build all segments + index manifest. Returns the manifest as pandas.
+
+    Input must carry a dense `docid` (operators/ids.assign_dense_docids).
+    Partitioning: range on docid -> each partition is a contiguous docid
+    range -> segment ids/dirs are deterministic -> resumable (north rule).
+    """
+    spark = docs_with_ids.sparkSession
+    if num_segments is None:
+        num_segments = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    os.makedirs(index_dir, exist_ok=True)
+    part = docs_with_ids.select("docid", content_col, *key_cols).repartitionByRange(
+        num_segments, "docid"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        yield _build_one_segment(pdf, index_dir, mode, content_col,
+                                 tuple(key_cols), block_size)
+
+    manifest = part.mapInPandas(build, MANIFEST_SCHEMA).toPandas()
+    manifest = manifest.sort_values("min_docid").reset_index(drop=True)
+    write_index_manifest(index_dir, manifest, mode)
+    return manifest
+
+
+def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> dict:
+    sum_dl = 0
+    for p in manifest["path"]:
+        with open(os.path.join(p, "meta.json")) as f:
+            sum_dl += json.load(f)["sum_dl"]
+    idx_meta = {
+        "version": SEGMENT_FORMAT_VERSION,
+        "segments": manifest.to_dict("records"),
+        "n_docs": int(manifest["n_docs"].sum()),
+        "n_postings": int(manifest["n_postings"].sum()),
+        "sum_dl": int(sum_dl),
+        "avgdl": float(sum_dl / max(1, int(manifest["n_docs"].sum()))),
+        "tokenizer_mode": mode,
+        "built_at": time.time(),
+    }
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(idx_meta, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return idx_meta
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+class SegmentReader:
+    """Executor-side random access into one segment (the
+    OnDiskGraphIndex.load + RandomAccessReader analog,
+    graph/disk/OnDiskGraphIndex.java:162-224). Dictionary + block metadata in
+    memory (hot tier, like upper graph layers OnDiskGraphIndex.java:83-84);
+    posting streams memory-mapped, decoded lazily per lookup."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["version"] > SEGMENT_FORMAT_VERSION:
+            raise ValueError(f"segment version {self.meta['version']} too new")
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self._terms = t.to_pandas().set_index("term")
+        self._blob = (
+            np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
+            if self.meta["bytes_postings"]
+            else np.zeros(0, np.uint8)
+        )
+        docs = pq.read_table(
+            os.path.join(seg_dir, "docs.parquet"), columns=["docid", "dl"]
+        ).to_pandas()
+        # docids are dense & contiguous within a segment -> O(1) dl lookup
+        self._min_docid = int(self.meta["min_docid"])
+        self._dl = np.zeros(
+            int(self.meta["max_docid"]) - self._min_docid + 1, dtype=np.int64
+        )
+        self._dl[docs["docid"].to_numpy(np.int64) - self._min_docid] = docs[
+            "dl"
+        ].to_numpy(np.int64)
+
+    def has_term(self, term: str) -> bool:
+        return term in self._terms.index
+
+    def term_row(self, term: str):
+        return self._terms.loc[term]
+
+    def doclen(self, docids: np.ndarray) -> np.ndarray:
+        return self._dl[docids - self._min_docid]
+
+    def _bytes(self, off: int, ln: int) -> bytes:
+        return self._blob[off : off + ln].tobytes()
+
+    def decode_term(
+        self, term: str, block_mask: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(docids asc, tfs) for a term. With block_mask, only selected
+        blocks are decoded (block-max pruning / candidate-gather path);
+        without, the whole term decodes in one varint_decode + cumsum."""
+        r = self._terms.loc[term]
+        n_blocks = len(r["block_n"])
+        if block_mask is None or block_mask.all():
+            total_n = int(r["df"])
+            doc_off = int(r["block_doc_off"][0])
+            doc_end = int(r["block_doc_off"][-1] + r["block_doc_len"][-1])
+            gaps = varint_decode(self._bytes(doc_off, doc_end - doc_off), total_n)
+            docids = np.cumsum(gaps.astype(np.int64))
+            tf_off = int(r["block_tf_off"][0])
+            tf_end = int(r["block_tf_off"][-1] + r["block_tf_len"][-1])
+            tfs = varint_decode(self._bytes(tf_off, tf_end - tf_off), total_n)
+            return docids, tfs.astype(np.int64)
+        out_d, out_t = [], []
+        for bi in range(n_blocks):
+            if not block_mask[bi]:
+                continue
+            nb = int(r["block_n"][bi])
+            gaps = varint_decode(
+                self._bytes(int(r["block_doc_off"][bi]), int(r["block_doc_len"][bi])),
+                nb,
+            ).astype(np.int64)
+            docids = np.cumsum(gaps) - gaps[0] + int(r["block_first"][bi])
+            tfs = varint_decode(
+                self._bytes(int(r["block_tf_off"][bi]), int(r["block_tf_len"][bi])),
+                nb,
+            ).astype(np.int64)
+            out_d.append(docids)
+            out_t.append(tfs)
+        if not out_d:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(out_d), np.concatenate(out_t)

@@ -1,0 +1,200 @@
+"""Segment format round-trips + block-max search rank-identity + resume.
+
+Mirrors the reference's TestOnDiskGraphIndex write/load equality
+(TestOnDiskGraphIndex.java:76-463), randomized top-k assertions
+(TestVectorGraph.java:89-330), and testResume (resumed == from-scratch,
+TestVectorGraph.java:132-175)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.operators.wand import (
+    global_term_stats,
+    idf_map,
+    score_query_on_segment,
+    search_index,
+)
+from jvector_spark.sources.segment import SegmentReader, build_index, load_manifest
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_df, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx"))
+    docs = assign_dense_docids(corpus_df)
+    manifest = build_index(docs, idx, num_segments=6)
+    return idx, manifest
+
+
+def test_manifest_and_meta(index, oracle):
+    idx, manifest = index
+    assert (manifest["status"] == "built").all()
+    m = load_manifest(idx)
+    assert m["n_docs"] == oracle.n_docs
+    assert np.isclose(m["avgdl"], oracle.avgdl, rtol=1e-12)
+    # segments cover disjoint contiguous docid ranges
+    assert manifest["min_docid"].iloc[0] == 0
+    for i in range(1, len(manifest)):
+        assert manifest["min_docid"].iloc[i] == manifest["max_docid"].iloc[i - 1] + 1
+
+
+def test_segment_roundtrip_postings(index, oracle):
+    """Decode every term from every segment; concatenation must equal the
+    oracle's posting lists exactly (write/load equality)."""
+    idx, manifest = index
+    got: dict[str, list] = {}
+    for p in manifest["path"]:
+        r = SegmentReader(p)
+        for term in r._terms.index:
+            d, tf = r.decode_term(term)
+            assert np.all(np.diff(d) > 0), "docids strictly ascending"
+            got.setdefault(term, []).append((d, tf))
+    assert set(got) == set(oracle.postings)
+    for term, parts in got.items():
+        parts.sort(key=lambda x: x[0][0])
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        d_exp, tf_exp = oracle.postings[term]
+        assert np.array_equal(d, d_exp), term
+        assert np.array_equal(tf, tf_exp.astype(np.int64)), term
+
+
+def test_blockwise_decode_equals_full(index):
+    idx, manifest = index
+    r = SegmentReader(manifest["path"].iloc[0])
+    # pick the heaviest term (most blocks) to exercise block boundaries
+    term = r._terms["df"].idxmax()
+    d_full, tf_full = r.decode_term(term)
+    nb = len(r._terms.loc[term]["block_n"])
+    for pattern in [np.ones(nb, bool), np.arange(nb) % 2 == 0, np.arange(nb) >= nb // 2]:
+        mask_d, mask_tf = r.decode_term(term, pattern)
+        sel = np.concatenate([
+            np.arange(i * 128, min((i + 1) * 128, len(d_full)))
+            for i in range(nb) if pattern[i]
+        ]) if pattern.any() else np.zeros(0, np.int64)
+        assert np.array_equal(mask_d, d_full[sel.astype(int)])
+        assert np.array_equal(mask_tf, tf_full[sel.astype(int)])
+
+
+def test_global_term_stats_match_oracle(spark, index, oracle):
+    idx, _ = index
+    some_terms = list(oracle.df)[:20] + ["import", "zz_missing_term"]
+    stats = global_term_stats(spark, idx, some_terms)
+    for t in some_terms:
+        if t == "zz_missing_term":
+            assert t not in stats
+        else:
+            assert stats[t] == oracle.df[t], t
+
+
+def test_search_rank_identical_and_bit_equal(spark, index, oracle, queries_pdf):
+    idx, _ = index
+    got = (
+        search_index(spark, idx, queries_pdf)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    golden = oracle.golden(queries_pdf).sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert list(got["qid"]) == list(golden["qid"])
+    assert list(got["docid"]) == list(golden["docid"])
+    # canonical summation order -> bit-identical float64 scores
+    assert np.array_equal(got["score"].to_numpy(), golden["score"].to_numpy())
+
+
+def test_pruning_equals_exhaustive(index, spark, oracle):
+    """θ>0 pruning path must be result-identical to θ=0 exhaustive path."""
+    idx, manifest = index
+    reader = SegmentReader(manifest["path"].iloc[0])
+    idfs = idf_map(oracle.n_docs, oracle.df)
+    rng = np.random.default_rng(1)
+    terms_pool = list(oracle.df)
+    for trial in range(30):
+        terms = [terms_pool[rng.integers(0, len(terms_pool))] for _ in range(3)]
+        d0, s0 = score_query_on_segment(reader, terms, idfs, 10, 0.0, oracle.avgdl)
+        if len(s0) == 0:
+            continue
+        for theta in [float(s0[-1]) * 0.5, float(s0[-1]), float(s0[0]) * 0.99]:
+            d1, s1 = score_query_on_segment(reader, terms, idfs, 10, theta, oracle.avgdl)
+            # every returned doc with score >= theta must match exactly
+            keep = s0 >= theta
+            keep1 = s1 >= theta
+            assert np.array_equal(d0[keep], d1[keep1])
+            assert np.array_equal(s0[keep], s1[keep1])
+
+
+def test_resume_skips_built_segments(spark, corpus_df, index):
+    """Rebuild over an existing index: all segments resumed, manifest equal
+    (the CheckpointManager skip-completed behavior)."""
+    idx, manifest = index
+    docs = assign_dense_docids(corpus_df)
+    m2 = build_index(docs, idx, num_segments=6)
+    assert (m2["status"] == "resumed").all()
+    pd.testing.assert_frame_equal(
+        manifest.drop(columns=["status", "build_sec"]),
+        m2.drop(columns=["status", "build_sec"]),
+    )
+
+
+def test_resume_after_partial_build(spark, corpus_df, tmp_path_factory, oracle,
+                                    queries_pdf):
+    """Kill-and-resume: delete some segments (simulated failure), rebuild,
+    results identical (north rule: resumable from per-partition checkpoints)."""
+    import shutil
+
+    idx = str(tmp_path_factory.mktemp("idx_resume"))
+    docs = assign_dense_docids(corpus_df)
+    m1 = build_index(docs, idx, num_segments=6)
+    # simulate a failed run: two segments missing, one half-written
+    shutil.rmtree(m1["path"].iloc[1])
+    shutil.rmtree(m1["path"].iloc[3])
+    os.remove(os.path.join(m1["path"].iloc[4], "_SUCCESS"))
+    m2 = build_index(docs, idx, num_segments=6)
+    statuses = m2.sort_values("min_docid")["status"].tolist()
+    assert statuses.count("built") == 3 and statuses.count("resumed") == 3
+    got = (
+        search_index(spark, idx, queries_pdf.head(10))
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    golden = oracle.golden(queries_pdf.head(10)).sort_values(
+        ["qid", "rank"]).reset_index(drop=True)
+    assert list(got["docid"]) == list(golden["docid"])
+    assert np.array_equal(got["score"].to_numpy(), golden["score"].to_numpy())
+
+
+def test_results_identical_across_segment_counts(spark, corpus_df, oracle,
+                                                 queries_pdf, tmp_path_factory):
+    """N vs 4N determinism: different segmentation (parallelism) must give
+    byte-identical query results."""
+    docs = assign_dense_docids(corpus_df)
+    results = []
+    for nseg in (2, 8):
+        idx = str(tmp_path_factory.mktemp(f"idx_{nseg}"))
+        build_index(docs, idx, num_segments=nseg)
+        r = (
+            search_index(spark, idx, queries_pdf.head(15))
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+        results.append(r)
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_content_sha_stored_in_segments(index, corpus_pdf):
+    from jvector_spark.corpus import content_sha_table
+    import pyarrow.parquet as pq
+
+    idx, manifest = index
+    parts = [
+        pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
+        for p in manifest["path"]
+    ]
+    docs = pd.concat(parts).sort_values("docid").reset_index(drop=True)
+    exp = content_sha_table(corpus_pdf).sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    got = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "content_sha"]], exp)
