@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard — over `documents(doc_id, text)`.
+
+Scale notes (100 TB design):
+  * every per-doc signature (md5, minhash, simhash, shingle set) is computed
+    MAP-SIDE as a Catalyst expression — one pass over the corpus, no Python;
+  * the only shuffles are the semantic ones: groupBy(signature) for exact
+    dup groups, groupBy(band_hash) for LSH buckets, and the candidate-pair
+    join — all keyed on hashes, which are uniformly distributed, so no skew
+    (adversarial mega-buckets are capped via `max_bucket`);
+  * pair verification (exact Jaccard) runs only on LSH candidates, never on
+    the n² corpus.
+
+All hash functions are md5-derived 60-bit ints (`conv(substr(md5(x),1,15),
+16,10)`) so the DuckDB oracles in __spark_entry__.py compute bit-identical
+values (`('0x'||substr(md5(x),1,15))::BIGINT`). Spark's murmur3 `F.hash`
+is NOT used anywhere correctness-gated, since oracles can't reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jvector_spark.operators.textstats import tokens_col
+
+NUM_MINHASHES = 8
+SHINGLE_K = 3
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from md5 — reproducible in ANSI SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """(doc_id, dup_group, group_size) — exact dedup: dup_group is the min
+    doc_id sharing the same md5(text). Window over the hash == groupBy the
+    hash; uniform key, no skew."""
+    w = Window.partitionBy("content_md5")
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text)).alias("content_md5"))
+        .withColumn("dup_group", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "dup_group", "group_size")
+    )
+
+
+def shingles_col(text: str = "text", k: int = SHINGLE_K) -> Column:
+    """Distinct k-gram token shingles as array<string> (map-side)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
+        ),
+    )
+    # docs shorter than k shingle to the whole text (never empty)
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text: str = "text",
+                       num_hashes: int = NUM_MINHASHES,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, h, minhash) — one row per hash function, exploded.
+
+    minhash_j(doc) = min over distinct k-shingles s of hash60(j || '|' || s).
+    Entirely map-side: the min runs inside `aggregate` over the shingle
+    array, so no (doc x shingle x hash) shuffle ever materializes.
+    """
+    sh = shingles_col(text, k)
+
+    # closure factory, NOT a default-arg lambda: a 2-param lambda would make
+    # pyspark pass the array index as the second argument and silently
+    # shadow j with a Column
+    def hash_j(j: int):
+        return lambda s: md5_hash60(F.concat(F.lit(f"{j}|"), s))
+
+    sig = F.array(*[
+        F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)
+    ])
+    return (
+        docs.select(F.col(id_col), F.posexplode(sig).alias("h", "minhash"))
+        .select(id_col, F.col("h").cast("int").alias("h"), "minhash")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text: str = "text",
+                      num_hashes: int = NUM_MINHASHES,
+                      band_size: int = 2,
+                      k: int = SHINGLE_K,
+                      max_bucket: int = 1000) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs via LSH banding.
+
+    Signature split into bands of `band_size`; docs agreeing on any full band
+    collide. Bucket key is a hash of the band values — uniformly distributed,
+    and adversarial mega-buckets (a degenerate corpus of identical docs) are
+    capped at `max_bucket` docs per bucket so the self-join can't go
+    quadratic on one key (the dedup analog of the north rule's heavy-term
+    skew mitigation).
+    """
+    sigs = minhash_signatures(docs, id_col, text, num_hashes, k)
+    banded = sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
+    # bucket key = md5 of "band:mh_h0,mh_h1,..." (minhashes in h order) —
+    # deterministic and reproducible in ANSI SQL (string_agg ORDER BY h)
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("vals")
+    ).select(
+        F.col(id_col), "band",
+        md5_hash60(
+            F.concat(
+                F.col("band").cast("string"), F.lit(":"),
+                F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["minhash"].cast("string"))),
+            )
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    capped = buckets.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= max_bucket
+    )
+    a = capped.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = capped.select(F.col(id_col).alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over tokens.
+
+    bit b of simhash = 1 iff sum over token occurrences of
+    (+1 if hash60(token) & (1<<b) else -1) > 0  — occurrence-summing is
+    exactly tf-weighting.
+
+    The per-bit vote runs inside array expressions map-side (tokens never
+    explode into a shuffle); bit tests are integer bitwiseAND (never float
+    division — 60-bit hashes don't survive float64), exactly reproducible
+    in the SQL oracle as `(hv & (1<<b)) <> 0`.
+    """
+    toks = tokens_col(text)
+    hashes = F.transform(toks, md5_hash60)
+
+    def vote_b(b: int):  # closure factory — see hash_j note above
+        mask = F.lit(1 << b)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), vote_b(b)) for b in range(bits)
+    ]
+    sim = None
+    for b, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", k: int = SHINGLE_K,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram Jaccard for all pairs of the
+    input. Meant for *verification of candidate pairs* (feed it the LSH
+    candidates joined back to text) or small subsets — the all-pairs form is
+    O(n²) by definition.
+
+    Implemented as shingle-explode + pair-join on shingle (the set
+    intersection is a join, not a crossJoin): |A∩B| via groupBy(pair),
+    |A|,|B| from per-doc sizes.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles_col(text, k)).alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            # floor-ppm, not round: jaccard is a small-int rational, which
+            # lands exactly on .5 rounding boundaries where Spark (BigDecimal
+            # HALF_UP) and other engines (multiply-shift) disagree; floor of
+            # the identical double is engine-invariant
+            F.floor(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                * 1e6
+            ).cast("long").alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= int(min_jaccard * 1e6))
+    )

@@ -1,0 +1,48 @@
+"""Event-stream operators (batch + Structured Streaming shared logic).
+
+The reference has no event-time semantics (SURVEY §2.10 — its 'streaming'
+is concurrent read-while-write on one node); these operators cover the
+stream side a corpus-ingest pipeline needs. The same transformation
+functions run on a batch DataFrame (driver correctness gate vs DuckDB) and
+on a readStream DataFrame (jvector_spark/streaming/), which is the point of
+Structured Streaming's unified API.
+
+Window keys are epoch-hour longs (`floor(epoch/3600)`) rather than
+timestamp structs so results hash identically across engines/timezones;
+session timezone is pinned to UTC by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(bucket_hour, event_type, n_events, sum_value, n_users) — tumbling
+    1-hour rollup. Partial+final hash aggregation; group key (hour x type)
+    is low-cardinality, no skew concern."""
+    return (
+        events.withColumn(
+            "bucket_hour",
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).cast("long"),
+        )
+        .groupBy("bucket_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def user_activity(events: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_types, total_value, first_hour, last_hour) —
+    per-user profile aggregation."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("first_hour"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("last_hour"),
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over a `documents(doc_id, text, ...)` table. All
+operators are pure Catalyst column expressions (whole-stage codegen; no
+Python in the hot path) so they scale to 100 TB as a single map-side pass —
+zero shuffles except where an aggregation is the semantics.
+
+The reference has no string functions at all (its row value is a float32
+vector, jvector-base/.../vector/types/VectorFloat.java); these operators are
+the corpus-preparation stage that would feed the index build.
+
+Every helper mirrors an ANSI-SQL oracle in __spark_entry__.py; keep the
+expressions in sync (same constants, same rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list shared with the SQL oracles.
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+
+
+def tokens_col(text: str = "text") -> Column:
+    """split-on-space token array, empties dropped (simple-mode tokenizer as
+    a JVM expression — the declarative twin of functions/tokenizer.py)."""
+    return F.filter(F.split(F.col(text), " "), lambda x: x != F.lit(""))
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct) — token counting, one map-side pass."""
+    toks = tokens_col(text)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, uniq_ppm, stop_ppm, quality_ppm) — heuristic
+    quality scoring: lexical diversity up, stopword saturation down.
+
+    quality = 0.5 * uniq_ratio + 0.5 * (1 - stop_ratio). Ratios are emitted
+    as floor(x * 1e6) longs ("ppm"), not round(x, 6): these are small-int
+    rationals that land exactly on .5 rounding boundaries, where engines'
+    round() implementations disagree — floor of the identical double is
+    engine-invariant.
+    """
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    uniq, stop = n_uniq / n, n_stop / n
+    ppm = lambda c: F.floor(c * F.lit(1e6)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        ppm(uniq).alias("uniq_ppm"),
+        ppm(stop).alias("stop_ppm"),
+        ppm(F.lit(0.5) * uniq + F.lit(0.5) * (F.lit(1.0) - stop)).alias("quality_ppm"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text: str = "text") -> DataFrame:
+    """(doc_id, stop_ppm, pred_lang) — n-gram-free language-ID heuristic:
+    English-stopword density threshold (deterministic; a real model slots in
+    behind the same signature)."""
+    toks = tokens_col(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    ppm = F.floor(ratio * F.lit(1e6)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        ppm.alias("stop_ppm"),
+        F.when(ppm >= 120000, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", shingle: int = 8) -> DataFrame:
+    """(doc_id, content_md5, winnow_fp) — exact fingerprint (md5 of text) +
+    a winnowing-style rolling fingerprint: min over `shingle`-gram windows of
+    a 60-bit md5-derived hash. Both reproducible in ANSI SQL (md5 + substr +
+    hex cast), both pure JVM expressions here.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(shingle)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(shingle)]
+        ),
+    )
+    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text)).alias("content_md5"),
+        F.when(n >= shingle, F.array_min(F.transform(grams, gram_hash)))
+        .otherwise(gram_hash(F.col(text)))
+        .alias("winnow_fp"),
+    )
+
+
+def content_sha(docs: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """(doc_id, content_sha) — the per-row sha256 invariant column
+    (BASELINE.json input_hint; analog of the reference's CRC-checksummed
+    writes, OnDiskGraphIndexWriter.checksum:247-250)."""
+    return docs.select(
+        F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
+    )
