@@ -354,12 +354,23 @@ _SHINGLES = (
     "she AS (SELECT doc_id, unnest(shs) AS s FROM sh)"
 )
 
-# minhash signatures: min over shingles of h60(j || '|' || shingle)
+# minhash signatures: ONE md5 base hash per shingle, then 8 affine-universal
+# transforms (exact int64 arithmetic — mirrors dedup.AFFINE_HASH_PARAMS)
+def _affine_values_sql() -> str:
+    from jvector_spark.operators.dedup import AFFINE_HASH_PARAMS
+
+    return ", ".join(
+        f"({j}, {a}, {b}, {c})" for j, (a, b, c) in enumerate(AFFINE_HASH_PARAMS)
+    )
+
+
 _MINHASH = (
     _SHINGLES + ", "
-    "mh AS (SELECT doc_id, j, min(" + _H60.format(x="j::VARCHAR || '|' || s")
-    + ") AS minhash FROM she CROSS JOIN (SELECT unnest(range(8)) AS j) "
-    "GROUP BY 1, 2)"
+    "bh AS (SELECT doc_id, " + _H60.format(x="s") + " AS hv FROM she), "
+    "hp(j, a, b, c) AS (VALUES " + _affine_values_sql() + "), "
+    "mh AS (SELECT doc_id, j, "
+    "min((a * (hv >> 30) + b * (hv & 1073741823) + c) % 2305843009213693951) "
+    "AS minhash FROM bh CROSS JOIN hp GROUP BY 1, 2)"
 )
 
 

@@ -29,6 +29,24 @@ from jvector_spark.operators.textstats import tokens_col
 NUM_MINHASHES = 8
 SHINGLE_K = 3
 
+# fixed affine-universal hash family over the 60-bit md5 base hash:
+#   h_j(x) = (A_j * (h >> 30) + B_j * (h & 2^30-1) + C_j) mod (2^61 - 1)
+# products stay < 2^61, sums < 2^62 — exact in int64 in BOTH Spark and any
+# ANSI-SQL oracle (no murmur dependence, one md5 per shingle instead of 8).
+# Constants from numpy default_rng(1234); keep in sync with __spark_entry__.
+MERSENNE61 = (1 << 61) - 1
+LO30 = (1 << 30) - 1
+AFFINE_HASH_PARAMS: list[tuple[int, int, int]] = [
+    (2103139804, 2097446776, 2121586239),
+    (816464123, 367992410, 1982656189),
+    (225255239, 561980201, 298028865),
+    (685255715, 1151155068, 253598991),
+    (1709091010, 519189161, 1688041804),
+    (684046403, 1704011245, 2070344413),
+    (2057996156, 566183643, 1193176983),
+    (947053435, 547003393, 1309687589),
+]
+
 
 def md5_hash60(col: Column) -> Column:
     """60-bit integer hash from md5 — reproducible in ANSI SQL."""
@@ -71,23 +89,36 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, h, minhash) — one row per hash function, exploded.
 
-    minhash_j(doc) = min over distinct k-shingles s of hash60(j || '|' || s).
-    Entirely map-side: the min runs inside `aggregate` over the shingle
-    array, so no (doc x shingle x hash) shuffle ever materializes.
+    minhash_j(doc) = min over distinct k-shingles s of affine_j(hash60(s)):
+    ONE md5 per shingle, then `num_hashes` cheap integer affine transforms
+    (AFFINE_HASH_PARAMS). Entirely map-side: the min runs inside array
+    expressions, so no (doc x shingle x hash) shuffle ever materializes.
     """
-    sh = shingles_col(text, k)
+    # materialize the md5 base hashes behind a projection boundary so the
+    # num_hashes affine mins reference ONE computed array (higher-order
+    # funcs are not reliably CSE'd inside a single Project)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(shingles_col(text, k), md5_hash60).alias("_hs"),
+    )
 
     # closure factory, NOT a default-arg lambda: a 2-param lambda would make
     # pyspark pass the array index as the second argument and silently
-    # shadow j with a Column
-    def hash_j(j: int):
-        return lambda s: md5_hash60(F.concat(F.lit(f"{j}|"), s))
+    # shadow the binding with a Column
+    def affine_j(j: int):
+        a, b, c = AFFINE_HASH_PARAMS[j]
+        return lambda h: (
+            F.lit(a) * F.shiftright(h, 30)
+            + F.lit(b) * h.bitwiseAND(F.lit(LO30))
+            + F.lit(c)
+        ) % F.lit(MERSENNE61)
 
     sig = F.array(*[
-        F.array_min(F.transform(sh, hash_j(j))) for j in range(num_hashes)
+        F.array_min(F.transform(F.col("_hs"), affine_j(j)))
+        for j in range(num_hashes)
     ])
     return (
-        docs.select(F.col(id_col), F.posexplode(sig).alias("h", "minhash"))
+        hashed.select(F.col(id_col), F.posexplode(sig).alias("h", "minhash"))
         .select(id_col, F.col("h").cast("int").alias("h"), "minhash")
     )
 

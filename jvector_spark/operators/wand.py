@@ -78,27 +78,57 @@ def score_query_on_segment(
     k: int,
     theta: float,
     avgdl: float,
+    tombstones: np.ndarray | None = None,
+    cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, scores) of one query against one segment,
-    pruning with block-max bounds against incoming threshold theta."""
+    pruning with block-max bounds against incoming threshold theta.
+
+    `tombstones` (sorted int64) is the Bits-acceptOrds analog
+    (GraphSearcher.search:202-214): excluded docids are dropped from the
+    candidate set BEFORE scoring, applied inside the search, not post-hoc —
+    deletes are visible to queries immediately while stats stay unchanged
+    until compaction (2-phase delete, GraphIndexBuilder.java:684-805).
+
+    `cache` (per-segment dict, shared across the queries of one task) holds
+    term rows, block upper-bound arrays, and full-term decodes — the analog
+    of the reference's pooled searcher scratch reused across queries
+    (GraphSearcher.java:51-57, ExplicitThreadLocal)."""
     terms = sorted({t for t in terms if t in idfs and reader.has_term(t)})
     if not terms:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if cache is None:
+        cache = {}
 
-    rows = {t: reader.term_row(t) for t in terms}
+    def term_row(t):
+        key = ("row", t)
+        if key not in cache:
+            cache[key] = reader.term_row(t)
+        return cache[key]
+
+    def decode_full(t):
+        key = ("full", t)
+        if key not in cache:
+            cache[key] = reader.decode_term(t)
+        return cache[key]
+
+    rows = {t: term_row(t) for t in terms}
     block_ub: dict[str, np.ndarray] = {}
     term_ub = np.empty(len(terms))
     for i, t in enumerate(terms):
-        r = rows[t]
-        mtf = np.asarray(r["block_max_tf"], dtype=np.int64)
-        mdl = np.asarray(r["block_min_dl"], dtype=np.int64)
-        # same code path as the exact score (tf-norm is monotone in tf, anti-
-        # monotone in dl, so (max_tf, min_dl) bounds every posting in the
-        # block), inflated by 1e-9 relative so float rounding can never put
-        # the bound below a real score — pruning must stay sound at ties.
-        ub = idfs[t] * _tf_norm(mtf, mdl, avgdl) * (1.0 + 1e-9)
-        block_ub[t] = ub
-        term_ub[i] = ub.max()
+        key = ("ub", t)
+        if key not in cache:
+            r = rows[t]
+            mtf = np.asarray(r["block_max_tf"], dtype=np.int64)
+            mdl = np.asarray(r["block_min_dl"], dtype=np.int64)
+            # same code path as the exact score (tf-norm is monotone in tf,
+            # anti-monotone in dl, so (max_tf, min_dl) bounds every posting
+            # in the block), inflated by 1e-9 relative so float rounding can
+            # never put the bound below a real score — pruning must stay
+            # sound at ties.
+            cache[key] = idfs[t] * _tf_norm(mtf, mdl, avgdl) * (1.0 + 1e-9)
+        block_ub[t] = cache[key]
+        term_ub[i] = cache[key].max()
 
     total_ub = float(term_ub.sum())
     if total_ub < theta:
@@ -125,12 +155,27 @@ def score_query_on_segment(
         other = total_ub - term_ub[i]
         mask = block_ub[t] + other >= theta
         gen_mask[t] = mask
-        d, tf = reader.decode_term(t, None if mask.all() else mask)
+        if mask.all():
+            d, tf = decode_full(t)
+        elif ("full", t) in cache or mask.mean() > 0.5:
+            # slice the masked blocks out of the (cached) full decode —
+            # pruning semantics preserved, decode amortized across queries
+            d_full, tf_full = decode_full(t)
+            ex = np.repeat(mask, np.asarray(rows[t]["block_n"], dtype=np.int64))
+            d, tf = d_full[ex], tf_full[ex]
+        else:
+            d, tf = reader.decode_term(t, mask)
         gen[t] = (d, tf)
         cand_parts.append(d)
     if not cand_parts:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     candidates = np.unique(np.concatenate(cand_parts))
+    if tombstones is not None and len(tombstones):
+        candidates = candidates[
+            ~np.isin(candidates, tombstones, assume_unique=False)
+        ]
+        if not len(candidates):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     # exact scoring in canonical sorted-term order (oracle bit-parity)
     scores = np.zeros(len(candidates), dtype=np.float64)
@@ -143,13 +188,20 @@ def score_query_on_segment(
         # gather pass: non-generating blocks that overlap the candidate set
         gmask = ~gen_mask[t]
         if gmask.any():
-            first = np.asarray(r["block_first"], dtype=np.int64)
-            last = np.asarray(r["block_last"], dtype=np.int64)
-            lo = np.searchsorted(candidates, first, side="left")
-            overlap = (lo < len(candidates)) & gmask
-            overlap[overlap] &= candidates[lo[overlap]] <= last[overlap]
-            if overlap.any():
-                d, tf = reader.decode_term(t, overlap)
+            if ("full", t) in cache:
+                d, tf = decode_full(t)
+            else:
+                first = np.asarray(r["block_first"], dtype=np.int64)
+                last = np.asarray(r["block_last"], dtype=np.int64)
+                lo = np.searchsorted(candidates, first, side="left")
+                overlap = (lo < len(candidates)) & gmask
+                overlap[overlap] &= candidates[lo[overlap]] <= last[overlap]
+                d, tf = (
+                    reader.decode_term(t, overlap)
+                    if overlap.any()
+                    else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+                )
+            if len(d):
                 idx = np.searchsorted(candidates, d)
                 keep = (idx < len(candidates))
                 keep[keep] &= candidates[idx[keep]] == d[keep]
@@ -161,7 +213,15 @@ def score_query_on_segment(
         tf = np.concatenate(parts_tf)
         if len(d) == 0:
             continue
+        # membership check is mandatory: generated docids may have been
+        # dropped from `candidates` by the tombstone filter
         pos = np.searchsorted(candidates, d)
+        valid = pos < len(candidates)
+        valid[valid] &= candidates[pos[valid]] == d[valid]
+        if not valid.all():
+            d, tf, pos = d[valid], tf[valid], pos[valid]
+        if len(d) == 0:
+            continue
         contrib = idfs[t] * _tf_norm(tf, reader.doclen(d), avgdl)
         # docids are unique within a term (gen/gather block sets are
         # disjoint), so fancy-index add is safe and faster than np.add.at
@@ -202,6 +262,7 @@ def search_partition(
     queries: pd.DataFrame,
     idfs: dict[str, float],
     avgdl: float,
+    tombstones: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern)."""
@@ -211,9 +272,11 @@ def search_partition(
     qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
     for path in seg_paths:
         reader = SegmentReader(path)
+        seg_cache: dict = {}  # shared scratch across this segment's queries
         for qid, st in states.items():
             d, s = score_query_on_segment(
-                reader, qterms[qid], idfs, st.k, st.theta, avgdl
+                reader, qterms[qid], idfs, st.k, st.theta, avgdl, tombstones,
+                seg_cache,
             )
             st.push(d, s)
     out = [
@@ -251,10 +314,14 @@ def search_index(
     all_terms = sorted({t for ts in queries["terms"] for t in ts})
     dfm = global_term_stats(spark, index_dir, all_terms) if all_terms else {}
     idfs = idf_map(n_docs, dfm)
+    from jvector_spark.plans.merge import load_tombstones
+
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
 
     sc = spark.sparkContext
     b_q = sc.broadcast(queries[["qid", "terms", "k"]])
     b_idfs = sc.broadcast(idfs)
+    b_tomb = sc.broadcast(tomb)
     if num_tasks is None:
         num_tasks = min(len(seg_paths),
                         int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
@@ -265,7 +332,9 @@ def search_index(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
         if paths:
-            yield search_partition(paths, b_q.value, b_idfs.value, avgdl)
+            yield search_partition(
+                paths, b_q.value, b_idfs.value, avgdl, b_tomb.value
+            )
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

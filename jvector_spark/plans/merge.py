@@ -1,0 +1,224 @@
+"""Segment merge-compaction + tombstone deletes (the LSM maintenance path).
+
+Reference mapping (SURVEY §2.9):
+  * `GraphIndexBuilder.buildAndMergeNewNodes` + `sequentialRenumbering`
+    (jvector-base/.../graph/GraphIndexBuilder.java:992-1029,
+    AbstractGraphIndexWriter.java:104-117) -> sort-merge-compaction of
+    doc-partitioned segments with dense docid renumbering that fills
+    deletion holes while preserving order;
+  * 2-phase deletes — `markNodeDeleted` tombstone then
+    `removeDeletedNodes` purge (GraphIndexBuilder.java:684-805) ->
+    a tombstone docid set applied as a filter bitmap at query time
+    (live immediately, like the reference's deleted-bits in search,
+    ImmutableGraphIndex.liveNodes) and physically purged at compaction;
+  * `NodeArray.merge` score-sorted merge/dedup (graph/NodeArray.java:63-132)
+    -> k-way docid-ordered posting merge. Because our segments are
+    DOC-partitioned on disjoint docid ranges, per-term posting lists
+    concatenate in segment order after remapping — the merge "sort" is free
+    by construction, which is exactly why the build partitions by docid
+    range (same reason ODGI records are ordinal-ordered).
+
+Scale shape: compaction = one task per OUTPUT segment group; each task
+streams its input segments' postings through the same vectorized
+encode_postings_frame used at build. No shuffle at all — grouping is on
+contiguous docid ranges, the remap is order-preserving, and term
+dictionaries merge via pandas concat/groupby inside the task. At 10^12 docs
+you compact O(thousands) of segments in parallel groups, each group bounded
+by its input bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+
+from jvector_spark import BLOCK_SIZE
+from jvector_spark.sources.segment import (
+    MANIFEST_SCHEMA,
+    SegmentReader,
+    encode_postings_frame,
+    load_manifest,
+    write_index_manifest,
+    write_segment_files,
+)
+
+TOMBSTONES_FILE = "tombstones.json"
+
+
+def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
+    """Phase-1 delete: record tombstones in the index manifest dir
+    (markNodeDeleted analog). Queries must exclude these immediately;
+    the postings bytes are untouched until compaction."""
+    path = os.path.join(index_dir, TOMBSTONES_FILE)
+    cur: set[int] = set(load_tombstones(index_dir))
+    cur.update(int(d) for d in docids)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cur), f)
+    os.replace(tmp, path)
+    return sorted(cur)
+
+
+def load_tombstones(index_dir: str) -> list[int]:
+    path = os.path.join(index_dir, TOMBSTONES_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+def _merge_group(
+    seg_paths: list[str],
+    out_dir: str,
+    group_id: int,
+    docid_offset: int,
+    tombstones: np.ndarray,
+    block_size: int,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Merge one group of docid-contiguous segments into one output segment.
+
+    Returns (manifest_row, docid_map rows old->new). Dense renumbering:
+    new docid = docid_offset + rank of old docid among survivors in this
+    group (order-preserving — sequentialRenumbering semantics).
+    """
+    t0 = time.time()
+    doc_frames = []
+    post_frames = []
+    for p in seg_paths:
+        r = SegmentReader(p)
+        docs = pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
+        doc_frames.append(docs)
+        terms = r._terms.reset_index()
+        for t, df_count in zip(terms["term"], terms["df"]):
+            d, tf = r.decode_term(t)
+            post_frames.append(
+                pd.DataFrame({"term": t, "docid": d, "tf": tf})
+            )
+    docs_all = pd.concat(doc_frames, ignore_index=True).sort_values(
+        "docid", kind="mergesort"
+    )
+    live_mask = ~docs_all["docid"].isin(tombstones).to_numpy()
+    docs_live = docs_all[live_mask].reset_index(drop=True)
+    old = docs_live["docid"].to_numpy(np.int64)
+    new = docid_offset + np.arange(len(old), dtype=np.int64)
+    remap = pd.Series(new, index=old)
+
+    posts = pd.concat(post_frames, ignore_index=True) if post_frames else pd.DataFrame(
+        columns=["term", "docid", "tf"]
+    )
+    posts = posts[posts["docid"].isin(remap.index)]
+    posts["docid"] = posts["docid"].map(remap)
+    posts = posts.sort_values(["term", "docid"], kind="mergesort").reset_index(drop=True)
+
+    docs_live = docs_live.copy()
+    docs_live["docid"] = new
+    dl_by_doc = docs_live.set_index("docid")["dl"]
+    seg_id = f"seg-{docid_offset:012d}"
+    seg_dir = os.path.join(out_dir, seg_id)
+    if len(posts):
+        terms_tbl, blob = encode_postings_frame(
+            posts["term"].to_numpy(),
+            posts["docid"].to_numpy(np.int64),
+            posts["tf"].to_numpy(np.int64),
+            posts["docid"].map(dl_by_doc).to_numpy(np.int64),
+            block_size,
+        )
+    else:
+        terms_tbl, blob = encode_postings_frame(
+            np.array(["\x00dummy"]), np.array([0], np.int64),
+            np.array([1], np.int64), np.array([1], np.int64), block_size,
+        )
+        terms_tbl = terms_tbl.slice(0, 0)
+        blob = b""
+    meta = write_segment_files(seg_dir, terms_tbl, blob, docs_live, {
+        "segment_id": seg_id, "block_size": block_size,
+        "merged_from": [os.path.basename(p) for p in seg_paths],
+        "fingerprint": f"merge-{group_id}-{len(old)}",
+    })
+    man = pd.DataFrame([{
+        "segment_id": seg_id, "path": seg_dir, "status": "merged",
+        "min_docid": meta["min_docid"], "max_docid": meta["max_docid"],
+        "n_docs": meta["n_docs"], "n_terms": meta["n_terms"],
+        "n_postings": meta["n_postings"], "bytes_postings": meta["bytes_postings"],
+        "build_sec": time.time() - t0, "fingerprint": meta["fingerprint"],
+    }])
+    docid_map = pd.DataFrame({"old_docid": old, "new_docid": new})
+    return man, docid_map
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    target_segments: int | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> pd.DataFrame:
+    """Sort-merge-compact an index: group docid-adjacent segments, purge
+    tombstones, renumber docids densely, write a fresh index + docid_map
+    parquet (old->new) for external id stability.
+
+    Distribution: one Spark task per output group (mapInPandas over the
+    group list); offsets are computed driver-side from live-doc counts
+    (tiny: one number per segment — same prefix-sum pattern as dense docid
+    assignment).
+    """
+    manifest = load_manifest(index_dir)
+    segs = sorted(manifest["segments"], key=lambda s: s["min_docid"])
+    tombstones = np.array(load_tombstones(index_dir), dtype=np.int64)
+    if target_segments is None:
+        target_segments = max(1, len(segs) // 2)
+    groups: list[list[dict]] = [[] for _ in range(target_segments)]
+    per = (len(segs) + target_segments - 1) // target_segments
+    for i, s in enumerate(segs):
+        groups[min(i // per, target_segments - 1)].append(s)
+    groups = [g for g in groups if g]
+
+    # live-doc count per group (prefix-sum for dense offsets) — metadata-only
+    live_counts = []
+    for g in groups:
+        n = 0
+        for s in g:
+            docs = pq.read_table(
+                os.path.join(s["path"], "docs.parquet"), columns=["docid"]
+            ).to_pandas()["docid"].to_numpy(np.int64)
+            n += int((~np.isin(docs, tombstones)).sum())
+        live_counts.append(n)
+    offsets = np.concatenate(([0], np.cumsum(live_counts)[:-1]))
+
+    os.makedirs(out_dir, exist_ok=True)
+    tasks = [
+        (gi, json.dumps([s["path"] for s in g]), int(offsets[gi]))
+        for gi, g in enumerate(groups)
+    ]
+    tasks_df = spark.createDataFrame(
+        tasks, "group_id int, paths string, offset long"
+    ).repartition(len(tasks))
+    b_tomb = spark.sparkContext.broadcast(tombstones)
+
+    map_dir = os.path.join(out_dir, "docid_map")
+    os.makedirs(map_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples():
+                man, dmap = _merge_group(
+                    json.loads(row.paths), out_dir, int(row.group_id),
+                    int(row.offset), b_tomb.value, block_size,
+                )
+                dmap.to_parquet(
+                    os.path.join(map_dir, f"part-{int(row.group_id):05d}.parquet")
+                )
+                yield man
+
+    out_manifest = tasks_df.mapInPandas(run, MANIFEST_SCHEMA).toPandas()
+    out_manifest = out_manifest.sort_values("min_docid").reset_index(drop=True)
+    write_index_manifest(out_dir, out_manifest, manifest["tokenizer_mode"])
+    return out_manifest

@@ -1,0 +1,118 @@
+"""Merge-compaction + 2-phase delete semantics.
+
+Mirrors the reference's delete/compaction tests: TestDeletions.java (mark ->
+results excluded immediately; cleanup -> physically removed) and
+TestOnDiskGraphIndex.testRenumberingOnDelete:94-143 (dense renumbering fills
+holes, order preserved)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.operators.wand import search_index
+from jvector_spark.oracle import BM25Oracle
+from jvector_spark.plans.merge import (
+    compact_index,
+    load_tombstones,
+    mark_deleted,
+)
+from jvector_spark.sources.segment import build_index, load_manifest
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_df, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx_merge"))
+    docs = assign_dense_docids(corpus_df)
+    manifest = build_index(docs, idx, num_segments=6)
+    return idx, manifest
+
+
+DELETED = [0, 3, 7, 50, 113, 200, 299]
+
+
+def _expected_topk(oracle: BM25Oracle, terms, k, excluded: set[int]):
+    """Oracle top-k with tombstones excluded but stats UNCHANGED (phase-1
+    delete semantics: excluded from results, still counted in df/N/avgdl)."""
+    docids, scores = oracle.score_query(list(terms))
+    hit = (scores > 0.0) & ~np.isin(docids, list(excluded))
+    d, s = docids[hit], scores[hit]
+    order = np.lexsort((d, -s))[:k]
+    return d[order], s[order]
+
+
+def test_tombstones_visible_immediately(spark, index, oracle, queries_pdf):
+    idx, _ = index
+    mark_deleted(idx, DELETED)
+    assert load_tombstones(idx) == sorted(DELETED)
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    assert not res["docid"].isin(DELETED).any()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp_d, exp_s = _expected_topk(oracle, q.terms, q.k, set(DELETED))
+        assert got["docid"].tolist() == exp_d.tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(), exp_s, rtol=0, atol=0)
+
+
+def test_compaction_purges_and_renumbers(spark, index, corpus_pdf, queries_pdf,
+                                         tmp_path_factory):
+    idx, manifest = index
+    mark_deleted(idx, DELETED)
+    out = str(tmp_path_factory.mktemp("idx_compacted"))
+    out_manifest = compact_index(spark, idx, out, target_segments=3)
+
+    # docids dense 0..n_live-1, contiguous across segments, order-preserving
+    n_live = len(corpus_pdf) - len(DELETED)
+    assert int(out_manifest["n_docs"].sum()) == n_live
+    assert out_manifest["min_docid"].iloc[0] == 0
+    for i in range(1, len(out_manifest)):
+        assert (out_manifest["min_docid"].iloc[i]
+                == out_manifest["max_docid"].iloc[i - 1] + 1)
+    assert int(out_manifest["max_docid"].max()) == n_live - 1
+
+    # docid_map is order-preserving on survivors
+    dmap = pq.read_table(os.path.join(out, "docid_map")).to_pandas().sort_values(
+        "old_docid"
+    )
+    assert (np.diff(dmap["new_docid"].to_numpy()) > 0).all()
+    assert not dmap["old_docid"].isin(DELETED).any()
+    assert len(dmap) == n_live
+
+    # queries on the compacted index == oracle over the reduced corpus
+    # (stats now EXCLUDE deleted docs — phase-2 semantics)
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    live_corpus = keyed[~keyed.index.isin(DELETED)].reset_index(drop=True)
+    oracle2 = BM25Oracle(live_corpus)
+    res = search_index(spark, out, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle2.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(),
+                           exp["score"].to_numpy(), rtol=0, atol=0)
+
+
+def test_compaction_no_tombstones_is_pure_merge(spark, corpus_df, corpus_pdf,
+                                                queries_pdf, oracle,
+                                                tmp_path_factory):
+    """Compacting without deletes = segment-count reduction, results
+    unchanged (the buildAndMergeNewNodes growth/merge path)."""
+    idx = str(tmp_path_factory.mktemp("idx_pure"))
+    docs = assign_dense_docids(corpus_df)
+    build_index(docs, idx, num_segments=6)
+    out = str(tmp_path_factory.mktemp("idx_pure_out"))
+    out_manifest = compact_index(spark, idx, out, target_segments=2)
+    assert len(out_manifest) == 2
+    assert int(out_manifest["n_docs"].sum()) == len(corpus_pdf)
+    res = search_index(spark, out, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist()
+        assert np.allclose(got["score"].to_numpy(),
+                           exp["score"].to_numpy(), rtol=0, atol=0)
