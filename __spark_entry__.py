@@ -272,6 +272,21 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column multimodal plumbing: Arrow-batched mapInPandas decode
+    (deterministic stub — see operators/multimodal.py)."""
+    from jvector_spark.operators.multimodal import (
+        extract_image_features, with_payload)
+
+    return extract_image_features(with_payload(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvector_spark.operators.multimodal import sample_frames, with_payload
+
+    return sample_frames(with_payload(_docs(spark, sf_dir)))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.events import hourly_rollup
 
@@ -321,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "embed_near_dup": q_embed_near_dup,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
         "events_hourly": q_events_hourly,
         "events_user_activity": q_events_user_activity,
     }
@@ -552,6 +569,25 @@ s AS (SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS score
       FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, score
 FROM s WHERE score >= 0.95
+""",
+        # payload = utf-8 bytes of text, so sha256(text) == sha256(payload)
+        "image_features": """
+WITH p AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS psha FROM documents)
+SELECT doc_id, n_bytes, psha AS payload_sha,
+       (64 + ('0x' || substr(psha, 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(psha, 3, 2))::INT % 192)::INT AS height,
+       (1 + ('0x' || substr(psha, 5, 2))::INT % 4)::INT AS n_channels
+FROM p
+""",
+        "frame_sample": """
+WITH p AS (SELECT doc_id, sha256(text) AS psha,
+           ((octet_length(encode(text)) + 4095) // 4096)::INT AS nf
+           FROM documents),
+f AS (SELECT doc_id, unnest(range(nf))::INT AS frame_idx, psha FROM p)
+SELECT doc_id, frame_idx,
+       md5(psha || ':' || frame_idx::VARCHAR) AS frame_sha
+FROM f
 """,
         "events_hourly": """
 SELECT floor(epoch(ts) / 3600)::BIGINT AS bucket_hour, event_type,

@@ -1,0 +1,155 @@
+"""spark-submit entry point (north rule: `spark-submit --py-files`).
+
+Deployment:
+    python -m jvector_spark.session_zip   # (or jvector_spark.session.package_zip())
+    spark-submit --py-files /tmp/jvector_spark_pyfiles.zip \\
+        jvector_spark/cli.py build --input corpus.parquet --index /idx
+
+In-sandbox the same commands run on local[N]; `get_spark` additionally
+addPyFile-ships the package so executors resolve imports identically in
+both modes.
+
+Subcommands:
+    build    corpus parquet -> dense docids -> compressed segments
+             (resumable: re-running skips fingerprint-matched segments)
+    search   top-k BM25 queries (JSON lines: {"qid","terms","k"}) -> parquet
+    compact  merge segments + purge tombstones + renumber
+    delete   add tombstones by docid
+    metrics  print the manifest's lineage/metrics JSON
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _get_session(master: str | None):
+    """Create the session BEFORE importing jvector_spark: under
+    `spark-submit --py-files` the package zip is added to sys.path only at
+    SparkContext init, so any jvector import must come after this."""
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("jvector_spark_cli")
+    if master:
+        b = b.master(master)
+    spark = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+    try:
+        from jvector_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except ModuleNotFoundError:
+        # spark-submit case: the zip reached the executors via --py-files,
+        # but (Spark 4) the DRIVER's sys.path no longer gets it implicitly —
+        # add the staged zips ourselves (zipimport handles the rest)
+        conf = spark.sparkContext.getConf()
+        for uri in (conf.get("spark.submit.pyFiles") or "").split(","):
+            path = uri.removeprefix("file:")
+            if path:
+                sys.path.insert(0, path)
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="jvector_spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="corpus parquet path")
+    b.add_argument("--index", required=True, help="output index dir")
+    b.add_argument("--mode", default="code", choices=["code", "simple"])
+    b.add_argument("--segments", type=int, default=None)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--key-cols", default="repo,path,commit")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True,
+                   help="JSON-lines file: {qid, terms, k}")
+    s.add_argument("--output", required=True, help="output parquet path")
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--target-segments", type=int, default=None)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--docids", required=True, help="comma-separated docids")
+
+    m = sub.add_parser("metrics")
+    m.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "metrics":
+        from jvector_spark.sources.segment import load_manifest
+
+        print(json.dumps(load_manifest(args.index), indent=1))
+        return 0
+    if args.cmd == "delete":
+        from jvector_spark.plans.merge import mark_deleted
+
+        tomb = mark_deleted(args.index, [int(x) for x in args.docids.split(",")])
+        print(json.dumps({"tombstones": len(tomb)}))
+        return 0
+
+    spark = _get_session(args.master)
+    try:
+        if args.cmd == "build":
+            from jvector_spark.operators.ids import assign_dense_docids
+            from jvector_spark.sources.segment import build_index
+
+            key_cols = tuple(args.key_cols.split(","))
+            docs = assign_dense_docids(
+                spark.read.parquet(args.input), key_cols=key_cols
+            )
+            manifest = build_index(
+                docs, args.index, mode=args.mode, num_segments=args.segments,
+                content_col=args.content_col, key_cols=key_cols,
+            )
+            print(json.dumps({
+                "segments": len(manifest),
+                "built": int((manifest["status"] == "built").sum()),
+                "resumed": int((manifest["status"] == "resumed").sum()),
+                "n_docs": int(manifest["n_docs"].sum()),
+            }))
+        elif args.cmd == "search":
+            import pandas as pd
+
+            from jvector_spark.operators.wand import search_index
+
+            qpdf = pd.read_json(args.queries, lines=True)
+            res = search_index(spark, args.index, qpdf)
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "compact":
+            from jvector_spark.plans.merge import compact_index
+
+            out = compact_index(
+                spark, args.index, args.output,
+                target_segments=args.target_segments,
+            )
+            print(json.dumps({"segments": len(out),
+                              "n_docs": int(out["n_docs"].sum())}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

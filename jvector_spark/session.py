@@ -18,10 +18,24 @@ def package_zip() -> str:
     """Zip jvector_spark for shipping to executors (spark-submit --py-files
     equivalent; the north rule's deployment mode). Cached per process."""
     pkg_dir = Path(__file__).resolve().parent
+    # imported from a zip (spark-submit --py-files)? ship that zip verbatim —
+    # rglob inside a zip finds nothing, and regenerating here once silently
+    # truncated the very zip we were imported from
+    for parent in pkg_dir.parents:
+        if parent.suffix == ".zip" and parent.is_file():
+            return str(parent)
     out = Path(tempfile.gettempdir()) / "jvector_spark_pyfiles.zip"
-    with zipfile.ZipFile(out, "w") as zf:
-        for py in sorted(pkg_dir.rglob("*.py")):
+    files = sorted(pkg_dir.rglob("*.py"))
+    if not files:
+        raise RuntimeError(f"package_zip: no sources under {pkg_dir}")
+    # write-then-rename: concurrent sessions regenerate this zip, and an
+    # in-place ZipFile('w') truncation would hand executors a partial file
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=out.parent)
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for py in files:
             zf.write(py, Path("jvector_spark") / py.relative_to(pkg_dir))
+    os.replace(tmp, out)
     return str(out)
 
 

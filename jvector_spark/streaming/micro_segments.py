@@ -1,0 +1,172 @@
+"""Incremental index build via Structured Streaming micro-segments.
+
+Reference mapping (SURVEY §2.9/§2.10):
+  * `GraphIndexBuilder.addGraphNode` incremental insert + concurrent
+    read-while-write views (GraphIndexBuilder.java:594-665;
+    GraphSearcher.setView:163-165) -> each streaming micro-batch becomes an
+    immutable MICRO-SEGMENT appended to the index; queries see a snapshot
+    (the manifest) — batch-built segments give the same snapshot isolation
+    the reference gets from per-search Views, with no CAS machinery
+    (partition/segment isolation replaces lock-freedom, SURVEY §4 row 14).
+  * `buildAndMergeNewNodes` (GraphIndexBuilder.java:992-1029) -> the
+    accumulated micro-segments are folded into the main index by
+    plans/merge.compact_index — the LSM minor->major compaction.
+
+Docid allocation: each micro-batch claims a contiguous docid range
+starting at the index's current max_docid+1 (driver-side, one number — the
+streaming analog of the dense-ordinal contract). Batches are processed
+serially by Structured Streaming's foreachBatch, so ranges never collide;
+epoch ids make re-delivered batches idempotent (segment fingerprint check
+skips rebuilds on restart — exactly-once index effect over at-least-once
+batch delivery).
+
+Scale shape: one micro-segment per batch partition, no shuffle; watermarked
+event-time aggregation (streaming_hourly_rollup) uses the SAME logic as the
+batch operator (operators/events.hourly_rollup) — the unified-API point of
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jvector_spark.sources.segment import (
+    build_index,
+    load_manifest,
+    write_index_manifest,
+)
+
+
+def append_micro_segment(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    mode: str = "code",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    segments_per_batch: int = 1,
+) -> None:
+    """foreachBatch sink: build the batch into micro-segment(s) and extend
+    the manifest. Idempotent per batch (fingerprint resume) — safe under
+    Structured Streaming's replay-on-failure."""
+    import hashlib
+    import json
+
+    import pandas as pd
+
+    if batch_df.rdd.isEmpty():
+        return
+
+    # content-based batch registry: a re-delivered batch (restart, fresh
+    # checkpoint, at-least-once source) is identified by the hash of its
+    # sorted keys and skipped — docid-based segment fingerprints can't
+    # catch this because the docid base moves. Micro-batches are bounded,
+    # so collecting the key columns driver-side is safe.
+    keys_pdf = batch_df.select(*key_cols).orderBy(*key_cols).toPandas()
+    bhash = hashlib.sha256(
+        "\n".join("\x00".join(map(str, r)) for r in keys_pdf.itertuples(index=False))
+        .encode()
+    ).hexdigest()
+    reg_path = os.path.join(index_dir, "stream_batches.json")
+    registry: dict[str, list[str]] = {}
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registry = json.load(f)
+    if bhash in registry:
+        return
+
+    base = 0
+    old = None
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        old = load_manifest(index_dir)
+        if old["segments"]:
+            base = max(s["max_docid"] for s in old["segments"]) + 1
+
+    # dense contiguous docids for this batch, stable under re-delivery:
+    # order by the key columns (same contract as assign_dense_docids)
+    w_cols = [F.col(c) for c in key_cols]
+    batch_sorted = batch_df.orderBy(*w_cols).coalesce(segments_per_batch)
+    from pyspark.sql.window import Window
+
+    wn = Window.orderBy(*w_cols)
+    with_ids = batch_sorted.withColumn(
+        "docid", (F.row_number().over(wn) - 1 + F.lit(base)).cast("long")
+    )
+    sub_manifest = build_index(
+        with_ids, index_dir, mode=mode, num_segments=segments_per_batch,
+        content_col=content_col, key_cols=key_cols,
+    )
+    if old is not None and old["segments"]:
+        prev = pd.DataFrame(old["segments"])
+        merged = (
+            pd.concat([prev, sub_manifest], ignore_index=True)
+            .drop_duplicates("segment_id", keep="last")
+            .sort_values("min_docid")
+            .reset_index(drop=True)
+        )
+        write_index_manifest(index_dir, merged, mode)
+
+    registry[bhash] = sub_manifest["segment_id"].tolist()
+    tmp = reg_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(registry, f)
+    os.replace(tmp, reg_path)
+
+
+def stream_build_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    mode: str = "code",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    trigger_once: bool = True,
+):
+    """readStream source -> micro-segment index. Returns the query handle.
+
+    `checkpoint_dir` is Spark's WAL/offsets checkpoint (source progress);
+    segment fingerprints add index-level idempotence on top.
+    """
+    def sink(bdf: DataFrame, bid: int) -> None:
+        append_micro_segment(bdf, bid, index_dir, mode, content_col, key_cols)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_hourly_rollup(
+    stream_events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked event-time tumbling rollup on a stream — same semantics
+    as operators/events.hourly_rollup, plus late-data handling. (Distinct
+    users can't be computed incrementally without state explosion, so the
+    streaming variant tracks approx_count_distinct.)"""
+    # watermarks require TIMESTAMP (ltz); parquet NTZ casts value-preserving
+    # under the UTC session timezone pinned by get_spark
+    stream_events = stream_events.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    return (
+        stream_events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.floor(F.unix_timestamp(F.col("win.start")) / 3600)
+            .cast("long").alias("bucket_hour"),
+            "event_type", "n_events", "sum_value", "n_users_approx",
+        )
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming: incremental micro-segment build + watermarked
+rollup. Mirrors the reference's incremental-insert lifecycle
+(GraphIndexBuilder.addGraphNode) and read-while-write snapshot semantics
+(TestConcurrentReadWriteDeletes) re-expressed as append-only micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.wand import search_index
+from jvector_spark.oracle import BM25Oracle
+from jvector_spark.sources.segment import load_manifest
+from jvector_spark.streaming.micro_segments import (
+    stream_build_index,
+    streaming_hourly_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def staged_corpus(corpus_pdf, tmp_path_factory):
+    """Corpus split into 4 parquet files (arrival order = docid order so the
+    incremental build reproduces the batch docid assignment)."""
+    d = tmp_path_factory.mktemp("stream_src")
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    for i, chunk in enumerate(np.array_split(np.arange(len(keyed)), 4)):
+        keyed.iloc[chunk].to_parquet(d / f"part-{i:02d}.parquet", index=False)
+    return str(d), keyed
+
+
+def test_stream_build_matches_oracle(spark, staged_corpus, queries_pdf,
+                                     tmp_path_factory):
+    src_dir, keyed = staged_corpus
+    idx = str(tmp_path_factory.mktemp("stream_idx"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_build_index(stream, idx, ckpt)
+    q.awaitTermination(300)
+
+    m = load_manifest(idx)
+    assert m["n_docs"] == len(keyed)
+    # queries over micro-segments == oracle over the full corpus
+    oracle = BM25Oracle(keyed)
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    for qr in queries_pdf.itertuples():
+        got = res[res["qid"] == qr.qid].sort_values("rank")
+        exp = oracle.topk(list(qr.terms), int(qr.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={qr.qid}"
+        assert np.allclose(got["score"].to_numpy(), exp["score"].to_numpy(),
+                           rtol=0, atol=0)
+
+
+def test_stream_restart_is_idempotent(spark, staged_corpus, tmp_path_factory):
+    """Re-running the stream over the same source (fresh checkpoint —
+    worst-case full re-delivery) must not duplicate docs: fingerprint
+    resume skips every segment."""
+    src_dir, keyed = staged_corpus
+    idx = str(tmp_path_factory.mktemp("stream_idx2"))
+    for attempt in range(2):
+        ckpt = str(tmp_path_factory.mktemp(f"ckpt_{attempt}"))
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = stream_build_index(stream, idx, ckpt)
+        q.awaitTermination(300)
+        assert load_manifest(idx)["n_docs"] == len(keyed)
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
+    import shutil
+
+    src = str(tmp_path_factory.mktemp("events_src"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(src, "events.parquet"))
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_hourly_rollup(stream)
+    qh = (
+        out.writeStream.format("memory").queryName("rollup")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(300)
+    got = spark.sql("select * from rollup").toPandas()
+
+    from jvector_spark.operators.events import hourly_rollup
+
+    exp = hourly_rollup(events).toPandas()
+    g = got.sort_values(["bucket_hour", "event_type"]).reset_index(drop=True)
+    e = exp.sort_values(["bucket_hour", "event_type"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+    assert np.allclose(g["sum_value"], e["sum_value"], atol=1e-6)
