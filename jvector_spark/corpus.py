@@ -55,25 +55,62 @@ def generate_corpus(n_docs: int = 1000, seed: int = 42) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
     probs = _zipf_probs(VOCAB_SIZE, ZIPF_S)
-    rows = []
-    for i in range(n_docs):
-        drng = np.random.default_rng(seed * 1_000_003 + i)
-        repo = f"org{i % 7}/repo{i % 23}"
-        lang = LANGS[min(int(drng.zipf(2.0)) - 1, 4)]
-        ext = LANG_EXT[lang]
-        path = f"src/d{i % 50}/f{i}.{ext}"
-        commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
-        n_lines = int(drng.integers(20, 401))
-        kw = drng.integers(0, len(KEYWORDS), n_lines)
-        idents = vocab[drng.choice(VOCAB_SIZE, size=(n_lines, 3), p=probs)]
-        rare = f"rare_{i}_{drng.integers(0, 1 << 30)}"
-        lines = [
-            f"{KEYWORDS[kw[j]]} {idents[j, 0]}({idents[j, 1]}, {idents[j, 2]})"
-            for j in range(n_lines)
-        ]
-        lines[int(drng.integers(0, n_lines))] += f"  # {rare}"
-        rows.append((repo, path, commit, lang, "\n".join(lines)))
+    rows = [generate_doc(i, vocab, probs, seed) for i in range(n_docs)]
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def generate_doc(i: int, vocab: np.ndarray, probs: np.ndarray,
+                 seed: int = 42) -> tuple[str, str, str, str, str]:
+    """One corpus row — a pure function of (seed, i). Factored out so the
+    distributed generator produces byte-identical rows to generate_corpus."""
+    drng = np.random.default_rng(seed * 1_000_003 + i)
+    repo = f"org{i % 7}/repo{i % 23}"
+    lang = LANGS[min(int(drng.zipf(2.0)) - 1, 4)]
+    ext = LANG_EXT[lang]
+    path = f"src/d{i % 50}/f{i}.{ext}"
+    commit = hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    n_lines = int(drng.integers(20, 401))
+    kw = drng.integers(0, len(KEYWORDS), n_lines)
+    idents = vocab[drng.choice(VOCAB_SIZE, size=(n_lines, 3), p=probs)]
+    rare = f"rare_{i}_{drng.integers(0, 1 << 30)}"
+    lines = [
+        f"{KEYWORDS[kw[j]]} {idents[j, 0]}({idents[j, 1]}, {idents[j, 2]})"
+        for j in range(n_lines)
+    ]
+    lines[int(drng.integers(0, n_lines))] += f"  # {rare}"
+    return (repo, path, commit, lang, "\n".join(lines))
+
+
+def generate_corpus_distributed(spark, n_docs: int, seed: int = 42,
+                                num_partitions: int | None = None):
+    """Same corpus as generate_corpus, built ON THE CLUSTER: each partition
+    generates its doc-index range independently (per-doc seeded RNG), so a
+    200k-doc bench corpus doesn't bottleneck on the driver. Deterministic
+    at any parallelism."""
+    from pyspark.sql import functions as F
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        vocab = None
+        for pdf in batches:
+            if vocab is None:
+                rng = np.random.default_rng(seed)
+                vocab = _vocab(rng)
+                probs = _zipf_probs(VOCAB_SIZE, ZIPF_S)
+            rows = [generate_doc(int(i), vocab, probs, seed) for i in pdf["i"]]
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    idx = spark.range(n_docs).select(F.col("id").alias("i")).repartition(
+        num_partitions
+    )
+    return idx.mapInPandas(
+        gen,
+        "repo string, path string, commit string, lang string, content string",
+    )
 
 
 def content_sha_table(corpus: pd.DataFrame) -> pd.DataFrame:

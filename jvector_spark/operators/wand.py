@@ -50,11 +50,19 @@ def idf_map(n_docs: int, df_by_term: dict[str, int]) -> dict[str, float]:
 def global_term_stats(
     spark: SparkSession, index_dir: str, terms: list[str]
 ) -> dict[str, int]:
-    """Global df for the query terms, aggregated across segment dictionaries.
+    """Global df for the query terms.
 
-    The dictionaries are parquet sorted by term -> the isin filter is pushed
-    to the scan (row-group pruning); the aggregation is dictionary-sized.
+    Fast path: one driver-side pyarrow read of the index's hot-tier
+    term_stats.parquet (written at build/compaction — the in-memory upper
+    layer analog, OnDiskGraphIndex.java:83-84). Fallback for indexes
+    without it: distributed aggregation over the per-segment dictionaries
+    (term-filtered parquet scan, row-group pruned).
     """
+    from jvector_spark.sources.segment import read_global_term_stats
+
+    fast = read_global_term_stats(index_dir, list(terms))
+    if fast is not None:
+        return fast
     dict_glob = os.path.join(index_dir, "seg-*", "terms.parquet")
     rows = (
         spark.read.parquet(dict_glob)
@@ -112,6 +120,15 @@ def score_query_on_segment(
             cache[key] = reader.decode_term(t)
         return cache[key]
 
+    def contrib_full(t):
+        """Full posting list scored once per segment, shared by every query
+        containing t (precomputed-query-table analog, SURVEY §4 row 5)."""
+        key = ("contrib", t)
+        if key not in cache:
+            d, tf = decode_full(t)
+            cache[key] = (d, idfs[t] * _tf_norm(tf, reader.doclen(d), avgdl))
+        return cache[key]
+
     rows = {t: term_row(t) for t in terms}
     block_ub: dict[str, np.ndarray] = {}
     term_ub = np.empty(len(terms))
@@ -157,7 +174,7 @@ def score_query_on_segment(
         gen_mask[t] = mask
         if mask.all():
             d, tf = decode_full(t)
-        elif ("full", t) in cache or mask.mean() > 0.5:
+        elif ("full", t) in cache or t in cache.get("_hot", ()) or mask.mean() > 0.5:
             # slice the masked blocks out of the (cached) full decode —
             # pruning semantics preserved, decode amortized across queries
             d_full, tf_full = decode_full(t)
@@ -181,6 +198,13 @@ def score_query_on_segment(
     scores = np.zeros(len(candidates), dtype=np.float64)
     for t in terms:
         r = rows[t]
+        if ("full", t) in cache or t in cache.get("_hot", ()):
+            d, c = contrib_full(t)
+            pos = np.searchsorted(candidates, d)
+            valid = pos < len(candidates)
+            valid[valid] &= candidates[pos[valid]] == d[valid]
+            scores[pos[valid]] += c[valid]
+            continue
         parts_d, parts_tf = [], []
         if t in gen:
             parts_d.append(gen[t][0])
@@ -270,9 +294,16 @@ def search_partition(
         int(q.qid): _TopK(int(q.k)) for q in queries.itertuples()
     }
     qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
+    # terms shared by >=2 queries always decode fully (once, cached) —
+    # repeated partial block decodes of the same hot term cost more than
+    # one full decode amortized across the batch
+    from collections import Counter
+
+    usage = Counter(t for ts in qterms.values() for t in set(ts))
+    hot = frozenset(t for t, n in usage.items() if n >= 2)
     for path in seg_paths:
         reader = SegmentReader(path)
-        seg_cache: dict = {}  # shared scratch across this segment's queries
+        seg_cache: dict = {"_hot": hot}  # shared across this segment's queries
         for qid, st in states.items():
             d, s = score_query_on_segment(
                 reader, qterms[qid], idfs, st.k, st.theta, avgdl, tombstones,

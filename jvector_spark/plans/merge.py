@@ -96,8 +96,7 @@ def _merge_group(
         r = SegmentReader(p)
         docs = pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
         doc_frames.append(docs)
-        terms = r._terms.reset_index()
-        for t, df_count in zip(terms["term"], terms["df"]):
+        for t in r.terms:
             d, tf = r.decode_term(t)
             post_frames.append(
                 pd.DataFrame({"term": t, "docid": d, "tf": tf})

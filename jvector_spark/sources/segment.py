@@ -221,22 +221,37 @@ def _build_one_segment(
             return manifest_row("resumed", meta, 0.0)
         shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # tokenize + postings (vectorized pandas; no per-row Python)
+    # tokenize + postings, all C-level: factorize the token stream (hash
+    # table, no object groupby), then count (term, doc) pairs via one int64
+    # sort + run-length — far less allocation churn than a pandas object
+    # groupby, which matters when 32 workers share memory bandwidth
     toks = tokenize_series(pdf[content_col], mode)
     lens = toks.map(len).to_numpy(np.int64)
-    ex = pd.DataFrame({
-        "docid": docids.repeat(lens),
-        "term": [t for lst in toks for t in lst],
-    })
-    postings = (
-        ex.groupby(["term", "docid"], sort=True).size().rename("tf").reset_index()
+    from itertools import chain
+
+    flat = np.fromiter(
+        chain.from_iterable(toks), dtype=object, count=int(lens.sum())
     )
-    dl_by_doc = pd.Series(lens, index=docids)
-    p_dl = postings["docid"].map(dl_by_doc).to_numpy(np.int64)
+    codes, uniq_terms = pd.factorize(flat, sort=False)
+    # postings must sort by (term lexicographic, docid): rank the dictionary
+    term_order = np.argsort(uniq_terms, kind="stable")
+    rank = np.empty(len(uniq_terms), dtype=np.int64)
+    rank[term_order] = np.arange(len(uniq_terms))
+    rel_doc = (docids - docids[0]).repeat(lens)  # contiguous per segment
+    seg_span = int(docids[-1] - docids[0] + 1)
+    combo = rank[codes] * seg_span + rel_doc
+    combo.sort(kind="stable")
+    uniq_combo, tf = np.unique(combo, return_counts=True)
+    p_rank = uniq_combo // seg_span
+    p_rel = uniq_combo % seg_span
+    p_term = uniq_terms[term_order][p_rank]
+    p_doc = p_rel + docids[0]
+    dl_arr = np.zeros(seg_span, dtype=np.int64)
+    dl_arr[docids - docids[0]] = lens
+    p_dl = dl_arr[p_rel]
 
     terms_tbl, blob = encode_postings_frame(
-        postings["term"].to_numpy(), postings["docid"].to_numpy(np.int64),
-        postings["tf"].to_numpy(np.int64), p_dl, block_size,
+        p_term, p_doc.astype(np.int64), tf.astype(np.int64), p_dl, block_size,
     )
     docs_pdf = pd.DataFrame({
         "docid": docids, "dl": lens,
@@ -258,20 +273,26 @@ def build_index(
     content_col: str = "content",
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     block_size: int = BLOCK_SIZE,
+    assume_partitioned: bool = False,
 ) -> pd.DataFrame:
     """Build all segments + index manifest. Returns the manifest as pandas.
 
     Input must carry a dense `docid` (operators/ids.assign_dense_docids).
     Partitioning: range on docid -> each partition is a contiguous docid
     range -> segment ids/dirs are deterministic -> resumable (north rule).
+
+    `assume_partitioned=True` skips the range shuffle when the input is
+    ALREADY docid-range partitioned — true for assign_dense_docids output,
+    whose docids are per-partition offsets over its own range partition.
+    The build is then zero-shuffle end to end.
     """
     spark = docs_with_ids.sparkSession
     if num_segments is None:
         num_segments = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     os.makedirs(index_dir, exist_ok=True)
-    part = docs_with_ids.select("docid", content_col, *key_cols).repartitionByRange(
-        num_segments, "docid"
-    )
+    part = docs_with_ids.select("docid", content_col, *key_cols)
+    if not assume_partitioned:
+        part = part.repartitionByRange(num_segments, "docid")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(batches), ignore_index=True)
@@ -284,6 +305,54 @@ def build_index(
     manifest = manifest.sort_values("min_docid").reset_index(drop=True)
     write_index_manifest(index_dir, manifest, mode)
     return manifest
+
+
+def write_global_term_stats(index_dir: str, manifest: pd.DataFrame) -> str:
+    """Aggregate per-segment dictionaries into ONE index-level
+    term_stats.parquet (term, df, cf), sorted by term.
+
+    This is the hot-tier dictionary (the analog of the in-memory upper
+    graph layers, OnDiskGraphIndex.java:83-84): queries resolve global
+    df/idf with a single driver-side pyarrow read (term-filtered, row-group
+    pruned) instead of a Spark job over every segment — at 10^12 docs the
+    file is ~one row per distinct term, still a single sorted parquet.
+    Aggregation here is pyarrow/pandas over dictionary-sized data (terms,
+    not postings); it runs inside one task/driver in bounded memory.
+    """
+    frames = []
+    for p in manifest["path"]:
+        t = pq.read_table(os.path.join(p, "terms.parquet"),
+                          columns=["term", "df", "cf"])
+        frames.append(t.to_pandas())
+    agg = (
+        pd.concat(frames, ignore_index=True)
+        .groupby("term", sort=True, as_index=False)[["df", "cf"]]
+        .sum()
+    )
+    out = os.path.join(index_dir, "term_stats.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.Table.from_pandas(agg, preserve_index=False), tmp,
+        row_group_size=65536,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def read_global_term_stats(index_dir: str,
+                           terms: list[str]) -> dict[str, int] | None:
+    """Driver-side df lookup for query terms from the hot-tier dictionary.
+    Returns None if the index predates term_stats.parquet (caller falls
+    back to the distributed aggregation); {} just means all terms OOV."""
+    path = os.path.join(index_dir, "term_stats.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(path).to_table(
+        columns=["term", "df"], filter=ds.field("term").isin(terms)
+    )
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
 
 def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> dict:
@@ -301,6 +370,7 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> d
         "tokenizer_mode": mode,
         "built_at": time.time(),
     }
+    write_global_term_stats(index_dir, manifest)
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(idx_meta, f, indent=1)
@@ -327,7 +397,16 @@ class SegmentReader:
         if self.meta["version"] > SEGMENT_FORMAT_VERSION:
             raise ValueError(f"segment version {self.meta['version']} too new")
         t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
-        self._terms = t.to_pandas().set_index("term")
+        # dict-of-numpy columns, NOT a pandas index: term_row is on the
+        # per-(query, term) hot path and pandas .loc row materialization
+        # costs ~100x a dict lookup (profiled: 1/3 of search task time)
+        self.terms = t.column("term").to_pylist()
+        self._term_idx = {term: i for i, term in enumerate(self.terms)}
+        self._cols = {
+            name: t.column(name).to_numpy(zero_copy_only=False)
+            for name in t.column_names
+            if name != "term"
+        }
         self._blob = (
             np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
             if self.meta["bytes_postings"]
@@ -346,10 +425,11 @@ class SegmentReader:
         ].to_numpy(np.int64)
 
     def has_term(self, term: str) -> bool:
-        return term in self._terms.index
+        return term in self._term_idx
 
-    def term_row(self, term: str):
-        return self._terms.loc[term]
+    def term_row(self, term: str) -> dict:
+        i = self._term_idx[term]
+        return {name: col[i] for name, col in self._cols.items()}
 
     def doclen(self, docids: np.ndarray) -> np.ndarray:
         return self._dl[docids - self._min_docid]
@@ -363,7 +443,7 @@ class SegmentReader:
         """(docids asc, tfs) for a term. With block_mask, only selected
         blocks are decoded (block-max pruning / candidate-gather path);
         without, the whole term decodes in one varint_decode + cumsum."""
-        r = self._terms.loc[term]
+        r = self.term_row(term)
         n_blocks = len(r["block_n"])
         if block_mask is None or block_mask.all():
             total_n = int(r["df"])

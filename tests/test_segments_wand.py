@@ -51,7 +51,7 @@ def test_segment_roundtrip_postings(index, oracle):
     got: dict[str, list] = {}
     for p in manifest["path"]:
         r = SegmentReader(p)
-        for term in r._terms.index:
+        for term in r.terms:
             d, tf = r.decode_term(term)
             assert np.all(np.diff(d) > 0), "docids strictly ascending"
             got.setdefault(term, []).append((d, tf))
@@ -69,9 +69,9 @@ def test_blockwise_decode_equals_full(index):
     idx, manifest = index
     r = SegmentReader(manifest["path"].iloc[0])
     # pick the heaviest term (most blocks) to exercise block boundaries
-    term = r._terms["df"].idxmax()
+    term = r.terms[int(np.argmax([r.term_row(t)["df"] for t in r.terms]))]
     d_full, tf_full = r.decode_term(term)
-    nb = len(r._terms.loc[term]["block_n"])
+    nb = len(r.term_row(term)["block_n"])
     for pattern in [np.ones(nb, bool), np.arange(nb) % 2 == 0, np.arange(nb) >= nb // 2]:
         mask_d, mask_tf = r.decode_term(term, pattern)
         sel = np.concatenate([
