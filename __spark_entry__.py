@@ -61,6 +61,33 @@ def _query_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def _rerank_rounded(out: DataFrame, page: int = 0) -> DataFrame:
+    """Deterministic display ranking: order by (round(score,6) desc, docid)
+    so rank agrees with the SQL oracle even where raw float64 sums differ
+    in the last ulp between engines (summation order). `page` slices rows
+    (page*k, (page+1)*k] of the rounded ordering."""
+    from pyspark.sql import Window
+
+    ks = {qid: k for qid, _, k in BM25_QUERY_SET}
+    kmap = F.create_map(*[x for qid, k in ks.items()
+                          for x in (F.lit(qid), F.lit(k))])
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") > F.lit(page) * kmap[F.col("qid")])
+               & (F.col("rn") <= (F.lit(page) + 1) * kmap[F.col("qid")]))
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            (F.col("rn") - 1 - F.lit(page) * kmap[F.col("qid")])
+            .cast("int").alias("rank"),
+            F.col("docid").cast("long").alias("docid"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.postings import build_postings
 
@@ -83,11 +110,7 @@ def q_bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = _postings(spark, sf_dir)
     stats = corpus_stats(doc_lengths(postings))
     out = bm25_topk(postings, term_stats(postings), stats, _query_df(spark))
-    return out.select(
-        F.col("qid").cast("long").alias("qid"), "rank",
-        F.col("docid").cast("long").alias("docid"),
-        F.round("score", 6).alias("score"),
-    )
+    return _rerank_rounded(out)
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -116,10 +139,47 @@ def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = _ensure_index(spark, sf_dir)
     qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
     out = search_index(spark, index_dir, qpdf)
-    return out.select(
-        F.col("qid").cast("long"), "rank", F.col("docid").cast("long"),
-        F.round("score", 6).alias("score"),
+    return _rerank_rounded(out)
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered top-k: acceptOrds attribute bitmap applied inside the
+    search (stats unchanged) — reference filtered-search semantics."""
+    from jvector_spark.operators.wand import search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
+    out = search_index(spark, index_dir, qpdf,
+                       doc_filter={"lang": ["en", "de"]})
+    return _rerank_rounded(out)
+
+
+def q_bm25_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold query: only scores >= 1.0 return; bound doubles as the
+    pruning floor (GraphSearcher threshold mode)."""
+    from jvector_spark.operators.wand import search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
+    out = search_index(spark, index_dir, qpdf, min_score=1.0)
+    return _rerank_rounded(out)
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: page 2 via search-after cursors taken from page 1's
+    last row per query (the resume() analog)."""
+    from jvector_spark.operators.wand import search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    # fetch 2k per query, slice the second page of the rounded ordering —
+    # boundary-robust vs the oracle (the raw `after` cursor API is exercised
+    # bit-exactly against the numpy oracle in tests/test_search_modes.py)
+    qpdf = pd.DataFrame(
+        [(qid, terms, 2 * k) for qid, terms, k in BM25_QUERY_SET],
+        columns=["qid", "terms", "k"],
     )
+    out = search_index(spark, index_dir, qpdf)
+    return _rerank_rounded(out, page=1)
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_df": q_bm25_topk_df,
         "bm25_topk_index": q_bm25_topk_index,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_threshold": q_bm25_threshold,
+        "bm25_search_after": q_bm25_search_after,
         "term_stats": q_term_stats,
         "term_stats_salted": q_term_stats_salted,
         "corpus_stats": q_corpus_stats,
@@ -391,10 +454,22 @@ _MINHASH = (
 )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(accept_where: str = "", score_floor: float | None = None,
+                 page: int = 0) -> str:
+    """BM25 top-k oracle; variants share one template:
+    accept_where — SQL predicate over `documents d` restricting result
+                   docs (NOT the stats — matches engine acceptOrds);
+    score_floor  — threshold-query mode;
+    page         — search-after page p returns global ranks (p*k, (p+1)*k].
+    """
     vals = ", ".join(
         f"({qid}, '{t}', {k})" for qid, terms, k in BM25_QUERY_SET for t in terms
     )
+    accept = (
+        f"AND doc_id IN (SELECT doc_id FROM documents d WHERE {accept_where})"
+        if accept_where else ""
+    )
+    floor = f"AND score >= {score_floor!r}" if score_floor is not None else ""
     return f"""
 WITH {_TOK}, {_TF}, {_DL},
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
@@ -409,13 +484,16 @@ scored AS (
   FROM q JOIN ts USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
 ),
-agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored GROUP BY 1,2,3),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored
+        GROUP BY 1,2,3),
+acc AS (SELECT * FROM agg WHERE 1=1 {accept} {floor}),
 r AS (SELECT qid, k, doc_id, score,
-      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
-      FROM agg)
-SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM acc)
+SELECT qid, (rn - 1 - {page} * k)::INT AS rank, doc_id::BIGINT AS docid,
        round(score, 6) AS score
-FROM r WHERE rn <= k
+FROM r WHERE rn > {page} * k AND rn <= ({page} + 1) * k
 """
 
 
@@ -459,6 +537,11 @@ FROM per
     return {
         "bm25_topk_df": bm25,
         "bm25_topk_index": bm25,
+        "bm25_topk_filtered": _bm25_oracle(
+            accept_where="lang IN ('en', 'de')"
+        ),
+        "bm25_threshold": _bm25_oracle(score_floor=1.0),
+        "bm25_search_after": _bm25_oracle(page=1),
         "term_stats": term_stats_sql,
         "term_stats_salted": term_stats_sql,
         "corpus_stats": f"""

@@ -88,6 +88,7 @@ def score_query_on_segment(
     avgdl: float,
     tombstones: np.ndarray | None = None,
     cache: dict | None = None,
+    accept: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, scores) of one query against one segment,
     pruning with block-max bounds against incoming threshold theta.
@@ -187,12 +188,17 @@ def score_query_on_segment(
     if not cand_parts:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     candidates = np.unique(np.concatenate(cand_parts))
+    if accept is not None:
+        # attribute-filter bitmap (acceptOrds): applied inside the search
+        candidates = candidates[
+            np.isin(candidates, accept, assume_unique=True)
+        ]
     if tombstones is not None and len(tombstones):
         candidates = candidates[
             ~np.isin(candidates, tombstones, assume_unique=False)
         ]
-        if not len(candidates):
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if not len(candidates):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     # exact scoring in canonical sorted-term order (oracle bit-parity)
     scores = np.zeros(len(candidates), dtype=np.float64)
@@ -287,13 +293,27 @@ def search_partition(
     idfs: dict[str, float],
     avgdl: float,
     tombstones: np.ndarray | None = None,
+    doc_filter: dict | None = None,
+    min_score: float = 0.0,
+    after: dict | None = None,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
-    propagating segment-to-segment (the multi-sstable rerankFloor pattern)."""
+    propagating segment-to-segment (the multi-sstable rerankFloor pattern).
+
+    doc_filter: attribute conjunction evaluated per segment (acceptOrds).
+    min_score:  threshold-query mode — only scores >= min_score return,
+                and the bound doubles as a pruning floor
+                (GraphSearcher threshold queries, GraphSearcher.java:192-195).
+    after:      {qid: (score, docid)} search-after cursors — only results
+                strictly after the cursor in (score desc, docid asc) order
+                return (the resume()/pagination analog,
+                GraphSearcher.java:503-541).
+    """
     states = {
         int(q.qid): _TopK(int(q.k)) for q in queries.itertuples()
     }
     qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
+    after = after or {}
     # terms shared by >=2 queries always decode fully (once, cached) —
     # repeated partial block decodes of the same hot term cost more than
     # one full decode amortized across the batch
@@ -304,11 +324,22 @@ def search_partition(
     for path in seg_paths:
         reader = SegmentReader(path)
         seg_cache: dict = {"_hot": hot}  # shared across this segment's queries
+        accept = (
+            reader.accepted_docids(doc_filter) if doc_filter else None
+        )
         for qid, st in states.items():
             d, s = score_query_on_segment(
-                reader, qterms[qid], idfs, st.k, st.theta, avgdl, tombstones,
-                seg_cache,
+                reader, qterms[qid], idfs, st.k,
+                max(st.theta, min_score), avgdl, tombstones,
+                seg_cache, accept,
             )
+            if min_score > 0.0 and len(s):
+                keep = s >= min_score
+                d, s = d[keep], s[keep]
+            if qid in after and len(s):
+                a_s, a_d = after[qid]
+                keep = (s < a_s) | ((s == a_s) & (d > a_d))
+                d, s = d[keep], s[keep]
             st.push(d, s)
     out = [
         pd.DataFrame({"qid": qid, "docid": st.docids, "score": st.scores})
@@ -329,6 +360,9 @@ def search_index(
     index_dir: str,
     queries: pd.DataFrame,
     num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+    min_score: float = 0.0,
+    after: dict | None = None,
 ) -> DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
@@ -364,7 +398,8 @@ def search_index(
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
         if paths:
             yield search_partition(
-                paths, b_q.value, b_idfs.value, avgdl, b_tomb.value
+                paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
+                doc_filter, min_score, after,
             )
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")

@@ -424,6 +424,32 @@ class SegmentReader:
             "dl"
         ].to_numpy(np.int64)
 
+    def accepted_docids(self, doc_filter: dict) -> np.ndarray:
+        """Sorted docids of this segment's docs matching the attribute
+        filter ({col: value | list-of-values} conjunction) — the Bits
+        acceptOrds bitmap computed from the doc-attributes sidecar
+        (docs.parquet); evaluated with parquet predicate pushdown."""
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(os.path.join(self.seg_dir, "docs.parquet"))
+        missing = set(doc_filter) - set(dset.schema.names)
+        if missing:
+            raise ValueError(
+                f"doc_filter columns {sorted(missing)} not in this segment's "
+                f"docs sidecar — include them in key_cols at build time "
+                f"(have: {dset.schema.names})"
+            )
+        expr = None
+        for col, val in doc_filter.items():
+            e = (
+                ds.field(col).isin(list(val))
+                if isinstance(val, (list, tuple, set))
+                else ds.field(col) == val
+            )
+            expr = e if expr is None else expr & e
+        tbl = dset.to_table(columns=["docid"], filter=expr)
+        return np.sort(tbl["docid"].to_numpy())
+
     def has_term(self, term: str) -> bool:
         return term in self._term_idx
 

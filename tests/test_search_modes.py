@@ -1,0 +1,79 @@
+"""Filtered / threshold / search-after query modes vs the brute-force
+oracle. Mirrors the reference's filtered-search tests
+(TestVectorGraph.testSearchWithSkewedAcceptOrds:89-130), threshold queries
+(Test2DThreshold.java:36-121), and testResume (resumed == from-scratch,
+TestVectorGraph.java:132-175)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.operators.wand import search_index
+from jvector_spark.sources.segment import build_index
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_df, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx_modes"))
+    docs = assign_dense_docids(corpus_df)
+    # lang in key_cols -> lands in the docs sidecar -> filterable
+    build_index(docs, idx, num_segments=6,
+                key_cols=("repo", "path", "commit", "lang"))
+    return idx
+
+
+def _oracle_full_ranking(oracle, terms):
+    docids, scores = oracle.score_query(list(terms))
+    hit = scores > 0.0
+    d, s = docids[hit], scores[hit]
+    order = np.lexsort((d, -s))
+    return d[order], s[order]
+
+
+def test_filtered_search(spark, index, oracle, corpus_pdf, queries_pdf):
+    """acceptOrds filter: results restricted to lang='python' docs, stats
+    unchanged."""
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    accepted = set(np.flatnonzero((keyed["lang"] == "python").to_numpy()))
+    res = search_index(
+        spark, index, queries_pdf, doc_filter={"lang": "python"}
+    ).toPandas()
+    for q in queries_pdf.itertuples():
+        d, s = _oracle_full_ranking(oracle, q.terms)
+        keep = np.isin(d, list(accepted))
+        exp_d, exp_s = d[keep][: q.k], s[keep][: q.k]
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        assert got["docid"].tolist() == exp_d.tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(), exp_s, rtol=0, atol=0)
+
+
+def test_threshold_search(spark, index, oracle, queries_pdf):
+    thr = 2.0
+    res = search_index(spark, index, queries_pdf, min_score=thr).toPandas()
+    assert (res["score"] >= thr).all()
+    for q in queries_pdf.itertuples():
+        d, s = _oracle_full_ranking(oracle, q.terms)
+        keep = s >= thr
+        exp_d = d[keep][: q.k]
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        assert got["docid"].tolist() == exp_d.tolist(), f"qid={q.qid}"
+
+
+def test_search_after_pagination(spark, index, oracle, queries_pdf):
+    """page1 + page2 (via cursors) == first 2k of the full ranking."""
+    page1 = search_index(spark, index, queries_pdf).toPandas()
+    cursors = {
+        int(qid): (float(g["score"].iloc[-1]), int(g["docid"].iloc[-1]))
+        for qid, g in page1.sort_values("rank").groupby("qid")
+    }
+    page2 = search_index(spark, index, queries_pdf, after=cursors).toPandas()
+    for q in queries_pdf.itertuples():
+        d, _ = _oracle_full_ranking(oracle, q.terms)
+        exp = d[q.k: 2 * q.k]
+        got = page2[page2["qid"] == q.qid].sort_values("rank")
+        assert got["docid"].tolist() == exp.tolist(), f"qid={q.qid}"
+        # no overlap with page 1
+        p1 = set(page1[page1["qid"] == q.qid]["docid"])
+        assert not p1 & set(got["docid"])
