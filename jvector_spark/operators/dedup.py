@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from jvector_spark.operators.textstats import tokens_col
+from jvector_spark.operators.textstats import tokens_col, with_tokens
 
 NUM_MINHASHES = 8
 SHINGLE_K = 3
@@ -67,9 +67,13 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingles_col(text: str = "text", k: int = SHINGLE_K) -> Column:
-    """Distinct k-gram token shingles as array<string> (map-side)."""
-    toks = tokens_col(text)
+def shingles_from(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-gram shingles over a MATERIALIZED token attribute.
+
+    Always pass an attribute (see textstats.with_tokens), never an inline
+    tokenizer expression — element_at per shingle would re-tokenize the
+    whole document (quadratic; visible as repeated filter(split(..)) in
+    .explain)."""
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
@@ -81,6 +85,11 @@ def shingles_col(text: str = "text", k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def shingles_col(text: str = "text", k: int = SHINGLE_K) -> Column:
+    """Convenience wrapper for one-shot use; prefer shingles_from."""
+    return shingles_from(tokens_col(text), k)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -97,9 +106,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     # materialize the md5 base hashes behind a projection boundary so the
     # num_hashes affine mins reference ONE computed array (higher-order
     # funcs are not reliably CSE'd inside a single Project)
-    hashed = docs.select(
-        F.col(id_col),
-        F.transform(shingles_col(text, k), md5_hash60).alias("_hs"),
+    hashed = (
+        with_tokens(docs, id_col, text)
+        .select(F.col(id_col), shingles_from(F.col("_toks"), k).alias("_sh"))
+        .select(F.col(id_col), F.transform(F.col("_sh"), md5_hash60).alias("_hs"))
     )
 
     # closure factory, NOT a default-arg lambda: a 2-param lambda would make
@@ -180,10 +190,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     division — 60-bit hashes don't survive float64), exactly reproducible
     in the SQL oracle as `(hv & (1<<b)) <> 0`.
     """
-    toks = tokens_col(text)
-    hashes = F.transform(toks, md5_hash60)
+    hashed = with_tokens(docs, id_col, text).select(
+        F.col(id_col), F.transform(F.col("_toks"), md5_hash60).alias("_hs")
+    )
+    hashes = F.col("_hs")
 
-    def vote_b(b: int):  # closure factory — see hash_j note above
+    def vote_b(b: int):  # closure factory — see affine_j note above
         mask = F.lit(1 << b)
         return lambda acc, h: acc + F.when(
             h.bitwiseAND(mask) != 0, F.lit(1)
@@ -196,7 +208,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
     for b, v in enumerate(votes):
         term = F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -211,7 +223,9 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     intersection is a join, not a crossJoin): |A∩B| via groupBy(pair),
     |A|,|B| from per-doc sizes.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles_col(text, k)).alias("s"))
+    sh = with_tokens(docs, id_col, text).select(
+        F.col(id_col), F.explode(shingles_from(F.col("_toks"), k)).alias("s")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")

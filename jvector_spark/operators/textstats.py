@@ -29,11 +29,26 @@ def tokens_col(text: str = "text") -> Column:
     return F.filter(F.split(F.col(text), " "), lambda x: x != F.lit(""))
 
 
+def with_tokens(docs: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """(id, _toks) — tokens materialized through a projection boundary.
+
+    Every downstream expression references the `_toks` ATTRIBUTE instead of
+    re-inlining split+filter: without this, an expression like a shingle
+    transform re-evaluates the full tokenization per element_at —
+    O(doc_len) work per shingle, quadratic per document (visible in
+    .explain as repeated `filter(split(text..))` subtrees). CollapseProject
+    keeps the boundary because the non-cheap expression is referenced more
+    than once.
+    """
+    return docs.select(F.col(id_col), tokens_col(text).alias("_toks"))
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
                  text: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct) — token counting, one map-side pass."""
-    toks = tokens_col(text)
-    return docs.select(
+    toks = F.col("_toks")
+    return with_tokens(docs, id_col, text).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
@@ -51,14 +66,14 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     round() implementations disagree — floor of the identical double is
     engine-invariant.
     """
-    toks = tokens_col(text)
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
     uniq, stop = n_uniq / n, n_stop / n
     ppm = lambda c: F.floor(c * F.lit(1e6)).cast("long")
-    return docs.select(
+    return with_tokens(docs, id_col, text).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         ppm(uniq).alias("uniq_ppm"),
@@ -72,14 +87,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, stop_ppm, pred_lang) — n-gram-free language-ID heuristic:
     English-stopword density threshold (deterministic; a real model slots in
     behind the same signature)."""
-    toks = tokens_col(text)
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     ratio = (
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
         / F.size(toks).cast("double")
     )
     ppm = F.floor(ratio * F.lit(1e6)).cast("long")
-    return docs.select(
+    return with_tokens(docs, id_col, text).select(
         F.col(id_col),
         ppm.alias("stop_ppm"),
         F.when(ppm >= 120000, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
@@ -93,7 +108,7 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     a 60-bit md5-derived hash. Both reproducible in ANSI SQL (md5 + substr +
     hex cast), both pure JVM expressions here.
     """
-    toks = tokens_col(text)
+    toks = F.col("_toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(shingle)),
@@ -102,7 +117,8 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         ),
     )
     gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-    return docs.select(
+    base = docs.select(F.col(id_col), F.col(text), tokens_col(text).alias("_toks"))
+    return base.select(
         F.col(id_col),
         F.md5(F.col(text)).alias("content_md5"),
         F.when(n >= shingle, F.array_min(F.transform(grams, gram_hash)))
