@@ -332,6 +332,42 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase PQ search: ADC approximate scan + exact cosine rerank
+    (the DiskANN compressed-search pattern, SURVEY §3.2). k-means isn't
+    ANSI-SQL-expressible -> rows-only driver check; recall + exactness are
+    pytest-asserted (tests/test_pq.py)."""
+    from jvector_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+
+    emb = _emb(spark, sf_dir)
+    books = train_pq(emb, m=8, seed=42)
+    enc = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk(enc, queries, books, k=10, rerank_k=50).select(
+        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality gate + exact-dup removal
+    (keep the smallest doc_id per md5 group) in one declarative plan."""
+    from jvector_spark.operators.dedup import exact_dup_groups
+    from jvector_spark.operators.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    q = quality_scores(docs)
+    d = exact_dup_groups(docs)
+    return (
+        q.join(d, "doc_id")
+        .where((F.col("quality_ppm") >= 640000)
+               & (F.col("doc_id") == F.col("dup_group")))
+        .select(F.col("doc_id").cast("long"), F.col("n_tokens"),
+                F.col("quality_ppm"))
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column multimodal plumbing: Arrow-batched mapInPandas decode
     (deterministic stub — see operators/multimodal.py)."""
@@ -399,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "embed_near_dup": q_embed_near_dup,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "curation_pipeline": q_curation_pipeline,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "events_hourly": q_events_hourly,
@@ -652,6 +690,22 @@ s AS (SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS score
       FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, score
 FROM s WHERE score >= 0.95
+""",
+        # ann_pq_rerank: intentionally NO oracle (k-means not expressible
+        # in ANSI SQL) -> rows-only check; see tests/test_pq.py
+        "curation_pipeline": f"""
+WITH {_TOK},
+per AS (SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT term)::DOUBLE AS u,
+        sum(CASE WHEN term IN {STOPWORDS_SQL} THEN 1 ELSE 0 END)::DOUBLE AS s
+        FROM tokf GROUP BY 1),
+q AS (SELECT doc_id, n::BIGINT AS n_tokens,
+      floor((0.5 * (u / n) + 0.5 * (1.0 - s / n)) * 1e6)::BIGINT AS quality_ppm
+      FROM per),
+d AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS dup_group
+      FROM documents)
+SELECT q.doc_id::BIGINT AS doc_id, n_tokens, quality_ppm
+FROM q JOIN d ON q.doc_id = d.doc_id
+WHERE quality_ppm >= 640000 AND q.doc_id = d.dup_group
 """,
         # payload = utf-8 bytes of text, so sha256(text) == sha256(payload)
         "image_features": """

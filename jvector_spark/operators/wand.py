@@ -390,9 +390,14 @@ def search_index(
     if num_tasks is None:
         num_tasks = min(len(seg_paths),
                         int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # parallelize with explicit slice count — a .repartition() here would be
+    # a whole extra shuffle job just to scatter 64 path strings
     paths_df = spark.createDataFrame(
-        [(p,) for p in seg_paths], "path string"
-    ).repartition(num_tasks)
+        spark.sparkContext.parallelize(
+            [(p,) for p in seg_paths], numSlices=num_tasks
+        ),
+        "path string",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]

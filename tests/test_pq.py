@@ -1,0 +1,85 @@
+"""Product-quantization tests mirroring TestProductQuantization +
+recall-style assertions (TestProductQuantization.java:57-232,
+SiftSmall.testRecall:353-379)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.ann import brute_force_topk
+from jvector_spark.operators.pq import (
+    pq_adc_topk,
+    pq_decode_codes,
+    pq_encode,
+    reconstruction_mse,
+    train_pq,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors_pdf():
+    rng = np.random.default_rng(5)
+    # clustered data so PQ has structure to exploit
+    centers = rng.normal(size=(16, 32)) * 3
+    X = centers[rng.integers(0, 16, 600)] + rng.normal(size=(600, 32))
+    return pd.DataFrame({
+        "vec_id": np.arange(600, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in X],
+    })
+
+
+@pytest.fixture(scope="module")
+def vectors_df(spark, vectors_pdf):
+    return spark.createDataFrame(vectors_pdf).repartition(4)
+
+
+def test_perfect_reconstruction_when_clusters_cover_points(spark):
+    """clusters >= points -> exact reconstruction
+    (TestProductQuantization.java:57)."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(40, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                        "embedding": list(X)})
+    df = spark.createDataFrame(pdf)
+    books = train_pq(df, m=4, n_clusters=256, iters=8, seed=3)
+    enc = pq_encode(df, books).toPandas().sort_values("vec_id")
+    codes = np.frombuffer(b"".join(enc["codes"]), np.uint8).reshape(40, 4)
+    rec = pq_decode_codes(codes, books)
+    assert np.allclose(rec, X.astype(np.float64), atol=1e-6)
+
+
+def test_more_subspaces_reduce_error(vectors_df, vectors_pdf):
+    """Finer quantization (more subspaces) must not increase MSE
+    (iterative-improvement monotonicity analog)."""
+    mse = [
+        reconstruction_mse(vectors_pdf, train_pq(vectors_df, m=m, seed=7))
+        for m in (2, 8, 32)
+    ]
+    assert mse[1] <= mse[0] * 1.05
+    assert mse[2] <= mse[1] * 1.05
+
+
+def test_adc_rerank_recall(spark, vectors_df, vectors_pdf):
+    """Two-phase ADC + exact rerank: recall@10 >= 0.9 vs brute force, and
+    every returned score is the exact cosine (rerank guarantees)."""
+    books = train_pq(vectors_df, m=8, seed=7)
+    enc = pq_encode(vectors_df, books)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(8, dtype=np.int64),
+        "qvec": vectors_pdf["embedding"].iloc[:8].tolist(),
+    }))
+    approx = pq_adc_topk(enc, queries, books, k=10, rerank_k=60).toPandas()
+    exact = brute_force_topk(vectors_df, queries, k=10,
+                             qvec_col="qvec").toPandas()
+    recalls = []
+    for qid in range(8):
+        a = set(approx[approx["qid"] == qid]["vec_id"])
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+    # reranked scores are exact cosines: match brute-force scores for
+    # overlapping ids
+    m = approx.merge(exact, on=["qid", "vec_id"], suffixes=("_a", "_e"))
+    assert np.allclose(m["score_a"], m["score_e"], atol=1e-9)
