@@ -230,6 +230,12 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jvector_spark.operators.textstats import subword_stats
+
+    return subword_stats(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.textstats import quality_scores
 
@@ -392,6 +398,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator)."""
+    from jvector_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_minutes=30).select(
+        F.col("user_id").cast("long"), F.col("session_idx").cast("long"),
+        F.col("n_events").cast("long"), "sum_value", "start_sec", "end_sec",
+    )
+
+
 def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.events import user_activity
 
@@ -423,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "dense_docids": q_dense_docids,
         "token_count": q_token_count,
+        "subword_stats": q_subword_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -440,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "events_user_activity": q_events_user_activity,
     }
 
@@ -601,6 +620,16 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        count(DISTINCT term)::BIGINT AS n_distinct
 FROM tokf GROUP BY 1
 """,
+        "subword_stats": """
+WITH sw AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+') AS s
+            FROM documents)
+SELECT doc_id, len(s)::BIGINT AS n_subwords,
+       len(list_filter(s, x -> regexp_matches(x, '^[A-Za-z]')))::BIGINT
+         AS n_alpha,
+       (len(s) - len(list_filter(s, x -> regexp_matches(x, '^[A-Za-z]'))))::BIGINT
+         AS n_num
+FROM sw
+""",
         "quality_score": quality_sql,
         "lang_id": f"""
 WITH {_TOK},
@@ -731,6 +760,19 @@ SELECT floor(epoch(ts) / 3600)::BIGINT AS bucket_hour, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS sec FROM events),
+l AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+      AS prev FROM e),
+n AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800.0 THEN 1 ELSE 0
+      END AS newf FROM l),
+s AS (SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM n)
+SELECT user_id::BIGINT AS user_id, session_idx,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value,
+       floor(min(sec))::BIGINT AS start_sec, floor(max(sec))::BIGINT AS end_sec
+FROM s GROUP BY 1, 2
 """,
         "events_user_activity": """
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,

@@ -36,6 +36,50 @@ def hourly_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_idx, n_events, sum_value, start_sec, end_sec) —
+    gap-based sessionization: a session breaks when a user is idle longer
+    than `gap_minutes`.
+
+    Batch twin of streaming/sessions.streaming_sessionize (the
+    applyInPandasWithState operator); same session boundaries, verifiable
+    in ANSI SQL. Timestamps compared at microsecond precision as float64
+    epoch seconds (exact below 2^53 micro-units) — never unix_timestamp,
+    which truncates to seconds and can move a boundary.
+
+    Shuffle: one hash partition by user_id for the window, then the
+    groupBy reuses the same partitioning (no second exchange).
+    """
+    from pyspark.sql import Window
+
+    # NTZ -> TIMESTAMP (UTC session) -> double: epoch seconds at
+    # microsecond precision (exact in float64 below 2^53 micro-units)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = (
+        events.withColumn("_sec", sec)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("_sec").over(w).isNull()
+                | ((F.col("_sec") - F.lag("_sec").over(w))
+                   > F.lit(gap_minutes * 60.0)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_idx", F.sum("_new").over(run).cast("long"))
+    )
+    return with_sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.floor(F.min("_sec")).cast("long").alias("start_sec"),
+        F.floor(F.max("_sec")).cast("long").alias("end_sec"),
+    )
+
+
 def user_activity(events: DataFrame) -> DataFrame:
     """(user_id, n_events, n_types, total_value, first_hour, last_hour) —
     per-user profile aggregation."""

@@ -127,6 +127,26 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+SUBWORD_RE = "[A-Za-z]+|[0-9]+"
+
+
+def subword_stats(docs: DataFrame, id_col: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """(doc_id, n_subwords, n_alpha, n_num) — BPE-ish subword counting:
+    maximal alpha runs and digit runs (`[A-Za-z]+|[0-9]+`), the pre-merge
+    unit stream a byte-pair tokenizer starts from. Regex chosen to behave
+    identically under Java regex (Spark) and RE2 (SQL oracles). Pure
+    map-side expression."""
+    sw = F.expr(f"regexp_extract_all({text}, '{SUBWORD_RE}', 0)")
+    alpha = F.filter(sw, lambda x: x.rlike("^[A-Za-z]"))
+    return docs.select(
+        F.col(id_col),
+        F.size(sw).cast("long").alias("n_subwords"),
+        F.size(alpha).cast("long").alias("n_alpha"),
+        (F.size(sw) - F.size(alpha)).cast("long").alias("n_num"),
+    )
+
+
 def content_sha(docs: DataFrame, id_col: str = "doc_id",
                 text: str = "text") -> DataFrame:
     """(doc_id, content_sha) — the per-row sha256 invariant column

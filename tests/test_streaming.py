@@ -101,3 +101,37 @@ def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
     assert len(g) == len(e)
     assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
     assert np.allclose(g["sum_value"], e["sum_value"], atol=1e-6)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream equal the batch operator's sessions minus each user's final
+    (still-open) session."""
+    import shutil
+
+    from jvector_spark.operators.events import sessionize
+    from jvector_spark.streaming.sessions import streaming_sessionize
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(src, "events.parquet"))
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from sessions").toPandas()
+
+    exp = sessionize(events, gap_minutes=30).toPandas()
+    # drop each user's final session (still open in the stream's state)
+    last = exp.groupby("user_id")["session_idx"].transform("max")
+    exp_closed = exp[exp["session_idx"] < last]
+    g = got.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    e = exp_closed.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    for col in ["user_id", "session_idx", "n_events", "start_sec", "end_sec"]:
+        assert (g[col].to_numpy() == e[col].to_numpy()).all(), col
+    assert np.allclose(g["sum_value"], e["sum_value"], atol=1e-6)
