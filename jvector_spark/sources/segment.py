@@ -60,6 +60,20 @@ MANIFEST_SCHEMA = (
 )
 
 
+def _task_lineage() -> dict:
+    """Which Spark task/attempt built this segment (empty driver-side)."""
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is None:
+            return {}
+        return {"partition": tc.partitionId(), "attempt": tc.attemptNumber(),
+                "stage": tc.stageId()}
+    except Exception:
+        return {}
+
+
 def _fingerprint(docids: np.ndarray, shas: pd.Series) -> str:
     h = hashlib.sha256()
     h.update(docids.astype("<i8").tobytes())
@@ -167,15 +181,32 @@ def write_segment_files(
         os.path.join(tmp_dir, "docs.parquet"),
     )
     docids = docs_pdf["docid"].to_numpy(np.int64)
+    n_postings = (
+        int(terms_tbl.column("df").to_numpy().sum()) if terms_tbl.num_rows else 0
+    )
     meta = {
         "version": SEGMENT_FORMAT_VERSION,
         "min_docid": int(docids.min()), "max_docid": int(docids.max()),
         "n_docs": int(len(docs_pdf)),
         "n_terms": int(terms_tbl.num_rows),
-        "n_postings": int(terms_tbl.column("df").to_numpy().sum()) if terms_tbl.num_rows else 0,
+        "n_postings": n_postings,
         "bytes_postings": len(blob),
         "sum_dl": int(docs_pdf["dl"].sum()),
         "postings_sha256": hashlib.sha256(blob).hexdigest(),
+        # lineage + metrics (north rule: per-partition checkpoints carry
+        # provenance; CheckpointManager analog)
+        "lineage": {
+            "built_at": time.time(),
+            "builder": f"jvector_spark/{SEGMENT_FORMAT_VERSION}",
+            "task": _task_lineage(),
+        },
+        "metrics": {
+            "bytes_per_posting": round(len(blob) / max(1, n_postings), 3),
+            "raw_posting_bytes": n_postings * 12,  # docid+tf uncompressed
+            "compression_ratio": round(
+                (n_postings * 12) / max(1, len(blob)), 2
+            ),
+        },
         **meta_extra,
     }
     with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
@@ -360,9 +391,21 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> d
     for p in manifest["path"]:
         with open(os.path.join(p, "meta.json")) as f:
             sum_dl += json.load(f)["sum_dl"]
+    total_postings = int(manifest["n_postings"].sum())
+    total_bytes = int(manifest["bytes_postings"].sum())
+    status = manifest["status"].value_counts().to_dict() if len(manifest) else {}
     idx_meta = {
         "version": SEGMENT_FORMAT_VERSION,
         "segments": manifest.to_dict("records"),
+        # build metrics + lineage rollup (north rule)
+        "metrics": {
+            "build_sec_total": float(manifest["build_sec"].sum()),
+            "segments_by_status": {k: int(v) for k, v in status.items()},
+            "bytes_postings": total_bytes,
+            "compression_ratio": round(
+                (total_postings * 12) / max(1, total_bytes), 2
+            ),
+        },
         "n_docs": int(manifest["n_docs"].sum()),
         "n_postings": int(manifest["n_postings"].sum()),
         "sum_dl": int(sum_dl),
