@@ -99,3 +99,23 @@ def test_content_sha_invariant(pipeline, corpus_pdf):
     exp = content_sha_table(corpus_pdf).sort_values(
         ["repo", "path", "commit"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_docids_stable_across_partition_counts(spark, corpus_pdf):
+    """North-rule determinism: dense docids are a pure function of the sort
+    keys — identical at any parallelism/partitioning (the property that
+    makes N vs 4N runs produce identical results)."""
+    from jvector_spark.operators.ids import assign_dense_docids
+
+    outs = []
+    for n_part, n_input in [(4, 3), (16, 11)]:
+        df = spark.createDataFrame(corpus_pdf).repartition(n_input)
+        ids = (
+            assign_dense_docids(df, num_partitions=n_part)
+            .select("repo", "path", "commit", "docid")
+            .toPandas()
+            .sort_values(["repo", "path", "commit"])
+            .reset_index(drop=True)
+        )
+        outs.append(ids)
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -83,3 +83,25 @@ def test_adc_rerank_recall(spark, vectors_df, vectors_pdf):
     # overlapping ids
     m = approx.merge(exact, on=["qid", "vec_id"], suffixes=("_a", "_e"))
     assert np.allclose(m["score_a"], m["score_e"], atol=1e-9)
+
+
+def test_ivf_probe_recall(spark, vectors_df, vectors_pdf):
+    """IVF with nprobe < n_clusters: bounded scan fraction, recall@10 >= 0.8
+    on clustered data (the beam-width/recall trade the reference tests
+    statistically, Test2DThreshold-style)."""
+    from jvector_spark.operators.ann import (
+        brute_force_topk, ivf_topk, train_centroids)
+
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(8, dtype=np.int64),
+        "qvec": vectors_pdf["embedding"].iloc[100:108].tolist(),
+    }))
+    cents = train_centroids(vectors_df, n_clusters=8, seed=11)
+    approx = ivf_topk(vectors_df, queries, cents, k=10, nprobe=3).toPandas()
+    exact = brute_force_topk(vectors_df, queries, k=10).toPandas()
+    recalls = []
+    for qid in range(8):
+        a = set(approx[approx["qid"] == qid]["vec_id"])
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
