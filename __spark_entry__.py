@@ -107,7 +107,9 @@ def q_bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.postings import (
         corpus_stats, doc_lengths, term_stats)
 
-    postings = _postings(spark, sf_dir)
+    # persist: the plan consumes postings 3x (dictionary, stats, join) and
+    # the mapInPandas tokenization would otherwise run 3 full passes
+    postings = _postings(spark, sf_dir).persist()
     stats = corpus_stats(doc_lengths(postings))
     out = bm25_topk(postings, term_stats(postings), stats, _query_df(spark))
     return _rerank_rounded(out)

@@ -62,6 +62,14 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_files = docs.count()
 
+    # warm python workers before timing (reference protocol: warmup runs
+    # precede measurement, ThroughputBenchmark.java:56-68)
+    def _noop(it):
+        for p in it:
+            yield pd.DataFrame({"n": [len(p)]})
+
+    docs.mapInPandas(_noop, "n long").count()
+
     # 1. index build (files/sec headline)
     shutil.rmtree(index_dir, ignore_errors=True)
     sel = docs.select(F.col("doc_id").cast("long").alias("docid"), "text",
@@ -73,10 +81,12 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     times["_index_build_files_per_sec"] = round(n_files / times["index_build"], 1)
 
     # 2. BM25 top-k via compressed segments + block-max pruning (q/s headline)
+    # 16 tasks (2 segments each): theta propagates within tasks
     docs_pdf = docs.select(F.col("text").alias("content")).toPandas()
     queries = bench_queries(docs_pdf)
+    search_index(spark, index_dir, queries.head(20), num_tasks=16).count()
     res = timed("bm25_search", lambda: search_index(
-        spark, index_dir, queries).toPandas())
+        spark, index_dir, queries, num_tasks=16).toPandas())
     assert len(res) > 0
     times["_bm25_queries_per_sec"] = round(N_BM25_QUERIES / times["bm25_search"], 1)
 
