@@ -95,6 +95,21 @@ def encode_postings_frame(
     merge-compactor.
     """
     n = len(p_doc)
+    if n == 0:  # all-empty-content partition: valid, empty segment
+        empty = pa.table({
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64()),
+            **{c: pa.ListArray.from_arrays(
+                pa.array([0], pa.int32()),
+                pa.array([], pa.int32() if c in (
+                    "block_n", "block_doc_len", "block_tf_len",
+                    "block_max_tf", "block_min_dl") else pa.int64()),
+            ).slice(0, 0) for c in (
+                "block_n", "block_first", "block_last", "block_doc_off",
+                "block_doc_len", "block_tf_off", "block_tf_len",
+                "block_max_tf", "block_min_dl")},
+        })
+        return empty, b""
     terms, term_starts = np.unique(p_term, return_index=True)
     # term_starts is sorted because p_term is sorted
     gaps = np.empty(n, dtype=np.uint64)

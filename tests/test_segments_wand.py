@@ -198,3 +198,46 @@ def test_content_sha_stored_in_segments(index, corpus_pdf):
     got = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["repo", "path", "commit", "content_sha"]], exp)
+
+
+def test_two_parallelism_levels_identical_results(spark, corpus_pdf,
+                                                  queries_pdf,
+                                                  tmp_path_factory):
+    """End-to-end N-vs-4N determinism (SURVEY §5 item g): the full
+    build+search pipeline at two partitioning levels returns bit-identical
+    results (docids AND float64 scores)."""
+    from jvector_spark.operators.ids import assign_dense_docids
+
+    results = []
+    for n_part in (3, 12):
+        idx = str(tmp_path_factory.mktemp(f"idx_par{n_part}"))
+        docs = assign_dense_docids(
+            spark.createDataFrame(corpus_pdf).repartition(7),
+            num_partitions=n_part,
+        )
+        build_index(docs, idx, num_segments=n_part)
+        res = (
+            search_index(spark, idx, queries_pdf)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        results.append(res)
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_empty_content_docs(spark, tmp_path_factory):
+    """Docs with empty content index cleanly (empty segment edge)."""
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 4, "path": [f"p{i}" for i in range(4)],
+        "commit": ["c"] * 4,
+        "content": ["", "", "alpha beta", ""],
+    })
+    from jvector_spark.operators.ids import assign_dense_docids
+
+    docs = assign_dense_docids(spark.createDataFrame(pdf))
+    idx = str(tmp_path_factory.mktemp("idx_empty"))
+    build_index(docs, idx, num_segments=2)
+    q = pd.DataFrame({"qid": [0], "terms": [["alpha"]], "k": [5]})
+    res = search_index(spark, idx, q).toPandas()
+    assert len(res) == 1 and res["docid"].iloc[0] >= 0
