@@ -155,10 +155,18 @@ def scaling_run(cpus: str, corpus_path: str, queries) -> dict[str, float]:
     try:
         idx = f"{INDEX_DIR}_scale_c{cpus}"
         shutil.rmtree(idx, ignore_errors=True)
-        docs = assign_dense_docids(
-            spark.read.parquet(corpus_path), num_partitions=SCALING_SEGMENTS
-        ).cache()
-        docs.count()  # materialize ids outside the timed build
+        # materialize the id-assigned corpus to parquet once (outside the
+        # timed build) instead of df.cache(): a deserialized in-heap cache
+        # of the full corpus OOMs an 8g JVM at 600k docs, while a parquet
+        # round-trip keeps the heap empty and each written file remains one
+        # contiguous docid range (assume_partitioned stays valid)
+        ids_path = f"{corpus_path}_ids{SCALING_SEGMENTS}"
+        if not os.path.exists(os.path.join(ids_path, "_SUCCESS")):
+            assign_dense_docids(
+                spark.read.parquet(corpus_path),
+                num_partitions=SCALING_SEGMENTS,
+            ).write.mode("overwrite").parquet(ids_path)
+        docs = spark.read.parquet(ids_path)
 
         # warmup: spawn+warm the python workers (pandas/numpy imports)
         # before timing — mirrors the reference benchmark protocol of
@@ -172,8 +180,10 @@ def scaling_run(cpus: str, corpus_path: str, queries) -> dict[str, float]:
         docs.mapInPandas(_noop, "n long").count()
 
         t0 = time.time()
-        build_index(docs, idx, mode="code", num_segments=SCALING_SEGMENTS,
-                    assume_partitioned=True)
+        # assume_partitioned=False: the parquet re-read may pack files into
+        # partitions arbitrarily, so the timed build includes the docid
+        # range shuffle (identical work at both levels)
+        build_index(docs, idx, mode="code", num_segments=SCALING_SEGMENTS)
         build_sec = time.time() - t0
 
         search_secs = []

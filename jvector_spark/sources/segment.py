@@ -233,19 +233,71 @@ def write_segment_files(
     return meta
 
 
-def _build_one_segment(
-    pdf: pd.DataFrame,
+def _build_segment_stream(
+    batches: "Iterator[pd.DataFrame]",
     index_dir: str,
     mode: str,
     content_col: str,
     key_cols: tuple[str, ...],
     block_size: int,
-) -> pd.DataFrame:
+) -> pd.DataFrame | None:
+    """Build one segment by STREAMING the partition's Arrow batches.
+
+    Memory-bounded build (the reference's larger-than-memory property,
+    README.md:36-39 / BuildScoreProvider.pqBuildScoreProvider): peak memory
+    is one batch's content+tokens plus the tf-AGGREGATED posting arrays —
+    raw content and the token stream never materialize for the whole
+    partition (at 600k docs/64 segments the old concat-everything path
+    GC-thrashed an 8 GiB heap).
+
+    Per chunk: tokenize -> factorize the token stream (C hash table) ->
+    one int64 sort + run-length for (term, docid, tf). Docids are disjoint
+    across chunks, so chunk posting sets concatenate without re-counting;
+    the final pass re-ranks terms lexicographically and orders postings by
+    (term, docid) — byte-identical output to a whole-partition build.
+    """
+    from itertools import chain
+
     t0 = time.time()
-    pdf = pdf.sort_values("docid", kind="mergesort").reset_index(drop=True)
-    docids = pdf["docid"].to_numpy(np.int64)
-    shas = pdf[content_col].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
-    fp = _fingerprint(docids, shas)
+    doc_meta: list[pd.DataFrame] = []
+    c_terms: list[np.ndarray] = []
+    c_docs: list[np.ndarray] = []
+    c_tfs: list[np.ndarray] = []
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        docids = pdf["docid"].to_numpy(np.int64)
+        shas = pdf[content_col].map(
+            lambda s: hashlib.sha256(s.encode()).hexdigest()
+        )
+        toks = tokenize_series(pdf[content_col], mode)
+        lens = toks.map(len).to_numpy(np.int64)
+        doc_meta.append(pd.DataFrame({
+            "docid": docids, "dl": lens,
+            **{c: pdf[c] for c in key_cols},
+            "content_sha": shas,
+        }))
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        codes, uniq = pd.factorize(flat, sort=False)
+        local = np.arange(len(pdf), dtype=np.int64).repeat(lens)
+        span = len(pdf)
+        combo = codes.astype(np.int64) * span + local
+        combo.sort(kind="stable")
+        uc, tf = np.unique(combo, return_counts=True)
+        c_terms.append(uniq[uc // span])
+        c_docs.append(docids[uc % span])
+        c_tfs.append(tf.astype(np.int64))
+    if not doc_meta:
+        return None
+
+    docs_pdf = pd.concat(doc_meta, ignore_index=True).sort_values(
+        "docid", kind="mergesort"
+    ).reset_index(drop=True)
+    docids = docs_pdf["docid"].to_numpy(np.int64)
+    fp = _fingerprint(docids, docs_pdf["content_sha"])
     seg_id = f"seg-{int(docids[0]):012d}"
     seg_dir = os.path.join(index_dir, seg_id)
 
@@ -267,48 +319,50 @@ def _build_one_segment(
             return manifest_row("resumed", meta, 0.0)
         shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # tokenize + postings, all C-level: factorize the token stream (hash
-    # table, no object groupby), then count (term, doc) pairs via one int64
-    # sort + run-length — far less allocation churn than a pandas object
-    # groupby, which matters when 32 workers share memory bandwidth
-    toks = tokenize_series(pdf[content_col], mode)
-    lens = toks.map(len).to_numpy(np.int64)
-    from itertools import chain
-
-    flat = np.fromiter(
-        chain.from_iterable(toks), dtype=object, count=int(lens.sum())
-    )
-    codes, uniq_terms = pd.factorize(flat, sort=False)
-    # postings must sort by (term lexicographic, docid): rank the dictionary
-    term_order = np.argsort(uniq_terms, kind="stable")
-    rank = np.empty(len(uniq_terms), dtype=np.int64)
-    rank[term_order] = np.arange(len(uniq_terms))
-    rel_doc = (docids - docids[0]).repeat(lens)  # contiguous per segment
-    seg_span = int(docids[-1] - docids[0] + 1)
-    combo = rank[codes] * seg_span + rel_doc
-    combo.sort(kind="stable")
-    uniq_combo, tf = np.unique(combo, return_counts=True)
-    p_rank = uniq_combo // seg_span
-    p_rel = uniq_combo % seg_span
-    p_term = uniq_terms[term_order][p_rank]
-    p_doc = p_rel + docids[0]
-    dl_arr = np.zeros(seg_span, dtype=np.int64)
-    dl_arr[docids - docids[0]] = lens
-    p_dl = dl_arr[p_rel]
+    if c_terms:
+        # (term, docid) pairs are unique across chunks (docids disjoint) —
+        # one global order pass, no re-aggregation
+        all_t = np.concatenate(c_terms)
+        all_d = np.concatenate(c_docs)
+        all_tf = np.concatenate(c_tfs)
+        codes, uniq = pd.factorize(all_t, sort=False)
+        term_order = np.argsort(uniq, kind="stable")
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[term_order] = np.arange(len(uniq))
+        seg_span = int(docids[-1] - docids[0] + 1)
+        order = np.argsort(rank[codes] * seg_span + (all_d - docids[0]),
+                           kind="stable")
+        p_term, p_doc, p_tf = all_t[order], all_d[order], all_tf[order]
+        dl_arr = np.zeros(seg_span, dtype=np.int64)
+        dl_arr[docids - docids[0]] = docs_pdf["dl"].to_numpy(np.int64)
+        p_dl = dl_arr[p_doc - docids[0]]
+    else:
+        p_term = np.array([], dtype=object)
+        p_doc = p_tf = p_dl = np.array([], dtype=np.int64)
 
     terms_tbl, blob = encode_postings_frame(
-        p_term, p_doc.astype(np.int64), tf.astype(np.int64), p_dl, block_size,
+        p_term, p_doc.astype(np.int64), p_tf.astype(np.int64), p_dl,
+        block_size,
     )
-    docs_pdf = pd.DataFrame({
-        "docid": docids, "dl": lens,
-        **{c: pdf[c] for c in key_cols},
-        "content_sha": shas,
-    })
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": "varint", "fingerprint": fp,
     })
     return manifest_row("built", meta, time.time() - t0)
+
+
+def _build_one_segment(
+    pdf: pd.DataFrame,
+    index_dir: str,
+    mode: str,
+    content_col: str,
+    key_cols: tuple[str, ...],
+    block_size: int,
+) -> pd.DataFrame:
+    """Whole-frame convenience wrapper over the streaming builder."""
+    return _build_segment_stream(
+        iter([pdf]), index_dir, mode, content_col, key_cols, block_size
+    )
 
 
 def build_index(
@@ -341,13 +395,21 @@ def build_index(
         part = part.repartitionByRange(num_segments, "docid")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if len(pdf) == 0:
-            return
-        yield _build_one_segment(pdf, index_dir, mode, content_col,
-                                 tuple(key_cols), block_size)
+        row = _build_segment_stream(batches, index_dir, mode, content_col,
+                                    tuple(key_cols), block_size)
+        if row is not None:
+            yield row
 
-    manifest = part.mapInPandas(build, MANIFEST_SCHEMA).toPandas()
+    # bound the Arrow chunk size for this job so the streaming builder's
+    # per-chunk memory stays fixed regardless of partition size (restored
+    # after the action — other operators keep the session default)
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_batch = spark.conf.get(batch_key, "10000")
+    spark.conf.set(batch_key, "2048")
+    try:
+        manifest = part.mapInPandas(build, MANIFEST_SCHEMA).toPandas()
+    finally:
+        spark.conf.set(batch_key, prev_batch)
     manifest = manifest.sort_values("min_docid").reset_index(drop=True)
     write_index_manifest(index_dir, manifest, mode)
     return manifest
