@@ -119,8 +119,25 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the segment index for a sf_dir under /tmp."""
     from jvector_spark.sources.segment import build_index
 
+    import shutil
+
+    from jvector_spark import SEGMENT_FORMAT_VERSION
+    from jvector_spark.sources.segment import load_manifest
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
+    # rebuild a cached index written by an older library state (stale /tmp
+    # survives process restarts; "metrics" marks the current manifest shape)
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        try:
+            m = load_manifest(index_dir)
+            if (m.get("version") != SEGMENT_FORMAT_VERSION
+                    or "metrics" not in m
+                    or not os.path.exists(
+                        os.path.join(index_dir, "term_stats.parquet"))):
+                shutil.rmtree(index_dir, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(index_dir, ignore_errors=True)
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         docs = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("long").alias("docid"), "text",
