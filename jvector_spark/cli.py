@@ -29,8 +29,15 @@ import sys
 def _get_session(master: str | None):
     """Create the session BEFORE importing jvector_spark: under
     `spark-submit --py-files` the package zip is added to sys.path only at
-    SparkContext init, so any jvector import must come after this."""
+    SparkContext init, so any jvector import must come after this.
+
+    Returns (session, owns): only stop sessions this CLI created — an
+    embedding process (tests, notebooks) keeps its session."""
     from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
 
     b = SparkSession.builder.appName("jvector_spark_cli")
     if master:
@@ -60,7 +67,7 @@ def _get_session(master: str | None):
             path = uri.removeprefix("file:")
             if path:
                 sys.path.insert(0, path)
-    return spark
+    return spark, True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -108,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"tombstones": len(tomb)}))
         return 0
 
-    spark = _get_session(args.master)
+    spark, owns = _get_session(args.master)
     try:
         if args.cmd == "build":
             from jvector_spark.operators.ids import assign_dense_docids
@@ -150,7 +157,8 @@ def main(argv: list[str] | None = None) -> int:
                               "n_docs": int(out["n_docs"].sum())}))
         return 0
     finally:
-        spark.stop()
+        if owns:
+            spark.stop()
 
 
 if __name__ == "__main__":

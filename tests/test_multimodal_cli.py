@@ -1,0 +1,87 @@
+"""Multimodal plumbing + CLI lifecycle tests."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    with_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [f"doc body {i} " + "x" * (i * 500) for i in range(20)],
+    })
+    return spark.createDataFrame(pdf).repartition(3)
+
+
+def test_image_features_deterministic(spark, docs):
+    a = extract_image_features(with_payload(docs)).toPandas().sort_values("doc_id")
+    b = extract_image_features(with_payload(docs)).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    # features derive from the payload bytes exactly as specified
+    row = a[a["doc_id"] == 3].iloc[0]
+    payload = ("doc body 3 " + "x" * 1500).encode()
+    sha = hashlib.sha256(payload).hexdigest()
+    assert row["payload_sha"] == sha
+    assert row["n_bytes"] == len(payload)
+    assert row["width"] == 64 + int(sha[:2], 16) % 192
+    assert 1 <= row["n_channels"] <= 4
+
+
+def test_frame_sample_counts(spark, docs):
+    frames = sample_frames(with_payload(docs), frame_bytes=1000).toPandas()
+    counts = frames.groupby("doc_id").size()
+    for i in range(20):
+        n_bytes = len((f"doc body {i} " + "x" * (i * 500)).encode())
+        assert counts[i] == (n_bytes + 999) // 1000
+    # frame ids unique and deterministic
+    assert frames["frame_sha"].is_unique
+
+
+def test_cli_lifecycle(spark, corpus_pdf, tmp_path):
+    """build -> resume -> search -> delete -> compact -> metrics through the
+    CLI entry (in-process; getOrCreate reuses the test session)."""
+    from jvector_spark import cli
+
+    src = str(tmp_path / "corpus.parquet")
+    corpus_pdf.to_parquet(src, index=False)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    qfile = str(tmp_path / "q.jsonl")
+    pd.DataFrame({"qid": [0, 1], "terms": [["import"], ["def", "return"]],
+                  "k": [5, 5]}).to_json(qfile, orient="records", lines=True)
+
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--segments", "3"]) == 0
+    m1 = json.load(open(os.path.join(idx, "manifest.json")))
+    assert m1["n_docs"] == len(corpus_pdf)
+
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--segments", "3"]) == 0  # resume: same manifest
+    m2 = json.load(open(os.path.join(idx, "manifest.json")))
+    assert [s["fingerprint"] for s in m2["segments"]] == [
+        s["fingerprint"] for s in m1["segments"]]
+
+    assert cli.main(["search", "--index", idx, "--queries", qfile,
+                     "--output", out]) == 0
+    res = pd.read_parquet(out)
+    assert set(res["qid"]) == {0, 1}
+
+    assert cli.main(["delete", "--index", idx, "--docids", "0,1"]) == 0
+    out2 = str(tmp_path / "idx2")
+    assert cli.main(["compact", "--index", idx, "--output", out2,
+                     "--target-segments", "2"]) == 0
+    m3 = json.load(open(os.path.join(out2, "manifest.json")))
+    assert m3["n_docs"] == len(corpus_pdf) - 2
+    assert cli.main(["metrics", "--index", out2]) == 0
