@@ -13,8 +13,10 @@ Environment:
 
 Usage:
   python bench.py                 # headline run, one JSON line
-  python bench.py --scaling       # run build+query at local[8] and
-                                  # local[32], print scaling efficiency
+  python bench.py --scaling       # run build+query at two core counts
+                                  # (default local[4] vs local[16]; see
+                                  # SPARK_GRAFT_SCALE_LEVELS), print
+                                  # throughput + scaling efficiency
 """
 
 from __future__ import annotations
