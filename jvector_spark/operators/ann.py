@@ -205,9 +205,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, score) — embedding-cosine near-duplicate pairs.
 
-    All-pairs form for bounded inputs / verification; at corpus scale,
-    candidate-generate with `ivf_topk` (same-cluster pairs) or LSH first,
-    then verify with this scorer.
+    All-pairs form for bounded inputs / VERIFICATION ONLY (it is the recall
+    oracle for `embedding_lsh_near_dup` in tests). The operator wired as
+    the production path is `embedding_lsh_near_dup` — random-hyperplane
+    LSH candidate generation, then exact cosine on candidates only.
     """
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -219,3 +220,114 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+# --- random-hyperplane LSH near-dup (the bucketed scale path) -------------
+
+N_PLANES = 16
+LSH_BAND_BITS = 4
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic hyperplane normals, rounded to 4 decimals so the SAME
+    constants embed exactly in both the Spark plan and the SQL oracle
+    (decimal literals parse to identical float64 in every engine)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 4)
+
+
+def _plane_dots(vec_col: str, planes: np.ndarray) -> list:
+    """One float64 dot-product expression per hyperplane, left-to-right
+    summation (same associativity the cosine verifier uses)."""
+    outs = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(v)) for v in p])
+        outs.append(_dot(plane_lit, F.col(vec_col)))
+    return outs
+
+
+def embedding_lsh_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = N_PLANES,
+    band_bits: int = LSH_BAND_BITS,
+    seed: int = 7,
+    max_bucket: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, score) — near-dup pairs via random-hyperplane LSH
+    banding + exact cosine verification of the candidates only.
+
+    SimHash-for-vectors (Charikar hyperplane LSH): bit_p = sign(v · h_p);
+    the n_planes bits split into bands of `band_bits`; vectors agreeing on
+    ANY full band become a candidate pair. Exact cosine then gates at
+    `threshold`. The reference's recall/visited-nodes tradeoff
+    (GraphSearcher beam width) maps to (n_planes, band_bits): more/narrower
+    bands -> higher recall, more candidates.
+
+    Scale shape (contrast with all-pairs `embedding_near_dup_pairs`):
+      * signatures are map-side Catalyst expressions (no UDF, no shuffle);
+      * the only shuffles are groupBy(bucket) and the candidate equi-joins —
+        never a crossJoin/CartesianProduct (pytest-asserted);
+      * adversarial mega-buckets capped at `max_bucket` like minhash LSH.
+
+    Hyperplane constants come from `random_hyperplanes` and are mirrored
+    verbatim in the SQL oracle, so candidate semantics (not just scores)
+    are engine-identical — dot-product signs are exact at any margin
+    >> float64 ulp (fixture min |dot| ~ 0.03).
+    """
+    planes = random_hyperplanes(n_planes, _vec_dim(vectors, vec_col), seed)
+    dots = _plane_dots(vec_col, planes)
+    bits = F.array(*[
+        F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dots
+    ])
+    n_bands = n_planes // band_bits
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", F.slice(bits, b * band_bits + 1, band_bits)
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ])
+    from jvector_spark.operators.dedup import md5_hash60
+
+    sigs = vectors.select(
+        F.col(id_col), F.explode(bands).alias("bk")
+    ).select(
+        id_col,
+        md5_hash60(
+            F.concat(F.col("bk.band").cast("string"), F.lit(":"), F.col("bk.key"))
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    capped = sigs.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= max_bucket
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "bucket")
+    b = capped.select(F.col(id_col).alias("id_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (schema carries no length)."""
+    row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"])
