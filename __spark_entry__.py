@@ -56,9 +56,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
-def _query_df(spark: SparkSession) -> DataFrame:
-    pdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
-    return spark.createDataFrame(pdf)
+def _qpdf(k_mult: int = 2) -> pd.DataFrame:
+    """Query set with k scaled by `k_mult`: the engine truncates top-k on
+    RAW float64 scores, while display ranking (and the oracle) order by
+    round(score,6) — fetching 2k of slack means a <1e-6 score tie
+    straddling the raw-k cutoff can never change rounded top-k membership
+    (_rerank_rounded cuts back to the true k)."""
+    return pd.DataFrame(
+        [(qid, terms, k_mult * k) for qid, terms, k in BM25_QUERY_SET],
+        columns=["qid", "terms", "k"],
+    )
+
+
+def _query_df(spark: SparkSession, k_mult: int = 2) -> DataFrame:
+    return spark.createDataFrame(_qpdf(k_mult))
 
 
 def _rerank_rounded(out: DataFrame, page: int = 0) -> DataFrame:
@@ -156,8 +167,7 @@ def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.wand import search_index
 
     index_dir = _ensure_index(spark, sf_dir)
-    qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
-    out = search_index(spark, index_dir, qpdf)
+    out = search_index(spark, index_dir, _qpdf())
     return _rerank_rounded(out)
 
 
@@ -167,8 +177,7 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.wand import search_index
 
     index_dir = _ensure_index(spark, sf_dir)
-    qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
-    out = search_index(spark, index_dir, qpdf,
+    out = search_index(spark, index_dir, _qpdf(),
                        doc_filter={"lang": ["en", "de"]})
     return _rerank_rounded(out)
 
@@ -179,8 +188,7 @@ def q_bm25_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.wand import search_index
 
     index_dir = _ensure_index(spark, sf_dir)
-    qpdf = pd.DataFrame(BM25_QUERY_SET, columns=["qid", "terms", "k"])
-    out = search_index(spark, index_dir, qpdf, min_score=1.0)
+    out = search_index(spark, index_dir, _qpdf(), min_score=1.0)
     return _rerank_rounded(out)
 
 

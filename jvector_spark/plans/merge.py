@@ -85,50 +85,80 @@ def _merge_group(
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Merge one group of docid-contiguous segments into one output segment.
 
-    Returns (manifest_row, docid_map rows old->new). Dense renumbering:
-    new docid = docid_offset + rank of old docid among survivors in this
-    group (order-preserving — sequentialRenumbering semantics).
+    Returns (manifest_row, docid_map rows old->new); (None, None) for a
+    group whose docs are ALL tombstoned (caller skips it — no segment dir,
+    no manifest row). Dense renumbering: new docid = docid_offset + rank of
+    old docid among survivors in this group (order-preserving —
+    sequentialRenumbering semantics).
+
+    Memory shape: postings accumulate as parallel numpy arrays (term codes
+    via np.repeat over per-term lengths, docids, tfs) — never one pandas
+    DataFrame per term — so peak memory is the group's postings arrays,
+    matching the chunked discipline of _build_segment_stream.
     """
     t0 = time.time()
     doc_frames = []
-    post_frames = []
+    t_parts: list[np.ndarray] = []
+    d_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
     for p in seg_paths:
         r = SegmentReader(p)
         docs = pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
         doc_frames.append(docs)
-        for t in r.terms:
+        if not r.terms:
+            continue
+        seg_d, seg_tf, lens = [], [], np.empty(len(r.terms), np.int64)
+        for ti, t in enumerate(r.terms):
             d, tf = r.decode_term(t)
-            post_frames.append(
-                pd.DataFrame({"term": t, "docid": d, "tf": tf})
-            )
+            seg_d.append(d)
+            seg_tf.append(tf)
+            lens[ti] = len(d)
+        t_parts.append(np.repeat(np.array(r.terms, dtype=object), lens))
+        d_parts.append(np.concatenate(seg_d))
+        tf_parts.append(np.concatenate(seg_tf))
     docs_all = pd.concat(doc_frames, ignore_index=True).sort_values(
         "docid", kind="mergesort"
     )
     live_mask = ~docs_all["docid"].isin(tombstones).to_numpy()
     docs_live = docs_all[live_mask].reset_index(drop=True)
-    old = docs_live["docid"].to_numpy(np.int64)
+    if not len(docs_live):
+        return None, None
+    old = docs_live["docid"].to_numpy(np.int64)  # sorted ascending
     new = docid_offset + np.arange(len(old), dtype=np.int64)
-    remap = pd.Series(new, index=old)
 
-    posts = pd.concat(post_frames, ignore_index=True) if post_frames else pd.DataFrame(
-        columns=["term", "docid", "tf"]
-    )
-    posts = posts[posts["docid"].isin(remap.index)]
-    posts["docid"] = posts["docid"].map(remap)
-    posts = posts.sort_values(["term", "docid"], kind="mergesort").reset_index(drop=True)
+    if t_parts:
+        all_t = np.concatenate(t_parts)
+        all_d = np.concatenate(d_parts)
+        all_tf = np.concatenate(tf_parts)
+        # live filter + remap via one searchsorted against the sorted
+        # survivor ids (new docid = offset + rank)
+        pos = np.searchsorted(old, all_d)
+        keep = pos < len(old)
+        keep[keep] &= old[pos[keep]] == all_d[keep]
+        p_term = all_t[keep]
+        p_doc = docid_offset + pos[keep]
+        p_tf = all_tf[keep].astype(np.int64)
+        # (term, docid) order via factorize + int sort (no string sort of
+        # the posting stream — same pattern as _build_segment_stream)
+        codes, uniq = pd.factorize(p_term, sort=False)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+        span = len(old)
+        order = np.argsort(rank[codes] * max(span, 1) + (p_doc - docid_offset),
+                           kind="stable")
+        p_term, p_doc, p_tf = p_term[order], p_doc[order], p_tf[order]
+    else:
+        p_term = np.array([], dtype=object)
+        p_doc = p_tf = np.array([], dtype=np.int64)
 
     docs_live = docs_live.copy()
     docs_live["docid"] = new
-    dl_by_doc = docs_live.set_index("docid")["dl"]
+    dl_arr = docs_live["dl"].to_numpy(np.int64)
     seg_id = f"seg-{docid_offset:012d}"
     seg_dir = os.path.join(out_dir, seg_id)
-    if len(posts):
+    if len(p_doc):
         terms_tbl, blob = encode_postings_frame(
-            posts["term"].to_numpy(),
-            posts["docid"].to_numpy(np.int64),
-            posts["tf"].to_numpy(np.int64),
-            posts["docid"].map(dl_by_doc).to_numpy(np.int64),
-            block_size,
+            p_term, p_doc, p_tf, dl_arr[p_doc - docid_offset], block_size,
         )
     else:
         terms_tbl, blob = encode_postings_frame(
@@ -165,13 +195,17 @@ def compact_index(
     parquet (old->new) for external id stability.
 
     Distribution: one Spark task per output group (mapInPandas over the
-    group list); offsets are computed driver-side from live-doc counts
-    (tiny: one number per segment — same prefix-sum pattern as dense docid
-    assignment).
+    group list). Offsets are computed driver-side from METADATA ONLY:
+    live(segment) = meta n_docs − |tombstones ∩ [min_docid, max_docid]|
+    (segment docids are dense-contiguous by construction, so the range
+    count is exact) — the driver never reads posting or docid data, only
+    prefix-sums one scalar per segment. Groups with zero live docs are
+    dropped up front, so output seg-{offset} dirs are strictly increasing
+    (no collisions) and no task ever builds an empty segment.
     """
     manifest = load_manifest(index_dir)
     segs = sorted(manifest["segments"], key=lambda s: s["min_docid"])
-    tombstones = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_u = np.unique(np.array(load_tombstones(index_dir), dtype=np.int64))
     if target_segments is None:
         target_segments = max(1, len(segs) // 2)
     groups: list[list[dict]] = [[] for _ in range(target_segments)]
@@ -180,19 +214,29 @@ def compact_index(
         groups[min(i // per, target_segments - 1)].append(s)
     groups = [g for g in groups if g]
 
-    # live-doc count per group (prefix-sum for dense offsets) — metadata-only
-    live_counts = []
-    for g in groups:
-        n = 0
-        for s in g:
-            docs = pq.read_table(
-                os.path.join(s["path"], "docs.parquet"), columns=["docid"]
-            ).to_pandas()["docid"].to_numpy(np.int64)
-            n += int((~np.isin(docs, tombstones)).sum())
-        live_counts.append(n)
-    offsets = np.concatenate(([0], np.cumsum(live_counts)[:-1]))
+    # live-doc count per group from manifest metadata + the (tiny, sorted)
+    # tombstone array — zero data reads on the driver
+    def seg_live(s: dict) -> int:
+        lo = int(np.searchsorted(tomb_u, s["min_docid"], side="left"))
+        hi = int(np.searchsorted(tomb_u, s["max_docid"], side="right"))
+        return int(s["n_docs"]) - (hi - lo)
+
+    live_counts = [sum(seg_live(s) for s in g) for g in groups]
+    groups = [g for g, n in zip(groups, live_counts) if n > 0]
+    live_counts = [n for n in live_counts if n > 0]
 
     os.makedirs(out_dir, exist_ok=True)
+    mode = manifest["tokenizer_mode"]
+    if not groups:  # everything tombstoned: a valid, empty index
+        empty = pd.DataFrame(
+            columns=["segment_id", "path", "status", "min_docid", "max_docid",
+                     "n_docs", "n_terms", "n_postings", "bytes_postings",
+                     "build_sec", "fingerprint"]
+        )
+        write_index_manifest(out_dir, empty, mode)
+        return empty
+    offsets = np.concatenate(([0], np.cumsum(live_counts)[:-1]))
+
     tasks = [
         (gi, json.dumps([s["path"] for s in g]), int(offsets[gi]))
         for gi, g in enumerate(groups)
@@ -200,7 +244,7 @@ def compact_index(
     tasks_df = spark.createDataFrame(
         tasks, "group_id int, paths string, offset long"
     ).repartition(len(tasks))
-    b_tomb = spark.sparkContext.broadcast(tombstones)
+    b_tomb = spark.sparkContext.broadcast(tomb_u)
 
     map_dir = os.path.join(out_dir, "docid_map")
     os.makedirs(map_dir, exist_ok=True)
@@ -212,6 +256,8 @@ def compact_index(
                     json.loads(row.paths), out_dir, int(row.group_id),
                     int(row.offset), b_tomb.value, block_size,
                 )
+                if man is None:  # defensive: group emptied under our feet
+                    continue
                 dmap.to_parquet(
                     os.path.join(map_dir, f"part-{int(row.group_id):05d}.parquet")
                 )
@@ -219,5 +265,5 @@ def compact_index(
 
     out_manifest = tasks_df.mapInPandas(run, MANIFEST_SCHEMA).toPandas()
     out_manifest = out_manifest.sort_values("min_docid").reset_index(drop=True)
-    write_index_manifest(out_dir, out_manifest, manifest["tokenizer_mode"])
+    write_index_manifest(out_dir, out_manifest, mode)
     return out_manifest

@@ -374,8 +374,15 @@ def build_index(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     block_size: int = BLOCK_SIZE,
     assume_partitioned: bool = False,
+    write_manifest: bool = True,
 ) -> pd.DataFrame:
     """Build all segments + index manifest. Returns the manifest as pandas.
+
+    `write_manifest=False` builds the segment dirs WITHOUT touching the
+    live manifest.json — for callers that fold the new segments into an
+    existing manifest and must publish exactly one atomic manifest write
+    (the streaming micro-segment append; a crash mid-append must never
+    leave a manifest that references only the new batch).
 
     Input must carry a dense `docid` (operators/ids.assign_dense_docids).
     Partitioning: range on docid -> each partition is a contiguous docid
@@ -411,7 +418,8 @@ def build_index(
     finally:
         spark.conf.set(batch_key, prev_batch)
     manifest = manifest.sort_values("min_docid").reset_index(drop=True)
-    write_index_manifest(index_dir, manifest, mode)
+    if write_manifest:
+        write_index_manifest(index_dir, manifest, mode)
     return manifest
 
 
@@ -432,6 +440,10 @@ def write_global_term_stats(index_dir: str, manifest: pd.DataFrame) -> str:
         t = pq.read_table(os.path.join(p, "terms.parquet"),
                           columns=["term", "df", "cf"])
         frames.append(t.to_pandas())
+    if not frames:  # empty index (e.g. compaction purged every doc)
+        frames = [pd.DataFrame({"term": pd.Series([], dtype=str),
+                                "df": pd.Series([], dtype="int64"),
+                                "cf": pd.Series([], dtype="int64")})]
     agg = (
         pd.concat(frames, ignore_index=True)
         .groupby("term", sort=True, as_index=False)[["df", "cf"]]

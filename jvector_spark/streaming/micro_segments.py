@@ -51,40 +51,42 @@ def append_micro_segment(
     segments_per_batch: int = 1,
 ) -> None:
     """foreachBatch sink: build the batch into micro-segment(s) and extend
-    the manifest. Idempotent per batch (fingerprint resume) — safe under
-    Structured Streaming's replay-on-failure."""
-    import hashlib
-    import json
+    the manifest with EXACTLY ONE atomic manifest write per batch.
 
+    Idempotence is DOC-granular, not batch-granular: the batch anti-joins
+    its key columns against the keys already committed to the index (the
+    docs.parquet sidecars of the manifest's segments), so a restart that
+    regroups source files into different micro-batches (availableNow
+    collapsing previously-separate batches, at-least-once re-delivery)
+    indexes each doc at most once — a whole-batch content hash cannot see
+    through recomposition. Crash-consistency: new segment dirs become
+    visible only via the single merged-manifest os.replace; a crash before
+    it leaves the previous manifest fully intact (the orphan segment dirs
+    are re-adopted by fingerprint on re-delivery or garbage).
+    """
     import pandas as pd
 
     if batch_df.rdd.isEmpty():
         return
 
-    # content-based batch registry: a re-delivered batch (restart, fresh
-    # checkpoint, at-least-once source) is identified by the hash of its
-    # sorted keys and skipped — docid-based segment fingerprints can't
-    # catch this because the docid base moves. Micro-batches are bounded,
-    # so collecting the key columns driver-side is safe.
-    keys_pdf = batch_df.select(*key_cols).orderBy(*key_cols).toPandas()
-    bhash = hashlib.sha256(
-        "\n".join("\x00".join(map(str, r)) for r in keys_pdf.itertuples(index=False))
-        .encode()
-    ).hexdigest()
-    reg_path = os.path.join(index_dir, "stream_batches.json")
-    registry: dict[str, list[str]] = {}
-    if os.path.exists(reg_path):
-        with open(reg_path) as f:
-            registry = json.load(f)
-    if bhash in registry:
-        return
-
+    spark = batch_df.sparkSession
     base = 0
     old = None
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         old = load_manifest(index_dir)
         if old["segments"]:
             base = max(s["max_docid"] for s in old["segments"]) + 1
+            # doc-granular dedup against the committed index: column-pruned
+            # scan of the key sidecars (at real scale this would be a
+            # bloom/key index; micro-batch joins against it all the same)
+            existing = spark.read.parquet(
+                *[os.path.join(s["path"], "docs.parquet")
+                  for s in old["segments"]]
+            ).select(*key_cols)
+            batch_df = batch_df.join(existing, on=list(key_cols),
+                                     how="left_anti")
+            if batch_df.rdd.isEmpty():
+                return
 
     # dense contiguous docids for this batch, stable under re-delivery:
     # order by the key columns (same contract as assign_dense_docids)
@@ -96,9 +98,11 @@ def append_micro_segment(
     with_ids = batch_sorted.withColumn(
         "docid", (F.row_number().over(wn) - 1 + F.lit(base)).cast("long")
     )
+    # build segments WITHOUT publishing a manifest (write_manifest=False):
+    # the one-and-only manifest write below covers old + new atomically
     sub_manifest = build_index(
         with_ids, index_dir, mode=mode, num_segments=segments_per_batch,
-        content_col=content_col, key_cols=key_cols,
+        content_col=content_col, key_cols=key_cols, write_manifest=False,
     )
     if old is not None and old["segments"]:
         prev = pd.DataFrame(old["segments"])
@@ -108,13 +112,9 @@ def append_micro_segment(
             .sort_values("min_docid")
             .reset_index(drop=True)
         )
-        write_index_manifest(index_dir, merged, mode)
-
-    registry[bhash] = sub_manifest["segment_id"].tolist()
-    tmp = reg_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(registry, f)
-    os.replace(tmp, reg_path)
+    else:
+        merged = sub_manifest
+    write_index_manifest(index_dir, merged, mode)
 
 
 def stream_build_index(

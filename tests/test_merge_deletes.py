@@ -97,6 +97,42 @@ def test_compaction_purges_and_renumbers(spark, index, corpus_pdf, queries_pdf,
                            exp["score"].to_numpy(), rtol=0, atol=0)
 
 
+def test_compaction_fully_tombstoned_group(spark, corpus_df, corpus_pdf,
+                                           queries_pdf, tmp_path_factory):
+    """A group whose docs are ALL tombstoned must be skipped cleanly (no
+    empty-segment crash, no seg-id collision): delete every doc of the
+    first two of six segments, compact 6 -> 3 (group 0 fully dead)."""
+    idx = str(tmp_path_factory.mktemp("idx_dead"))
+    docs = assign_dense_docids(corpus_df)
+    manifest = build_index(docs, idx, num_segments=6)
+    segs = manifest.sort_values("min_docid")
+    dead_hi = int(segs["max_docid"].iloc[1])
+    mark_deleted(idx, list(range(0, dead_hi + 1)))
+    out = str(tmp_path_factory.mktemp("idx_dead_out"))
+    out_manifest = compact_index(spark, idx, out, target_segments=3)
+    n_live = len(corpus_pdf) - (dead_hi + 1)
+    assert int(out_manifest["n_docs"].sum()) == n_live
+    assert len(set(out_manifest["segment_id"])) == len(out_manifest)
+    assert out_manifest["min_docid"].iloc[0] == 0
+    assert int(out_manifest["max_docid"].max()) == n_live - 1
+    # queries still work on the compacted index
+    res = search_index(spark, out, queries_pdf).toPandas()
+    assert (res["docid"] <= n_live - 1).all()
+
+
+def test_compaction_everything_tombstoned(spark, corpus_df, tmp_path_factory):
+    """Tombstoning the whole corpus compacts to a valid EMPTY index."""
+    idx = str(tmp_path_factory.mktemp("idx_all_dead"))
+    docs = assign_dense_docids(corpus_df)
+    manifest = build_index(docs, idx, num_segments=3)
+    mark_deleted(idx, list(range(int(manifest["max_docid"].max()) + 1)))
+    out = str(tmp_path_factory.mktemp("idx_all_dead_out"))
+    out_manifest = compact_index(spark, idx, out, target_segments=2)
+    assert len(out_manifest) == 0
+    m = load_manifest(out)
+    assert m["segments"] == [] and m["n_docs"] == 0
+
+
 def test_compaction_no_tombstones_is_pure_merge(spark, corpus_df, corpus_pdf,
                                                 queries_pdf, oracle,
                                                 tmp_path_factory):

@@ -77,6 +77,39 @@ def test_stream_restart_is_idempotent(spark, staged_corpus, tmp_path_factory):
         assert load_manifest(idx)["n_docs"] == len(keyed)
 
 
+def test_stream_redelivery_with_recomposed_batches(spark, staged_corpus,
+                                                   queries_pdf,
+                                                   tmp_path_factory):
+    """Idempotence must be DOC-granular: re-delivering the same source with
+    a DIFFERENT batch composition (one availableNow batch instead of four
+    single-file batches) must not duplicate any doc — a whole-batch content
+    hash cannot catch this, the per-doc key anti-join does."""
+    src_dir, keyed = staged_corpus
+    idx = str(tmp_path_factory.mktemp("stream_idx3"))
+    schema = spark.read.parquet(src_dir).schema
+    # pass 1: four single-file micro-batches
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    stream_build_index(stream, idx,
+                       str(tmp_path_factory.mktemp("ck_a"))).awaitTermination(300)
+    assert load_manifest(idx)["n_docs"] == len(keyed)
+    # pass 2: fresh checkpoint, ALL files in one batch (recomposition)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream_build_index(stream, idx,
+                       str(tmp_path_factory.mktemp("ck_b"))).awaitTermination(300)
+    m = load_manifest(idx)
+    assert m["n_docs"] == len(keyed), "recomposed re-delivery duplicated docs"
+    # search still matches the oracle (no duplicate postings anywhere)
+    oracle = BM25Oracle(keyed)
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    for qr in queries_pdf.itertuples():
+        got = res[res["qid"] == qr.qid].sort_values("rank")
+        exp = oracle.topk(list(qr.terms), int(qr.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={qr.qid}"
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path_factory):
     import shutil
 
