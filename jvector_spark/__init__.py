@@ -21,4 +21,6 @@ __version__ = "0.1.0"
 K1 = 1.2
 B = 0.75
 BLOCK_SIZE = 128
-SEGMENT_FORMAT_VERSION = 1
+# v2: adaptive per-(term, stream) codec — varint (v1 layout) or FOR
+# bit-packed blocks; v1 segments (no codec dictionary columns) still load
+SEGMENT_FORMAT_VERSION = 2

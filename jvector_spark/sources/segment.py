@@ -14,23 +14,29 @@ Reference mapping (SURVEY §2.1/§2.9):
     fingerprint matches (status='resumed'), giving partition-granular
     resumable builds (north rule).
 
-Postings layout (the PQ-code/FusedADC analog, SURVEY §2.8): one varint gap
-stream for ALL terms (each term's first value is its absolute first docid,
-subsequent values are docid gaps — cross-block gaps included), then one
-varint tf stream. Per-block metadata (byte offsets, value counts, first/last
-docid, max_tf, min_dl) lives in the dictionary, so:
-  * whole-term decode = ONE varint_decode + cumsum (no per-block calls);
+Postings layout v2 (the PQ-code/FusedADC analog, SURVEY §2.8): a gap
+stream then a tf stream, each encoded per TERM with the adaptive codec —
+varint (LEB128; absolute first docid at term start, cross-block gaps —
+the v1 layout) or FOR (per-term fixed-width bit-packing in per-block
+byte-aligned sections; see encode_postings_frame). Per-block metadata
+(byte offsets, value counts, first/last docid, max_tf, min_dl) lives in
+the dictionary together with the per-term (codec, width), so:
+  * whole-term decode = ONE varint_decode + cumsum, or ONE unpackbits +
+    gather for FOR terms (no per-block calls either way);
   * block-selective decode = per-block byte ranges (skip-pointer analog of
     the graph's O(1) record addressing, OnDiskGraphIndex.baseNodeOffsetFor);
   * (max_tf, min_dl) per block upper-bounds the BM25 tf-norm for block-max
     pruning (FusedADC-style inline metadata, feature/FusedADC.java:39-59).
+v1 segments (no codec columns in the dictionary) still load: every stream
+defaults to varint, which is byte-identical to the v1 writer.
 
 Scale shape: each segment is built by ONE executor task from ONE docid-range
 partition in a single mapInPandas pass (tokenize -> postings -> streams ->
 files) — the index build needs **zero shuffle** beyond the docid
-assignment's range partition. Encoding is 2 vectorized varint calls per
-segment; per-block stats use np.maximum/minimum.reduceat. This is the
-Lucene/ES doc-partitioned model: at 10^12 files the build is embarrassingly
+assignment's range partition. Encoding is a handful of vectorized numpy
+calls per segment (one varint_encode + one packbits over the whole blob);
+per-block stats use np.maximum/minimum.reduceat. This is the Lucene/ES
+doc-partitioned model: at 10^12 files the build is embarrassingly
 parallel, each task bounded by its partition size.
 """
 
@@ -81,24 +87,65 @@ def _fingerprint(docids: np.ndarray, shas: pd.Series) -> str:
     return h.hexdigest()
 
 
+def _bit_length(vals: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for non-negative ints < 2^53 (frexp exponent:
+    v = frac * 2^e with frac in [0.5, 1) -> e == bit_length; exact because
+    the float64 conversion is exact below 2^53)."""
+    return np.where(vals > 0, np.frexp(vals.astype(np.float64))[1], 0).astype(
+        np.int64
+    )
+
+
+def _scatter_positions(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flattened target indices [off_i, off_i + len_i) for each range i."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.repeat(offs, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    )
+
+
 def encode_postings_frame(
     p_term: np.ndarray,
     p_doc: np.ndarray,
     p_tf: np.ndarray,
     p_dl: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    adaptive: bool = True,
 ) -> tuple[pa.Table, bytes]:
     """Postings sorted by (term, docid) -> (dictionary table, postings blob).
 
-    Fully vectorized: one varint_encode for the gap stream, one for the tf
-    stream; block stats via reduceat. Shared by the segment builder and the
-    merge-compactor.
+    Format v2 — adaptive per-(term, stream) codec (the survey §2.8
+    "varint/PFOR" contract; versioned-codec discipline per the reference's
+    quantization/ProductQuantization.java write/load):
+      * varint (codec 0): LEB128 gap stream — absolute docid at term start,
+        cross-block gaps included (v1 layout, unchanged);
+      * FOR (codec 1): per-term fixed bit width `w`; each BLOCK is an
+        independently byte-aligned bit-packed section holding `block_n`
+        values where value[0] = 0 (the block's first docid lives in the
+        dictionary's block_first) and value[j] = docid gap. Full blocks
+        (block_size=128) are exactly 16*w bytes — no padding — so
+        whole-term decode is a single unpackbits + reshape.
+    The per-term choice takes whichever stream is smaller (PFOR-style
+    adaptivity at term granularity: one outlier gap pushes the whole term
+    to varint). Everything here is numpy-vectorized: the whole segment's
+    varint values encode in one call and ALL FOR values scatter into one
+    global bit array packed with a single np.packbits.
+
+    `adaptive=False` forces varint everywhere (v1-compatible byte layout;
+    used by the format-compat tests).
     """
     n = len(p_doc)
     if n == 0:  # all-empty-content partition: valid, empty segment
         empty = pa.table({
             "term": pa.array([], pa.string()),
             "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64()),
+            "gap_codec": pa.array([], pa.int32()),
+            "gap_width": pa.array([], pa.int32()),
+            "tf_codec": pa.array([], pa.int32()),
+            "tf_width": pa.array([], pa.int32()),
             **{c: pa.ListArray.from_arrays(
                 pa.array([0], pa.int32()),
                 pa.array([], pa.int32() if c in (
@@ -116,22 +163,12 @@ def encode_postings_frame(
     gaps[0] = p_doc[0]
     gaps[1:] = (p_doc[1:] - p_doc[:-1]).astype(np.uint64)
     gaps[term_starts] = p_doc[term_starts].astype(np.uint64)  # absolute at term start
-
-    gap_nb = varint_nbytes(gaps)
-    gap_off = np.concatenate(([0], np.cumsum(gap_nb)))  # len n+1
     tf_u = p_tf.astype(np.uint64)
-    tf_nb = varint_nbytes(tf_u)
-    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
-    gap_bytes = varint_encode(gaps)
-    tf_bytes = varint_encode(tf_u)
-    tf_region = len(gap_bytes)
-    blob = gap_bytes + tf_bytes
 
     # block boundaries: every block_size postings within each term
     term_bounds = np.append(term_starts, n)
     tlens = np.diff(term_bounds)
     nblocks_per_term = (tlens + block_size - 1) // block_size
-    # vectorized block-start construction
     total_blocks = int(nblocks_per_term.sum())
     b_term = np.repeat(np.arange(len(terms)), nblocks_per_term)
     within = np.arange(total_blocks) - np.repeat(
@@ -139,16 +176,99 @@ def encode_postings_frame(
     )
     b_start = term_starts[b_term] + within * block_size
     b_end = np.minimum(b_start + block_size, term_bounds[b_term + 1])
+    blk_n = b_end - b_start
+    blk_of_val = np.repeat(np.arange(total_blocks), blk_n)  # block idx per posting
+
+    # FOR stored gap values: 0 at every block start (block_first is in the
+    # dictionary), real gaps elsewhere
+    v_gap = gaps.copy()
+    v_gap[b_start] = 0
+
+    # per-term widths and per-codec byte costs
+    w_gap_t = _bit_length(np.maximum.reduceat(v_gap, term_starts))
+    w_tf_t = _bit_length(np.maximum.reduceat(tf_u, term_starts))
+    gap_nb = varint_nbytes(gaps)
+    tf_nb = varint_nbytes(tf_u)
+    cs_gap = np.concatenate(([0], np.cumsum(gap_nb)))
+    cs_tf = np.concatenate(([0], np.cumsum(tf_nb)))
+    vlen_gap_blk = cs_gap[b_end] - cs_gap[b_start]
+    vlen_tf_blk = cs_tf[b_end] - cs_tf[b_start]
+    flen_gap_blk = (blk_n * w_gap_t[b_term] + 7) // 8
+    flen_tf_blk = (blk_n * w_tf_t[b_term] + 7) // 8
+    tb0 = np.concatenate(([0], np.cumsum(nblocks_per_term)))[:-1]
+    vbytes_gap_t = cs_gap[term_bounds[1:]] - cs_gap[term_bounds[:-1]]
+    vbytes_tf_t = cs_tf[term_bounds[1:]] - cs_tf[term_bounds[:-1]]
+    fbytes_gap_t = np.add.reduceat(flen_gap_blk, tb0)
+    fbytes_tf_t = np.add.reduceat(flen_tf_blk, tb0)
+    if adaptive:
+        gap_codec_t = (fbytes_gap_t < vbytes_gap_t).astype(np.int32)
+        tf_codec_t = (fbytes_tf_t < vbytes_tf_t).astype(np.int32)
+    else:
+        gap_codec_t = np.zeros(len(terms), np.int32)
+        tf_codec_t = np.zeros(len(terms), np.int32)
+
+    gap_for_blk = gap_codec_t[b_term] == 1
+    tf_for_blk = tf_codec_t[b_term] == 1
+    blk_doc_len = np.where(gap_for_blk, flen_gap_blk, vlen_gap_blk)
+    blk_tf_len = np.where(tf_for_blk, flen_tf_blk, vlen_tf_blk)
+    blk_doc_off = np.concatenate(([0], np.cumsum(blk_doc_len)))[:-1]
+    gap_region = int(blk_doc_len.sum())
+    blk_tf_off = gap_region + np.concatenate(([0], np.cumsum(blk_tf_len)))[:-1]
+    total_bytes = gap_region + int(blk_tf_len.sum())
+
+    out = np.zeros(total_bytes, np.uint8)
+    # --- varint sections: one encode call per stream, scattered to the
+    # (possibly non-contiguous) block byte ranges
+    gap_for_val = gap_for_blk[blk_of_val]
+    tf_for_val = tf_for_blk[blk_of_val]
+    vi_gap = np.frombuffer(varint_encode(gaps[~gap_for_val]), np.uint8)
+    if len(vi_gap):
+        out[_scatter_positions(blk_doc_off[~gap_for_blk],
+                               vlen_gap_blk[~gap_for_blk])] = vi_gap
+    vi_tf = np.frombuffer(varint_encode(tf_u[~tf_for_val]), np.uint8)
+    if len(vi_tf):
+        out[_scatter_positions(blk_tf_off[~tf_for_blk],
+                               vlen_tf_blk[~tf_for_blk])] = vi_tf
+
+    # --- FOR sections: every value's bits scatter (MSB-first, matching
+    # np.unpackbits) into ONE global bit array, packed in a single pass
+    within_blk = np.arange(n, dtype=np.int64) - b_start[blk_of_val]
+
+    def _for_bits(vals, mask, w_per_val, base_byte_off):
+        v = vals[mask]
+        w = w_per_val[mask]
+        if not len(v) or int(w.sum()) == 0:
+            return None
+        base_bit = base_byte_off[blk_of_val[mask]] * 8 + within_blk[mask] * w
+        starts = np.concatenate(([0], np.cumsum(w)[:-1]))
+        tot = int(w.sum())
+        t = np.arange(tot, dtype=np.int64) - np.repeat(starts, w)
+        v_rep = np.repeat(v, w)
+        w_rep = np.repeat(w, w)
+        bits = ((v_rep >> (w_rep - 1 - t).astype(np.uint64))
+                & np.uint64(1)).astype(np.uint8)
+        pos = np.repeat(base_bit, w) + t
+        return pos, bits
+
+    bitarr = None
+    for args in (
+        _for_bits(v_gap, gap_for_val, w_gap_t[b_term][blk_of_val], blk_doc_off),
+        _for_bits(tf_u, tf_for_val, w_tf_t[b_term][blk_of_val], blk_tf_off),
+    ):
+        if args is None:
+            continue
+        if bitarr is None:
+            bitarr = np.zeros(total_bytes * 8, np.uint8)
+        pos, bits = args
+        bitarr[pos] = bits
+    if bitarr is not None:
+        out |= np.packbits(bitarr)
+    blob = out.tobytes()
 
     blk_max_tf = np.maximum.reduceat(p_tf, b_start)
     blk_min_dl = np.minimum.reduceat(p_dl, b_start)
     blk_first = p_doc[b_start]
     blk_last = p_doc[b_end - 1]
-    blk_doc_off = gap_off[b_start]
-    blk_doc_len = gap_off[b_end] - blk_doc_off
-    blk_tf_off = tf_off[b_start] + tf_region
-    blk_tf_len = tf_off[b_end] - tf_off[b_start]
-    blk_n = b_end - b_start
 
     # per-term list columns via Arrow offset arrays (no Python loop)
     loff = pa.array(
@@ -164,6 +284,10 @@ def encode_postings_frame(
         "term": pa.array(terms, pa.string()),
         "df": pa.array(df_counts, pa.int64()),
         "cf": pa.array(cf, pa.int64()),
+        "gap_codec": pa.array(gap_codec_t, pa.int32()),
+        "gap_width": pa.array(w_gap_t.astype(np.int32), pa.int32()),
+        "tf_codec": pa.array(tf_codec_t, pa.int32()),
+        "tf_width": pa.array(w_tf_t.astype(np.int32), pa.int32()),
         "block_n": lst(blk_n.astype(np.int32), pa.int32()),
         "block_first": lst(blk_first.astype(np.int64), pa.int64()),
         "block_last": lst(blk_last.astype(np.int64), pa.int64()),
@@ -240,6 +364,7 @@ def _build_segment_stream(
     content_col: str,
     key_cols: tuple[str, ...],
     block_size: int,
+    codec: str = "adaptive",
 ) -> pd.DataFrame | None:
     """Build one segment by STREAMING the partition's Arrow batches.
 
@@ -342,11 +467,11 @@ def _build_segment_stream(
 
     terms_tbl, blob = encode_postings_frame(
         p_term, p_doc.astype(np.int64), p_tf.astype(np.int64), p_dl,
-        block_size,
+        block_size, adaptive=(codec == "adaptive"),
     )
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
-        "tokenizer_mode": mode, "codec": "varint", "fingerprint": fp,
+        "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
     })
     return manifest_row("built", meta, time.time() - t0)
 
@@ -358,10 +483,11 @@ def _build_one_segment(
     content_col: str,
     key_cols: tuple[str, ...],
     block_size: int,
+    codec: str = "adaptive",
 ) -> pd.DataFrame:
     """Whole-frame convenience wrapper over the streaming builder."""
     return _build_segment_stream(
-        iter([pdf]), index_dir, mode, content_col, key_cols, block_size
+        iter([pdf]), index_dir, mode, content_col, key_cols, block_size, codec
     )
 
 
@@ -375,6 +501,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     assume_partitioned: bool = False,
     write_manifest: bool = True,
+    codec: str = "adaptive",
 ) -> pd.DataFrame:
     """Build all segments + index manifest. Returns the manifest as pandas.
 
@@ -403,7 +530,7 @@ def build_index(
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         row = _build_segment_stream(batches, index_dir, mode, content_col,
-                                    tuple(key_cols), block_size)
+                                    tuple(key_cols), block_size, codec)
         if row is not None:
             yield row
 
@@ -595,40 +722,98 @@ class SegmentReader:
     def _bytes(self, off: int, ln: int) -> bytes:
         return self._blob[off : off + ln].tobytes()
 
-    def decode_term(
-        self, term: str, block_mask: np.ndarray | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """(docids asc, tfs) for a term. With block_mask, only selected
-        blocks are decoded (block-max pruning / candidate-gather path);
-        without, the whole term decodes in one varint_decode + cumsum."""
-        r = self.term_row(term)
-        n_blocks = len(r["block_n"])
-        if block_mask is None or block_mask.all():
+    def _for_region_values(
+        self, r: dict, off_key: str, len_key: str, w: int,
+        sel: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Decode a term's FOR-coded stream (per-block byte-aligned bit
+        sections, per-term width w) -> per-value uint64. One unpackbits
+        over the term's contiguous region, one gather for the block
+        sections (full 128-value blocks are padding-free by construction).
+        `sel` (bool per block) restricts to selected blocks."""
+        blk_n = np.asarray(r["block_n"], dtype=np.int64)
+        offs = np.asarray(r[off_key], dtype=np.int64)
+        lens = np.asarray(r[len_key], dtype=np.int64)
+        if sel is not None:
+            blk_n, offs, lens = blk_n[sel], offs[sel], lens[sel]
+        total_n = int(blk_n.sum())
+        if w == 0 or total_n == 0:
+            return np.zeros(total_n, np.uint64)
+        base = int(offs[0])
+        region = self._blob[base : int(offs[-1] + lens[-1])]
+        bits = np.unpackbits(np.ascontiguousarray(region))
+        pos = _scatter_positions((offs - base) * 8, blk_n * w)
+        vals_bits = bits[pos].reshape(total_n, w).astype(np.uint64)
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        return (vals_bits << shifts).sum(axis=1, dtype=np.uint64)
+
+    def _decode_docids(
+        self, r: dict, sel: np.ndarray | None = None
+    ) -> np.ndarray:
+        """docids (asc) of the selected blocks (all blocks when sel=None)."""
+        gap_codec = int(r.get("gap_codec", 0))
+        blk_n = np.asarray(r["block_n"], dtype=np.int64)
+        first = np.asarray(r["block_first"], dtype=np.int64)
+        if sel is not None:
+            blk_n, first = blk_n[sel], first[sel]
+        if gap_codec == 1:
+            v = self._for_region_values(
+                r, "block_doc_off", "block_doc_len", int(r["gap_width"]), sel
+            ).astype(np.int64)
+            c = np.cumsum(v)
+            starts = np.concatenate(([0], np.cumsum(blk_n)[:-1]))
+            # v[block start] == 0 by format: docid = block_first + (c - c@start)
+            return np.repeat(first - c[starts], blk_n) + c
+        if sel is None:
             total_n = int(r["df"])
             doc_off = int(r["block_doc_off"][0])
             doc_end = int(r["block_doc_off"][-1] + r["block_doc_len"][-1])
             gaps = varint_decode(self._bytes(doc_off, doc_end - doc_off), total_n)
-            docids = np.cumsum(gaps.astype(np.int64))
-            tf_off = int(r["block_tf_off"][0])
-            tf_end = int(r["block_tf_off"][-1] + r["block_tf_len"][-1])
-            tfs = varint_decode(self._bytes(tf_off, tf_end - tf_off), total_n)
-            return docids, tfs.astype(np.int64)
-        out_d, out_t = [], []
-        for bi in range(n_blocks):
-            if not block_mask[bi]:
-                continue
+            return np.cumsum(gaps.astype(np.int64))
+        out = []
+        for bi in np.flatnonzero(sel):
             nb = int(r["block_n"][bi])
             gaps = varint_decode(
-                self._bytes(int(r["block_doc_off"][bi]), int(r["block_doc_len"][bi])),
-                nb,
+                self._bytes(int(r["block_doc_off"][bi]),
+                            int(r["block_doc_len"][bi])), nb,
             ).astype(np.int64)
-            docids = np.cumsum(gaps) - gaps[0] + int(r["block_first"][bi])
-            tfs = varint_decode(
-                self._bytes(int(r["block_tf_off"][bi]), int(r["block_tf_len"][bi])),
-                nb,
+            out.append(np.cumsum(gaps) - gaps[0] + int(r["block_first"][bi]))
+        return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+    def _decode_tfs(self, r: dict, sel: np.ndarray | None = None) -> np.ndarray:
+        tf_codec = int(r.get("tf_codec", 0))
+        if tf_codec == 1:
+            return self._for_region_values(
+                r, "block_tf_off", "block_tf_len", int(r["tf_width"]), sel
             ).astype(np.int64)
-            out_d.append(docids)
-            out_t.append(tfs)
-        if not out_d:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        return np.concatenate(out_d), np.concatenate(out_t)
+        if sel is None:
+            total_n = int(r["df"])
+            tf_off = int(r["block_tf_off"][0])
+            tf_end = int(r["block_tf_off"][-1] + r["block_tf_len"][-1])
+            return varint_decode(
+                self._bytes(tf_off, tf_end - tf_off), total_n
+            ).astype(np.int64)
+        out = []
+        for bi in np.flatnonzero(sel):
+            out.append(varint_decode(
+                self._bytes(int(r["block_tf_off"][bi]),
+                            int(r["block_tf_len"][bi])),
+                int(r["block_n"][bi]),
+            ).astype(np.int64))
+        return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+    def decode_term(
+        self, term: str, block_mask: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(docids asc, tfs) for a term. With block_mask, only selected
+        blocks are decoded (block-max pruning / candidate-gather path).
+        Codec per (term, stream) from the dictionary: varint (absolute
+        first docid + cross-block gaps, the v1 layout — segments without
+        codec columns default here) or FOR bit-packing (format v2)."""
+        r = self.term_row(term)
+        sel = None
+        if block_mask is not None and not block_mask.all():
+            sel = np.asarray(block_mask, dtype=bool)
+            if not sel.any():
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return self._decode_docids(r, sel), self._decode_tfs(r, sel)
