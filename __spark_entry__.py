@@ -388,10 +388,26 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank_k=100 of 500 fixture vectors makes that hold (pytest-asserted
     at both sf0.001 and sf0.01, tests/test_pq.py), so the brute-force SQL
     oracle applies to this query too."""
-    from jvector_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+    from jvector_spark.operators.pq import (
+        load_codebooks, pq_adc_topk, pq_encode, save_codebooks, train_pq)
 
     emb = _emb(spark, sf_dir)
-    books = train_pq(emb, m=8, seed=42)
+    # versioned codebook store: train once, then reopen across sessions
+    # (ProductQuantization.write/load contract)
+    book_path = os.path.join(
+        ENTRY_INDEX_ROOT,
+        f"pq_{os.path.basename(os.path.normpath(sf_dir))}.bin",
+    )
+    books = None
+    if os.path.exists(book_path):
+        try:
+            books = load_codebooks(book_path)
+        except (ValueError, OSError):
+            books = None
+    if books is None:
+        books = train_pq(emb, m=8, seed=42)
+        os.makedirs(ENTRY_INDEX_ROOT, exist_ok=True)
+        save_codebooks(book_path, books)
     enc = pq_encode(emb, books)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -27,6 +27,8 @@ assertions).
 
 from __future__ import annotations
 
+import os
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -37,6 +39,37 @@ from pyspark.sql import functions as F
 N_CLUSTERS = 256
 KMEANS_ITERS = 6
 TRAIN_CAP = 16384
+
+# versioned codebook serialization (the ProductQuantization.write/load
+# analog, ref quantization/ProductQuantization.java:550-589,639-683 —
+# magic + version header, refuse-newer/accept-older): our own magic,
+# little-endian header (magic, version, m, n_clusters, sub_dim) then the
+# float64 codebook tensor
+PQ_MAGIC = 0x4A565051  # "JVPQ"
+PQ_FORMAT_VERSION = 1
+
+
+def save_codebooks(path: str, codebooks: np.ndarray) -> None:
+    """Atomically persist codebooks (m, n_clusters, sub_dim) float64."""
+    m, k, sub = codebooks.shape
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<IIIII", PQ_MAGIC, PQ_FORMAT_VERSION, m, k, sub))
+        f.write(np.ascontiguousarray(codebooks, dtype="<f8").tobytes())
+    os.replace(tmp, path)
+
+
+def load_codebooks(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic, ver, m, k, sub = struct.unpack("<IIIII", f.read(20))
+        if magic != PQ_MAGIC:
+            raise ValueError(f"not a codebook file (magic {magic:#x})")
+        if ver > PQ_FORMAT_VERSION:
+            raise ValueError(f"codebook version {ver} too new")
+        data = np.frombuffer(f.read(), dtype="<f8")
+    if data.size != m * k * sub:
+        raise ValueError("codebook file truncated")
+    return data.reshape(m, k, sub).copy()
 
 
 def train_pq(

@@ -74,6 +74,33 @@ def global_term_stats(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+from pyspark.accumulators import AccumulatorParam
+
+
+class _MetricsParam(AccumulatorParam):
+    """AccumulatorParam merging per-qid counter dicts (executor -> driver).
+    The accumulation analog of the reference's per-search visited/expanded
+    counters (GraphSearcher.java:67-69,93-103; SearchResult.java:27-31 —
+    getVisitedCount/getRerankedCount), surfaced per query id."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a: dict, b: dict) -> dict:
+        for qid, counters in b.items():
+            dst = a.setdefault(qid, {})
+            for k, v in counters.items():
+                dst[k] = dst.get(k, 0) + v
+        return a
+
+
+def make_metrics_accumulator(spark: SparkSession):
+    """Create a per-query search-metrics accumulator to pass as
+    search_index(metrics_acc=...). Read .value AFTER the result DataFrame
+    is materialized (Spark accumulator semantics)."""
+    return spark.sparkContext.accumulator({}, _MetricsParam())
+
+
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
@@ -89,6 +116,7 @@ def score_query_on_segment(
     tombstones: np.ndarray | None = None,
     cache: dict | None = None,
     accept: np.ndarray | None = None,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, scores) of one query against one segment,
     pruning with block-max bounds against incoming threshold theta.
@@ -148,9 +176,16 @@ def score_query_on_segment(
         block_ub[t] = cache[key]
         term_ub[i] = cache[key].max()
 
+    blocks_total = int(sum(len(block_ub[t]) for t in terms))
     total_ub = float(term_ub.sum())
     if total_ub < theta:
+        if stats is not None:
+            stats["segments_skipped_ub"] = stats.get("segments_skipped_ub", 0) + 1
+            stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + blocks_total
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if stats is not None:
+        stats["segments_visited"] = stats.get("segments_visited", 0) + 1
+        stats["blocks_total"] = stats.get("blocks_total", 0) + blocks_total
 
     # MaxScore split: terms that cannot (even jointly) introduce a new
     # top-k doc generate no candidates; their postings are only gathered
@@ -173,6 +208,8 @@ def score_query_on_segment(
         other = total_ub - term_ub[i]
         mask = block_ub[t] + other >= theta
         gen_mask[t] = mask
+        if stats is not None:
+            stats["blocks_gen"] = stats.get("blocks_gen", 0) + int(mask.sum())
         if mask.all():
             d, tf = decode_full(t)
         elif ("full", t) in cache or t in cache.get("_hot", ()) or mask.mean() > 0.5:
@@ -199,6 +236,8 @@ def score_query_on_segment(
         ]
     if not len(candidates):
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if stats is not None:
+        stats["candidates"] = stats.get("candidates", 0) + int(len(candidates))
 
     # exact scoring in canonical sorted-term order (oracle bit-parity)
     scores = np.zeros(len(candidates), dtype=np.float64)
@@ -210,6 +249,10 @@ def score_query_on_segment(
             valid = pos < len(candidates)
             valid[valid] &= candidates[pos[valid]] == d[valid]
             scores[pos[valid]] += c[valid]
+            if stats is not None:
+                stats["postings_scored"] = (
+                    stats.get("postings_scored", 0) + int(valid.sum())
+                )
             continue
         parts_d, parts_tf = [], []
         if t in gen:
@@ -256,6 +299,10 @@ def score_query_on_segment(
         # docids are unique within a term (gen/gather block sets are
         # disjoint), so fancy-index add is safe and faster than np.add.at
         scores[pos] += contrib
+        if stats is not None:
+            stats["postings_scored"] = (
+                stats.get("postings_scored", 0) + int(len(d))
+            )
 
     top = np.lexsort((candidates, -scores))[:k]
     return candidates[top], scores[top]
@@ -296,9 +343,14 @@ def search_partition(
     doc_filter: dict | None = None,
     min_score: float = 0.0,
     after: dict | None = None,
+    metrics: dict | None = None,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern).
+
+    `metrics`: optional {qid: counters} dict updated in place with
+    per-query work counters (segments visited/skipped, block totals,
+    candidates, postings scored) — see make_metrics_accumulator.
 
     doc_filter: attribute conjunction evaluated per segment (acceptOrds).
     min_score:  threshold-query mode — only scores >= min_score return,
@@ -328,10 +380,11 @@ def search_partition(
             reader.accepted_docids(doc_filter) if doc_filter else None
         )
         for qid, st in states.items():
+            qstats = metrics.setdefault(qid, {}) if metrics is not None else None
             d, s = score_query_on_segment(
                 reader, qterms[qid], idfs, st.k,
                 max(st.theta, min_score), avgdl, tombstones,
-                seg_cache, accept,
+                seg_cache, accept, qstats,
             )
             if min_score > 0.0 and len(s):
                 keep = s >= min_score
@@ -363,10 +416,17 @@ def search_index(
     doc_filter: dict | None = None,
     min_score: float = 0.0,
     after: dict | None = None,
+    metrics_acc=None,
 ) -> DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
     merge. Returns (qid, rank, docid, score).
+
+    `metrics_acc` (from make_metrics_accumulator): per-query search-work
+    counters accumulated across every task; read metrics_acc.value once the
+    returned DataFrame has been materialized. This is the observability
+    surface for pruning effectiveness in production (the reference's
+    SearchResult.getVisitedCount contract, SearchResult.java:27-31).
 
     queries: pandas (qid:int, terms:list[str], k:int). Queries are broadcast
     (small); segments are the parallel dimension — at 10^12 docs this is
@@ -402,10 +462,13 @@ def search_index(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
         if paths:
+            task_metrics: dict | None = {} if metrics_acc is not None else None
             yield search_partition(
                 paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
-                doc_filter, min_score, after,
+                doc_filter, min_score, after, task_metrics,
             )
+            if metrics_acc is not None:
+                metrics_acc.add(task_metrics)
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

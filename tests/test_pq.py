@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql.functions import col as F_col
 
 from jvector_spark.operators.ann import brute_force_topk
 from jvector_spark.operators.pq import (
@@ -83,6 +84,45 @@ def test_adc_rerank_recall(spark, vectors_df, vectors_pdf):
     # overlapping ids
     m = approx.merge(exact, on=["qid", "vec_id"], suffixes=("_a", "_e"))
     assert np.allclose(m["score_a"], m["score_e"], atol=1e-9)
+
+
+def test_codebook_serialize_roundtrip(spark, vectors_df, tmp_path):
+    """Versioned codebook write/load (ProductQuantization.write:550-589 /
+    load:639-683 analog): bit-exact round-trip, magic/version checks, and
+    a search from RELOADED codebooks equals the in-memory one."""
+    from jvector_spark.operators.pq import (
+        PQ_FORMAT_VERSION, load_codebooks, save_codebooks)
+
+    books = train_pq(vectors_df, m=8, seed=7)
+    path = str(tmp_path / "books.bin")
+    save_codebooks(path, books)
+    reloaded = load_codebooks(path)
+    assert np.array_equal(books, reloaded)
+
+    # refuse alien/newer files
+    with open(str(tmp_path / "junk.bin"), "wb") as f:
+        f.write(b"\x00" * 40)
+    with pytest.raises(ValueError):
+        load_codebooks(str(tmp_path / "junk.bin"))
+    import struct as _s
+    with open(path, "rb") as f:
+        raw = bytearray(f.read())
+    raw[4:8] = _s.pack("<I", PQ_FORMAT_VERSION + 1)
+    newer = str(tmp_path / "newer.bin")
+    with open(newer, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError):
+        load_codebooks(newer)
+
+    # end-to-end: encode+search from the reopened codebooks
+    queries = vectors_df.limit(3).select(
+        F_col("vec_id").alias("qid"), F_col("embedding").alias("qvec"))
+    a = pq_adc_topk(pq_encode(vectors_df, books), queries, books,
+                    k=5, rerank_k=40).toPandas().sort_values(["qid", "rank"])
+    b = pq_adc_topk(pq_encode(vectors_df, reloaded), queries, reloaded,
+                    k=5, rerank_k=40).toPandas().sort_values(["qid", "rank"])
+    assert a[["qid", "rank", "vec_id"]].values.tolist() == \
+        b[["qid", "rank", "vec_id"]].values.tolist()
 
 
 def test_ivf_probe_recall(spark, vectors_df, vectors_pdf):

@@ -127,6 +127,39 @@ def test_pruning_equals_exhaustive(index, spark, oracle):
             assert np.array_equal(s0[keep], s1[keep1])
 
 
+def test_search_metrics_show_pruning(spark, index, queries_pdf):
+    """Per-query search metrics (SearchResult.getVisitedCount analog,
+    SearchResult.java:27-31): counters accumulate across tasks, and a
+    small-k pruned search must do measurably LESS work than an exhaustive
+    one (k = corpus size forces theta=0 everywhere). num_tasks=1 puts all
+    segments in one sequential task so theta propagates segment-to-segment
+    (the rerankFloor path) — with one segment per task nothing can prune."""
+    from jvector_spark.operators.wand import make_metrics_accumulator
+
+    idx, _ = index
+    q_small = queries_pdf.copy()
+    q_small["k"] = 5
+    acc = make_metrics_accumulator(spark)
+    search_index(spark, idx, q_small, num_tasks=1, metrics_acc=acc).toPandas()
+    pruned = acc.value
+    assert pruned, "no metrics accumulated"
+    some_qid = next(iter(pruned))
+    assert pruned[some_qid].get("segments_visited", 0) > 0
+    assert pruned[some_qid].get("candidates", 0) > 0
+
+    q_big = queries_pdf.copy()
+    q_big["k"] = 100000  # k >= corpus: theta stays 0, nothing prunes
+    acc2 = make_metrics_accumulator(spark)
+    search_index(spark, idx, q_big, num_tasks=1, metrics_acc=acc2).toPandas()
+    exhaustive = acc2.value
+    tot = lambda m, key: sum(c.get(key, 0) for c in m.values())  # noqa: E731
+    assert tot(pruned, "postings_scored") <= tot(exhaustive, "postings_scored")
+    assert tot(pruned, "candidates") < tot(exhaustive, "candidates"), (
+        f"pruning did not reduce candidate work: "
+        f"{tot(pruned, 'candidates')} vs {tot(exhaustive, 'candidates')}"
+    )
+
+
 def test_resume_skips_built_segments(spark, corpus_df, index):
     """Rebuild over an existing index: all segments resumed, manifest equal
     (the CheckpointManager skip-completed behavior)."""
