@@ -202,7 +202,108 @@ def scaling_run(cpus: str, corpus_path: str, queries) -> dict[str, float]:
         spark.stop()
 
 
+N_GRID_QUERIES = 50
+
+
+def _recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame, k: int) -> float:
+    r = []
+    for qid, g in exact.groupby("qid"):
+        e = set(g["vec_id"].head(k))
+        a = set(approx[approx["qid"] == qid]["vec_id"].head(k))
+        r.append(len(a & e) / max(1, len(e)))
+    return round(float(pd.Series(r).mean()), 4)
+
+
+def grid_run() -> None:
+    """ANN recall/QPS operating-point grid — the reference's Bench/Grid
+    surface (jvector-examples/.../Bench.java:45-76, Grid.java:420-534,
+    recall reported per config; ThroughputBenchmark.java warmup protocol).
+
+    Sweeps IVF nprobe and PQ rerank_k against the exact brute-force oracle
+    on the sf embeddings table, then sanity-checks on the reference's OWN
+    siftsmall query fvecs (the base fvecs are not shipped in this checkout,
+    so the 100 query vectors double as the corpus and the oracle is exact
+    brute force — recall of an exact config must be 1.0).
+    """
+    from jvector_spark.operators.ann import (
+        brute_force_topk, ivf_topk, train_centroids)
+    from jvector_spark.operators.pq import pq_adc_topk, pq_encode, train_pq
+    from jvector_spark.session import get_spark
+
+    spark = get_spark(f"grid_local{CPUS}", master=f"local[{CPUS}]")
+    try:
+        configs = []
+
+        def sweep(tag, emb, n_clusters, m):
+            queries = emb.where(F.col("vec_id") < N_GRID_QUERIES).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            )
+            nq = queries.count()
+            # exact baseline (+ its own QPS)
+            brute_force_topk(emb, queries, k=10).count()  # warmup
+            t0 = time.time()
+            exact = brute_force_topk(emb, queries, k=10).toPandas()
+            exact_sec = time.time() - t0
+            configs.append({"dataset": tag, "config": "brute_force",
+                            "recall_at_10": 1.0,
+                            "qps": round(nq / exact_sec, 1)})
+            exact = exact.sort_values(["qid", "rank"])
+
+            cents = train_centroids(emb, n_clusters=n_clusters, seed=42)
+            for nprobe in (1, 2, 4, n_clusters):
+                t0 = time.time()
+                approx = ivf_topk(emb, queries, cents, k=10,
+                                  nprobe=nprobe).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag, "config": f"ivf{n_clusters}_nprobe{nprobe}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                    "scan_fraction": round(nprobe / n_clusters, 3),
+                })
+
+            books = train_pq(emb, m=m, seed=42)
+            enc = pq_encode(emb, books).cache()
+            enc.count()
+            for rerank_k in (10, 20, 50, 100):
+                t0 = time.time()
+                approx = pq_adc_topk(enc, queries, books, k=10,
+                                     rerank_k=rerank_k).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag, "config": f"pq{m}_rerank{rerank_k}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                })
+            enc.unpersist()
+
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        sweep(os.path.basename(os.path.normpath(SF_DIR)), emb,
+              n_clusters=16, m=8)
+
+        sift_q = "/root/reference/siftsmall/siftsmall_query.fvecs"
+        if os.path.exists(sift_q):
+            from jvector_spark.sources.vecfiles import fvecs_df
+
+            sweep("siftsmall_query_fvecs", fvecs_df(spark, sift_q),
+                  n_clusters=8, m=8)
+
+        print(json.dumps({
+            "metric": "ann_recall_qps_grid", "unit": "recall@10 / qps",
+            "value": max(c["recall_at_10"] for c in configs
+                         if c["config"].startswith("pq")),
+            "n_queries": N_GRID_QUERIES, "configs": configs,
+        }))
+    finally:
+        spark.stop()
+
+
 def main() -> None:
+    if "--grid" in sys.argv:
+        grid_run()
+        return
     if "--scaling" in sys.argv:
         # N vs 4N scaling evidence (sandbox proxy for 2 cluster sizes):
         # same input, same job (fixed 64-segment layout), two core counts.
