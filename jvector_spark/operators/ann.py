@@ -89,8 +89,9 @@ def train_centroids(
     vec_col: str = "embedding",
     iters: int = 6,
 ) -> np.ndarray:
-    """Deterministic k-means on a sampled subset (Lloyd, fixed seed/iters —
-    mirrors K_MEANS_ITERATIONS=6 and the 128k training cap,
+    """Deterministic k-means on a sampled subset (k-means++ init + Lloyd,
+    fixed seed/iters — mirrors KMeansPlusPlusClusterer and
+    K_MEANS_ITERATIONS=6 / the 128k training cap,
     ProductQuantization.java:63-64). Returns (n_clusters, dim) float64."""
     n = vectors.count()
     frac = min(1.0, sample_cap / max(n, 1))
@@ -99,7 +100,9 @@ def train_centroids(
     )
     X = np.stack(sample.to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    from jvector_spark.operators.pq import kmeanspp_init
+
+    cent = kmeanspp_init(X, min(n_clusters, len(X)), rng)
     for _ in range(iters):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)

@@ -72,6 +72,28 @@ def load_codebooks(path: str) -> np.ndarray:
     return data.reshape(m, k, sub).copy()
 
 
+def kmeanspp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding (deterministic given rng) — the reference trains
+    with KMeansPlusPlusClusterer (quantization/KMeansPlusPlusClusterer.java;
+    ProductQuantization.createCodebooks): each next center is drawn with
+    probability proportional to squared distance from the chosen set, so a
+    bad uniform draw can't silently degrade codebook quality."""
+    n = len(X)
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[int(rng.integers(n))]
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:  # all remaining points coincide with a center
+            centers[i:] = centers[0]
+            break
+        probs = d2 / tot
+        idx = int(rng.choice(n, p=probs))
+        centers[i] = X[idx]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(1))
+    return centers
+
+
 def train_pq(
     vectors: DataFrame,
     m: int = 8,
@@ -81,7 +103,10 @@ def train_pq(
     n_clusters: int = N_CLUSTERS,
     iters: int = KMEANS_ITERS,
 ) -> np.ndarray:
-    """Codebooks (m, n_clusters, sub_dim) from a seeded sample."""
+    """Codebooks (m, n_clusters, sub_dim) from a seeded sample
+    (k-means++ init + fixed Lloyd iterations, mirroring
+    K_MEANS_ITERATIONS=6 / MAX_PQ_TRAINING_SET_SIZE,
+    ProductQuantization.java:63-64,114-141)."""
     n = vectors.count()
     frac = min(1.0, sample_cap / max(n, 1))
     sample = vectors.sample(fraction=frac, seed=seed).select(vec_col).toPandas()
@@ -95,7 +120,7 @@ def train_pq(
     for s in range(m):
         Xs = X[:, s * sub : (s + 1) * sub]
         k = min(n_clusters, len(Xs))
-        cent = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        cent = kmeanspp_init(Xs, k, rng)
         for _ in range(iters):
             d = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             assign = d.argmin(1)

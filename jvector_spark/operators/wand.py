@@ -417,10 +417,21 @@ def search_index(
     min_score: float = 0.0,
     after: dict | None = None,
     metrics_acc=None,
-) -> DataFrame:
+    merge: str = "spark",
+) -> DataFrame | pd.DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
     merge. Returns (qid, rank, docid, score).
+
+    merge="spark" (default): the global merge is a window row_number —
+    composable lazily with downstream DataFrame ops. merge="driver":
+    partial top-k rows (<= n_queries * k * n_tasks, bounded by
+    construction) collect to the driver and merge in one numpy lexsort —
+    the reference's own multi-index combine shape (GraphSearcher.java:
+    368-385 merges per-index results on the caller thread). This removes
+    a whole shuffle+window stage from the latency path and returns a
+    PANDAS frame; use it for serving-style workloads where the result is
+    consumed at the driver anyway.
 
     `metrics_acc` (from make_metrics_accumulator): per-query search-work
     counters accumulated across every task; read metrics_acc.value once the
@@ -471,6 +482,27 @@ def search_index(
                 metrics_acc.add(task_metrics)
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
+    if merge == "driver":
+        pdf = partial.toPandas()
+        ks = {int(q.qid): int(q.k) for q in queries.itertuples()}
+        outs = []
+        for qid, g in pdf.groupby("qid", sort=True):
+            d = g["docid"].to_numpy(np.int64)
+            s = g["score"].to_numpy(np.float64)
+            order = np.lexsort((d, -s))[: ks[int(qid)]]
+            outs.append(pd.DataFrame({
+                "qid": np.int64(qid),
+                "rank": np.arange(len(order), dtype=np.int32),
+                "docid": d[order], "score": s[order],
+            }))
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                               "rank": pd.Series([], dtype="int32"),
+                               "docid": pd.Series([], dtype="int64"),
+                               "score": pd.Series([], dtype="float64")})
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     ks = F.create_map(
         *[x for q in queries.itertuples() for x in (F.lit(int(q.qid)), F.lit(int(q.k)))]

@@ -647,15 +647,37 @@ class SegmentReader:
     OnDiskGraphIndex.load + RandomAccessReader analog,
     graph/disk/OnDiskGraphIndex.java:162-224). Dictionary + block metadata in
     memory (hot tier, like upper graph layers OnDiskGraphIndex.java:83-84);
-    posting streams memory-mapped, decoded lazily per lookup."""
+    posting streams memory-mapped (posix) or range-read (remote), decoded
+    lazily per lookup.
 
-    def __init__(self, seg_dir: str):
+    Reader SPI (the RandomAccessReader/ReaderSupplier surface,
+    disk/SimpleMappedReader + MemorySegmentReader + README.md:154-156):
+    pass `filesystem` (any `pyarrow.fs.FileSystem` — S3FileSystem,
+    GcsFileSystem, HadoopFileSystem, LocalFileSystem, or a fsspec handler
+    wrapped in PyFileSystem) to route EVERY read — meta, dictionary, doc
+    sidecar, posting-byte ranges — through that filesystem; URIs like
+    `s3://bucket/seg` auto-resolve via FileSystem.from_uri. The posix
+    default keeps the mmap fast path."""
+
+    def __init__(self, seg_dir: str, filesystem=None):
+        if filesystem is None and "://" in seg_dir:
+            from pyarrow import fs as pafs
+
+            filesystem, seg_dir = pafs.FileSystem.from_uri(seg_dir)
         self.seg_dir = seg_dir
-        with open(os.path.join(seg_dir, "meta.json")) as f:
-            self.meta = json.load(f)
+        self._fs = filesystem
+        if filesystem is None:
+            with open(os.path.join(seg_dir, "meta.json")) as f:
+                self.meta = json.load(f)
+        else:
+            with filesystem.open_input_stream(
+                f"{seg_dir}/meta.json"
+            ) as f:
+                self.meta = json.loads(f.read().decode())
         if self.meta["version"] > SEGMENT_FORMAT_VERSION:
             raise ValueError(f"segment version {self.meta['version']} too new")
-        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"),
+                          filesystem=filesystem)
         # dict-of-numpy columns, NOT a pandas index: term_row is on the
         # per-(query, term) hot path and pandas .loc row materialization
         # costs ~100x a dict lookup (profiled: 1/3 of search task time)
@@ -666,13 +688,21 @@ class SegmentReader:
             for name in t.column_names
             if name != "term"
         }
-        self._blob = (
-            np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r")
-            if self.meta["bytes_postings"]
-            else np.zeros(0, np.uint8)
-        )
+        blob_path = os.path.join(seg_dir, "postings.bin")
+        if not self.meta["bytes_postings"]:
+            self._blob = np.zeros(0, np.uint8)
+            self._blob_file = None
+        elif filesystem is None:
+            self._blob = np.memmap(blob_path, dtype=np.uint8, mode="r")
+            self._blob_file = None
+        else:
+            # remote blob: lazy range reads (the MappedChunkReader shape —
+            # no full download; each block fetch is one ranged GET)
+            self._blob = None
+            self._blob_file = filesystem.open_input_file(blob_path)
         docs = pq.read_table(
-            os.path.join(seg_dir, "docs.parquet"), columns=["docid", "dl"]
+            os.path.join(seg_dir, "docs.parquet"), columns=["docid", "dl"],
+            filesystem=filesystem,
         ).to_pandas()
         # docids are dense & contiguous within a segment -> O(1) dl lookup
         self._min_docid = int(self.meta["min_docid"])
@@ -690,7 +720,8 @@ class SegmentReader:
         (docs.parquet); evaluated with parquet predicate pushdown."""
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(os.path.join(self.seg_dir, "docs.parquet"))
+        dset = ds.dataset(os.path.join(self.seg_dir, "docs.parquet"),
+                          filesystem=self._fs)
         missing = set(doc_filter) - set(dset.schema.names)
         if missing:
             raise ValueError(
@@ -719,8 +750,15 @@ class SegmentReader:
     def doclen(self, docids: np.ndarray) -> np.ndarray:
         return self._dl[docids - self._min_docid]
 
+    def _range(self, off: int, ln: int) -> np.ndarray:
+        """uint8 view of blob bytes [off, off+ln): mmap slice locally, one
+        ranged read (read_at) through the filesystem SPI remotely."""
+        if self._blob is not None:
+            return self._blob[off : off + ln]
+        return np.frombuffer(self._blob_file.read_at(ln, off), np.uint8)
+
     def _bytes(self, off: int, ln: int) -> bytes:
-        return self._blob[off : off + ln].tobytes()
+        return self._range(off, ln).tobytes()
 
     def _for_region_values(
         self, r: dict, off_key: str, len_key: str, w: int,
@@ -740,7 +778,7 @@ class SegmentReader:
         if w == 0 or total_n == 0:
             return np.zeros(total_n, np.uint64)
         base = int(offs[0])
-        region = self._blob[base : int(offs[-1] + lens[-1])]
+        region = self._range(base, int(offs[-1] + lens[-1]) - base)
         bits = np.unpackbits(np.ascontiguousarray(region))
         pos = _scatter_positions((offs - base) * 8, blk_n * w)
         vals_bits = bits[pos].reshape(total_n, w).astype(np.uint64)

@@ -94,6 +94,41 @@ def test_v1_segment_still_loads(spark, corpus_df, tmp_path_factory):
     assert len(res) > 0
 
 
+def test_reader_spi_filesystem_path(v2_index):
+    """Reader SPI: every byte of a segment readable through an explicit
+    pyarrow.fs.FileSystem (the ReaderSupplier analog — S3/GCS/HDFS plug in
+    via the same interface; LocalFileSystem here exercises the exact
+    non-mmap code path: meta via open_input_stream, parquet via
+    filesystem=, posting bytes via ranged read_at)."""
+    from pyarrow import fs as pafs
+
+    idx, manifest = v2_index
+    seg = manifest["path"].iloc[0]
+    local = SegmentReader(seg)
+    remote_style = SegmentReader(seg, filesystem=pafs.LocalFileSystem())
+    assert remote_style._blob is None or not remote_style.meta["bytes_postings"]
+    assert remote_style.terms == local.terms
+    for term in local.terms[:40]:
+        d1, t1 = local.decode_term(term)
+        d2, t2 = remote_style.decode_term(term)
+        assert np.array_equal(d1, d2) and np.array_equal(t1, t2), term
+    # block-masked decode through the SPI too
+    term = local.terms[0]
+    nb = len(local.term_row(term)["block_n"])
+    mask = np.arange(nb) % 2 == 0
+    d1, t1 = local.decode_term(term, mask)
+    d2, t2 = remote_style.decode_term(term, mask)
+    assert np.array_equal(d1, d2) and np.array_equal(t1, t2)
+    # attribute filter (acceptOrds) through the SPI — filter on a real
+    # value of the sidecar's `repo` key column
+    some_repo = pq.read_table(
+        os.path.join(seg, "docs.parquet"), columns=["repo"]
+    ).column("repo")[0].as_py()
+    a1 = local.accepted_docids({"repo": some_repo})
+    a2 = remote_style.accepted_docids({"repo": some_repo})
+    assert len(a1) > 0 and np.array_equal(a1, a2)
+
+
 def test_compression_ratio_improves(v2_index):
     """Manifest-level compression metrics: v2 must beat raw 12B/posting
     by a healthy margin on the synthetic corpus."""

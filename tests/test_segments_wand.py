@@ -127,6 +127,23 @@ def test_pruning_equals_exhaustive(index, spark, oracle):
             assert np.array_equal(s0[keep], s1[keep1])
 
 
+def test_driver_merge_equals_spark_merge(spark, index, queries_pdf):
+    """merge='driver' (caller-thread multi-index combine) must be
+    row-identical to the window-based Spark merge."""
+    idx, _ = index
+    a = (
+        search_index(spark, idx, queries_pdf)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search_index(spark, idx, queries_pdf, merge="driver")
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert a["qid"].tolist() == b["qid"].tolist()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
 def test_search_metrics_show_pruning(spark, index, queries_pdf):
     """Per-query search metrics (SearchResult.getVisitedCount analog,
     SearchResult.java:27-31): counters accumulate across tasks, and a
