@@ -230,37 +230,64 @@ def encode_postings_frame(
         out[_scatter_positions(blk_tf_off[~tf_for_blk],
                                vlen_tf_blk[~tf_for_blk])] = vi_tf
 
-    # --- FOR sections: every value's bits scatter (MSB-first, matching
-    # np.unpackbits) into ONE global bit array, packed in a single pass
+    # --- FOR sections (MSB-first bit order, matching np.unpackbits).
+    # Full blocks (block_size values, 128*w bits = 16*w bytes, padding-free)
+    # pack per distinct width with ONE broadcastted bit matrix + packbits —
+    # ~5x cheaper than per-bit scatter. Only partial blocks (<=1 per term)
+    # go through the bit-scatter fallback.
     within_blk = np.arange(n, dtype=np.int64) - b_start[blk_of_val]
-
-    def _for_bits(vals, mask, w_per_val, base_byte_off):
-        v = vals[mask]
-        w = w_per_val[mask]
-        if not len(v) or int(w.sum()) == 0:
-            return None
-        base_bit = base_byte_off[blk_of_val[mask]] * 8 + within_blk[mask] * w
-        starts = np.concatenate(([0], np.cumsum(w)[:-1]))
-        tot = int(w.sum())
-        t = np.arange(tot, dtype=np.int64) - np.repeat(starts, w)
-        v_rep = np.repeat(v, w)
-        w_rep = np.repeat(w, w)
-        bits = ((v_rep >> (w_rep - 1 - t).astype(np.uint64))
-                & np.uint64(1)).astype(np.uint8)
-        pos = np.repeat(base_bit, w) + t
-        return pos, bits
-
+    full_blk = blk_n == block_size
+    full_val = full_blk[blk_of_val]
     bitarr = None
-    for args in (
-        _for_bits(v_gap, gap_for_val, w_gap_t[b_term][blk_of_val], blk_doc_off),
-        _for_bits(tf_u, tf_for_val, w_tf_t[b_term][blk_of_val], blk_tf_off),
-    ):
-        if args is None:
-            continue
-        if bitarr is None:
-            bitarr = np.zeros(total_bytes * 8, np.uint8)
-        pos, bits = args
-        bitarr[pos] = bits
+
+    def _pack_stream(vals, for_val, w_term_val, base_byte_off):
+        nonlocal bitarr
+        # full FOR blocks, grouped by width
+        fmask = for_val & full_val
+        if fmask.any():
+            wv = w_term_val[fmask]
+            v_f = vals[fmask]
+            off_f = base_byte_off[blk_of_val[fmask]]
+            within_f = within_blk[fmask]
+            for w in np.unique(wv):
+                w = int(w)
+                if w == 0:
+                    continue
+                sel = wv == w
+                v_w = v_f[sel]
+                shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+                bits = ((v_w[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.uint8)
+                packed = np.packbits(bits.ravel())
+                # target bytes: value i's w bits start at byte boundary
+                # pattern off + within*w/8; full blocks are contiguous 16w-
+                # byte runs, so per-value byte positions tile exactly
+                first_of_blk = within_f[sel] == 0
+                blk_offs = off_f[sel][first_of_blk]
+                out[_scatter_positions(
+                    blk_offs, np.full(len(blk_offs), 16 * w, np.int64)
+                )] = packed
+        # partial FOR blocks: bit-scatter fallback (small)
+        pmask = for_val & ~full_val
+        if pmask.any():
+            v = vals[pmask]
+            w = w_term_val[pmask]
+            if int(w.sum()):
+                if bitarr is None:
+                    bitarr = np.zeros(total_bytes * 8, np.uint8)
+                base_bit = (base_byte_off[blk_of_val[pmask]] * 8
+                            + within_blk[pmask] * w)
+                starts = np.concatenate(([0], np.cumsum(w)[:-1]))
+                tot = int(w.sum())
+                t = np.arange(tot, dtype=np.int64) - np.repeat(starts, w)
+                v_rep = np.repeat(v, w)
+                w_rep = np.repeat(w, w)
+                bits = ((v_rep >> (w_rep - 1 - t).astype(np.uint64))
+                        & np.uint64(1)).astype(np.uint8)
+                bitarr[np.repeat(base_bit, w) + t] = bits
+
+    _pack_stream(v_gap, gap_for_val, w_gap_t[b_term][blk_of_val], blk_doc_off)
+    _pack_stream(tf_u, tf_for_val, w_tf_t[b_term][blk_of_val], blk_tf_off)
     if bitarr is not None:
         out |= np.packbits(bitarr)
     blob = out.tobytes()
