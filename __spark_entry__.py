@@ -108,6 +108,20 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(docs, mode="simple", content_col="text")
 
 
+def _postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized postings: tokenize ONCE into a parquet table, then
+    every consumer (dictionary, stats, scoring join) is a column-pruned
+    parquet scan. This replaces the round-1 `.persist()` workaround —
+    at 100 TB a cluster-memory pin of the full postings is a memory bill,
+    while the materialized table is exactly the artifact an index build
+    writes anyway (segments ARE materialized postings)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(ENTRY_INDEX_ROOT, f"postings_v2_{tag}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _postings(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # query functions
 # --------------------------------------------------------------------------
@@ -118,9 +132,11 @@ def q_bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.postings import (
         corpus_stats, doc_lengths, term_stats)
 
-    # persist: the plan consumes postings 3x (dictionary, stats, join) and
-    # the mapInPandas tokenization would otherwise run 3 full passes
-    postings = _postings(spark, sf_dir).persist()
+    # the plan consumes postings 3x (dictionary, stats, scoring join):
+    # read them from the materialized table so each consumption is a
+    # column-pruned parquet scan — no triple tokenization, no
+    # cluster-memory persist (the round-1 workaround)
+    postings = _postings_table(spark, sf_dir)
     stats = corpus_stats(doc_lengths(postings))
     out = bm25_topk(postings, term_stats(postings), stats, _query_df(spark))
     return _rerank_rounded(out)
@@ -144,6 +160,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             m = load_manifest(index_dir)
             if (m.get("version") != SEGMENT_FORMAT_VERSION
                     or "metrics" not in m
+                    or not m.get("has_positions")
                     or not os.path.exists(
                         os.path.join(index_dir, "term_stats.parquet"))):
                 shutil.rmtree(index_dir, ignore_errors=True)
@@ -157,6 +174,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         build_index(
             docs, index_dir, mode="simple", num_segments=8,
             content_col="text", key_cols=("source", "lang"),
+            positions=True,
         )
     return index_dir
 
@@ -207,6 +225,31 @@ def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = search_index(spark, index_dir, qpdf)
     return _rerank_rounded(out, page=1)
+
+
+# phrases present in the driver documents fixtures (whitespace tokens);
+# the last one never matches (exercises the empty-result path)
+PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
+    (0, "table hash", 10),
+    (1, "customer join", 10),
+    (2, "slow hash batch", 10),
+    (3, "merge group", 100),
+    (4, "zz no such phrase", 10),
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase queries over positional postings (per-posting payload
+    stream — the Feature-plugin analog): rank by match count."""
+    from jvector_spark.operators.phrase import phrase_search
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(PHRASE_QUERY_SET, columns=["qid", "phrase", "k"])
+    out = phrase_search(spark, index_dir, qpdf)
+    return out.select(
+        F.col("qid").cast("long"), F.col("rank").cast("int"),
+        F.col("docid").cast("long"), F.col("n_matches").cast("long"),
+    )
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
+        "phrase_search": q_phrase_search,
         "term_stats": q_term_stats,
         "term_stats_salted": q_term_stats_salted,
         "corpus_stats": q_corpus_stats,
@@ -661,6 +705,35 @@ FROM j WHERE jaccard_ppm >= 500000
 """
 
 
+def _phrase_oracle() -> str:
+    """Sliding-window phrase-count oracle: for phrase [t1..tm], anchors i
+    where ts[i+j] == tj for all j (DuckDB 1-based element_at)."""
+    parts = []
+    for qid, phrase, k in PHRASE_QUERY_SET:
+        terms = [t for t in phrase.split(" ") if t]
+        m = len(terms)
+        cond = " AND ".join(
+            f"ts[i + {j + 1}] = '{t}'" for j, t in enumerate(terms)
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, {k} AS k, doc_id, "
+            f"len(list_filter(range(len(ts) - {m - 1}), i -> {cond}))::BIGINT "
+            f"AS n_matches FROM tl"
+        )
+    union = "\nUNION ALL ".join(parts)
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents),
+m AS ({union}),
+r AS (SELECT qid, k, doc_id, n_matches,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY n_matches DESC, doc_id ASC) AS rn
+      FROM m WHERE n_matches >= 1)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid, n_matches
+FROM r WHERE rn <= k
+"""
+
+
 def _lsh_verified_oracle() -> str:
     """SQL mirror of dedup.lsh_verified_pairs: 16-hash minhash LSH banding
     (8 bands of 2) for candidates, exact n-gram Jaccard >= 0.5 on the
@@ -769,6 +842,7 @@ FROM per
         ),
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
+        "phrase_search": _phrase_oracle(),
         "term_stats": term_stats_sql,
         "term_stats_salted": term_stats_sql,
         "corpus_stats": f"""

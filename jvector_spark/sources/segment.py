@@ -114,6 +114,7 @@ def encode_postings_frame(
     p_dl: np.ndarray,
     block_size: int = BLOCK_SIZE,
     adaptive: bool = True,
+    p_pos: np.ndarray | None = None,
 ) -> tuple[pa.Table, bytes]:
     """Postings sorted by (term, docid) -> (dictionary table, postings blob).
 
@@ -136,6 +137,13 @@ def encode_postings_frame(
 
     `adaptive=False` forces varint everywhere (v1-compatible byte layout;
     used by the format-compat tests).
+
+    `p_pos` (optional): occurrence-level token positions, parallel to the
+    postings in posting order (posting i owns p_pos[cum_tf[i]:cum_tf[i+1]],
+    ascending within a posting) — the per-posting PAYLOAD stream (the
+    reference's Feature-plugin surface, graph/disk/feature/*). Stored as a
+    varint region after the tf region with per-block byte ranges
+    (block_pos_off/len) in the dictionary; enables phrase queries.
     """
     n = len(p_doc)
     if n == 0:  # all-empty-content partition: valid, empty segment
@@ -216,7 +224,23 @@ def encode_postings_frame(
     blk_tf_off = gap_region + np.concatenate(([0], np.cumsum(blk_tf_len)))[:-1]
     total_bytes = gap_region + int(blk_tf_len.sum())
 
+    # optional positions payload region (sequential varint after tf region)
+    blk_pos_off = blk_pos_len = None
+    pos_bytes = b""
+    if p_pos is not None:
+        pos_u = np.ascontiguousarray(p_pos, dtype=np.uint64)
+        occ_off = np.concatenate(([0], np.cumsum(p_tf))).astype(np.int64)
+        pos_nb = varint_nbytes(pos_u)
+        pos_cs = np.concatenate(([0], np.cumsum(pos_nb)))
+        pos_region = total_bytes
+        blk_pos_off = pos_region + pos_cs[occ_off[b_start]]
+        blk_pos_len = pos_cs[occ_off[b_end]] - pos_cs[occ_off[b_start]]
+        pos_bytes = varint_encode(pos_u)
+        total_bytes += len(pos_bytes)
+
     out = np.zeros(total_bytes, np.uint8)
+    if pos_bytes:
+        out[-len(pos_bytes):] = np.frombuffer(pos_bytes, np.uint8)
     # --- varint sections: one encode call per stream, scattered to the
     # (possibly non-contiguous) block byte ranges
     gap_for_val = gap_for_blk[blk_of_val]
@@ -324,6 +348,10 @@ def encode_postings_frame(
         "block_tf_len": lst(blk_tf_len.astype(np.int32), pa.int32()),
         "block_max_tf": lst(blk_max_tf.astype(np.int32), pa.int32()),
         "block_min_dl": lst(blk_min_dl.astype(np.int32), pa.int32()),
+        **({
+            "block_pos_off": lst(blk_pos_off.astype(np.int64), pa.int64()),
+            "block_pos_len": lst(blk_pos_len.astype(np.int32), pa.int32()),
+        } if blk_pos_off is not None else {}),
     })
     return tbl, blob
 
@@ -392,6 +420,7 @@ def _build_segment_stream(
     key_cols: tuple[str, ...],
     block_size: int,
     codec: str = "adaptive",
+    positions: bool = False,
 ) -> pd.DataFrame | None:
     """Build one segment by STREAMING the partition's Arrow batches.
 
@@ -415,6 +444,7 @@ def _build_segment_stream(
     c_terms: list[np.ndarray] = []
     c_docs: list[np.ndarray] = []
     c_tfs: list[np.ndarray] = []
+    c_pos: list[np.ndarray] = []
     for pdf in batches:
         if not len(pdf):
             continue
@@ -437,7 +467,16 @@ def _build_segment_stream(
         local = np.arange(len(pdf), dtype=np.int64).repeat(lens)
         span = len(pdf)
         combo = codes.astype(np.int64) * span + local
-        combo.sort(kind="stable")
+        if positions:
+            # within-doc token index per occurrence; the stable argsort
+            # groups occurrences by (term, doc) keeping positions ascending
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts.repeat(lens)
+            ordr = np.argsort(combo, kind="stable")
+            combo = combo[ordr]
+            c_pos.append(pos_in_doc[ordr])
+        else:
+            combo.sort(kind="stable")
         uc, tf = np.unique(combo, return_counts=True)
         c_terms.append(uniq[uc // span])
         c_docs.append(docids[uc % span])
@@ -488,17 +527,25 @@ def _build_segment_stream(
         dl_arr = np.zeros(seg_span, dtype=np.int64)
         dl_arr[docids - docids[0]] = docs_pdf["dl"].to_numpy(np.int64)
         p_dl = dl_arr[p_doc - docids[0]]
+        p_pos = None
+        if positions:
+            # gather each posting's occurrence range in the new order
+            all_pos = np.concatenate(c_pos)
+            occ_off = np.concatenate(([0], np.cumsum(all_tf)))[:-1]
+            p_pos = all_pos[_scatter_positions(occ_off[order], p_tf)]
     else:
         p_term = np.array([], dtype=object)
         p_doc = p_tf = p_dl = np.array([], dtype=np.int64)
+        p_pos = np.array([], dtype=np.int64) if positions else None
 
     terms_tbl, blob = encode_postings_frame(
         p_term, p_doc.astype(np.int64), p_tf.astype(np.int64), p_dl,
-        block_size, adaptive=(codec == "adaptive"),
+        block_size, adaptive=(codec == "adaptive"), p_pos=p_pos,
     )
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
+        "has_positions": positions,
     })
     return manifest_row("built", meta, time.time() - t0)
 
@@ -511,10 +558,12 @@ def _build_one_segment(
     key_cols: tuple[str, ...],
     block_size: int,
     codec: str = "adaptive",
+    positions: bool = False,
 ) -> pd.DataFrame:
     """Whole-frame convenience wrapper over the streaming builder."""
     return _build_segment_stream(
-        iter([pdf]), index_dir, mode, content_col, key_cols, block_size, codec
+        iter([pdf]), index_dir, mode, content_col, key_cols, block_size,
+        codec, positions
     )
 
 
@@ -529,6 +578,7 @@ def build_index(
     assume_partitioned: bool = False,
     write_manifest: bool = True,
     codec: str = "adaptive",
+    positions: bool = False,
 ) -> pd.DataFrame:
     """Build all segments + index manifest. Returns the manifest as pandas.
 
@@ -557,7 +607,8 @@ def build_index(
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         row = _build_segment_stream(batches, index_dir, mode, content_col,
-                                    tuple(key_cols), block_size, codec)
+                                    tuple(key_cols), block_size, codec,
+                                    positions)
         if row is not None:
             yield row
 
@@ -631,9 +682,12 @@ def read_global_term_stats(index_dir: str,
 
 def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> dict:
     sum_dl = 0
+    has_positions = bool(len(manifest))
     for p in manifest["path"]:
         with open(os.path.join(p, "meta.json")) as f:
-            sum_dl += json.load(f)["sum_dl"]
+            m = json.load(f)
+        sum_dl += m["sum_dl"]
+        has_positions = has_positions and bool(m.get("has_positions"))
     total_postings = int(manifest["n_postings"].sum())
     total_bytes = int(manifest["bytes_postings"].sum())
     status = manifest["status"].value_counts().to_dict() if len(manifest) else {}
@@ -653,6 +707,7 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> d
         "n_postings": int(manifest["n_postings"].sum()),
         "sum_dl": int(sum_dl),
         "avgdl": float(sum_dl / max(1, int(manifest["n_docs"].sum()))),
+        "has_positions": has_positions,
         "tokenizer_mode": mode,
         "built_at": time.time(),
     }
@@ -866,6 +921,43 @@ class SegmentReader:
                 int(r["block_n"][bi]),
             ).astype(np.int64))
         return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+    @property
+    def has_positions(self) -> bool:
+        return "block_pos_off" in self._cols
+
+    def decode_term_positions(
+        self, term: str, block_mask: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, tfs, flat_positions) — posting i of the return owns
+        flat_positions[cum_tf[i] : cum_tf[i+1]] (token indices, ascending).
+        The per-posting payload read path (Feature plugin analog); block-
+        selective like decode_term."""
+        if not self.has_positions:
+            raise ValueError("segment was built without positions=True")
+        r = self.term_row(term)
+        sel = None
+        if block_mask is not None and not block_mask.all():
+            sel = np.asarray(block_mask, dtype=bool)
+            if not sel.any():
+                z = np.zeros(0, np.int64)
+                return z, z, z
+        d = self._decode_docids(r, sel)
+        tf = self._decode_tfs(r, sel)
+        offs = np.asarray(r["block_pos_off"], dtype=np.int64)
+        lens = np.asarray(r["block_pos_len"], dtype=np.int64)
+        if sel is not None:
+            offs, lens = offs[sel], lens[sel]
+        n_occ = int(tf.sum())
+        if n_occ == 0:
+            return d, tf, np.zeros(0, np.int64)
+        # positions region is sequential varint; selected block ranges may
+        # be non-contiguous -> concatenate the byte ranges, one decode
+        buf = b"".join(
+            self._bytes(int(o), int(ln)) for o, ln in zip(offs, lens) if ln
+        )
+        pos = varint_decode(buf, n_occ).astype(np.int64)
+        return d, tf, pos
 
     def decode_term(
         self, term: str, block_mask: np.ndarray | None = None
