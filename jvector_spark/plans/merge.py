@@ -101,15 +101,24 @@ def _merge_group(
     t_parts: list[np.ndarray] = []
     d_parts: list[np.ndarray] = []
     tf_parts: list[np.ndarray] = []
-    for p in seg_paths:
-        r = SegmentReader(p)
+    pos_parts: list[np.ndarray] = []
+    readers = [SegmentReader(p) for p in seg_paths]
+    # positions survive compaction iff EVERY input segment carries them
+    # (position values are within-doc indices — docid remapping does not
+    # touch them, only the posting reorder does)
+    with_positions = all(r.has_positions for r in readers if r.terms)
+    for p, r in zip(seg_paths, readers):
         docs = pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
         doc_frames.append(docs)
         if not r.terms:
             continue
         seg_d, seg_tf, lens = [], [], np.empty(len(r.terms), np.int64)
         for ti, t in enumerate(r.terms):
-            d, tf = r.decode_term(t)
+            if with_positions:
+                d, tf, pos = r.decode_term_positions(t)
+                pos_parts.append(pos)
+            else:
+                d, tf = r.decode_term(t)
             seg_d.append(d)
             seg_tf.append(tf)
             lens[ti] = len(d)
@@ -132,11 +141,11 @@ def _merge_group(
         all_tf = np.concatenate(tf_parts)
         # live filter + remap via one searchsorted against the sorted
         # survivor ids (new docid = offset + rank)
-        pos = np.searchsorted(old, all_d)
-        keep = pos < len(old)
-        keep[keep] &= old[pos[keep]] == all_d[keep]
+        rpos = np.searchsorted(old, all_d)
+        keep = rpos < len(old)
+        keep[keep] &= old[rpos[keep]] == all_d[keep]
         p_term = all_t[keep]
-        p_doc = docid_offset + pos[keep]
+        p_doc = docid_offset + rpos[keep]
         p_tf = all_tf[keep].astype(np.int64)
         # (term, docid) order via factorize + int sort (no string sort of
         # the posting stream — same pattern as _build_segment_stream)
@@ -147,9 +156,18 @@ def _merge_group(
         order = np.argsort(rank[codes] * max(span, 1) + (p_doc - docid_offset),
                            kind="stable")
         p_term, p_doc, p_tf = p_term[order], p_doc[order], p_tf[order]
+        p_pos = None
+        if with_positions:
+            from jvector_spark.sources.segment import _scatter_positions
+
+            all_pos = (np.concatenate(pos_parts) if pos_parts
+                       else np.zeros(0, np.int64))
+            occ_off = np.concatenate(([0], np.cumsum(all_tf)))[:-1]
+            p_pos = all_pos[_scatter_positions(occ_off[keep][order], p_tf)]
     else:
         p_term = np.array([], dtype=object)
         p_doc = p_tf = np.array([], dtype=np.int64)
+        p_pos = np.array([], dtype=np.int64) if with_positions else None
 
     docs_live = docs_live.copy()
     docs_live["docid"] = new
@@ -159,6 +177,7 @@ def _merge_group(
     if len(p_doc):
         terms_tbl, blob = encode_postings_frame(
             p_term, p_doc, p_tf, dl_arr[p_doc - docid_offset], block_size,
+            p_pos=p_pos,
         )
     else:
         terms_tbl, blob = encode_postings_frame(
@@ -171,6 +190,7 @@ def _merge_group(
         "segment_id": seg_id, "block_size": block_size,
         "merged_from": [os.path.basename(p) for p in seg_paths],
         "fingerprint": f"merge-{group_id}-{len(old)}",
+        "has_positions": bool(with_positions),
     })
     man = pd.DataFrame([{
         "segment_id": seg_id, "path": seg_dir, "status": "merged",

@@ -49,6 +49,7 @@ def append_micro_segment(
     content_col: str = "content",
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     segments_per_batch: int = 1,
+    positions: bool = False,
 ) -> None:
     """foreachBatch sink: build the batch into micro-segment(s) and extend
     the manifest with EXACTLY ONE atomic manifest write per batch.
@@ -103,6 +104,7 @@ def append_micro_segment(
     sub_manifest = build_index(
         with_ids, index_dir, mode=mode, num_segments=segments_per_batch,
         content_col=content_col, key_cols=key_cols, write_manifest=False,
+        positions=positions,
     )
     if old is not None and old["segments"]:
         prev = pd.DataFrame(old["segments"])
@@ -125,6 +127,7 @@ def stream_build_index(
     content_col: str = "content",
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     trigger_once: bool = True,
+    positions: bool = False,
 ):
     """readStream source -> micro-segment index. Returns the query handle.
 
@@ -132,7 +135,8 @@ def stream_build_index(
     segment fingerprints add index-level idempotence on top.
     """
     def sink(bdf: DataFrame, bid: int) -> None:
-        append_micro_segment(bdf, bid, index_dir, mode, content_col, key_cols)
+        append_micro_segment(bdf, bid, index_dir, mode, content_col, key_cols,
+                             positions=positions)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

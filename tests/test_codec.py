@@ -75,3 +75,64 @@ def test_compression_ratio_on_dense_gaps():
     payload = encode_block(docids, tfs)
     raw = len(docids) * 16
     assert len(payload) < raw / 4, f"{len(payload)} vs raw {raw}"
+
+
+# --- segment-level property tests: the full v2 frame (adaptive codec +
+# optional positions payload) round-trips EXACTLY for arbitrary posting
+# sets — the property the merge-compactor and WAND search both rely on.
+
+@st.composite
+def _posting_sets(draw):
+    n_terms = draw(st.integers(1, 12))
+    rows = []
+    for t in range(n_terms):
+        df = draw(st.integers(1, 300))
+        # docids: sorted unique, possibly huge gaps (docid space to 2^40)
+        base = draw(st.integers(0, 2**40))
+        gaps = draw(st.lists(st.integers(1, 2**20), min_size=df, max_size=df))
+        docs = base + np.cumsum(np.array(gaps, dtype=np.int64))
+        tfs = draw(st.lists(st.integers(1, 50), min_size=df, max_size=df))
+        rows.extend((f"t{t:03d}", int(d), int(f)) for d, f in zip(docs, tfs))
+    rows.sort()
+    return rows
+
+
+@given(_posting_sets(), st.booleans(), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_segment_frame_roundtrip_property(rows, adaptive, with_pos):
+    from jvector_spark.sources import segment as S
+
+    p_term = np.array([r[0] for r in rows], dtype=object)
+    p_doc = np.array([r[1] for r in rows], dtype=np.int64)
+    p_tf = np.array([r[2] for r in rows], dtype=np.int64)
+    p_dl = np.full(len(rows), 17, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    p_pos = None
+    occ_off = np.concatenate(([0], np.cumsum(p_tf)))
+    if with_pos:
+        # per posting: tf ascending positions
+        p_pos = np.concatenate([
+            np.sort(rng.choice(10**6, size=int(tf), replace=False))
+            for tf in p_tf
+        ]) if len(p_tf) else np.zeros(0, np.int64)
+    tbl, blob = S.encode_postings_frame(
+        p_term, p_doc, p_tf, p_dl, 128, adaptive=adaptive, p_pos=p_pos)
+    rd = object.__new__(S.SegmentReader)
+    rd._blob = np.frombuffer(blob, np.uint8)
+    rd._blob_file = None
+    cols = {n: tbl.column(n).to_numpy(zero_copy_only=False)
+            for n in tbl.column_names if n != "term"}
+    terms = tbl.column("term").to_pylist()
+    rd._cols = cols
+    rd._term_idx = {t: i for i, t in enumerate(terms)}
+    rd.terms = terms
+    for t in terms:
+        m = p_term == t
+        if with_pos:
+            d, tf, pos = rd.decode_term_positions(t)
+            occ_m = np.repeat(m, p_tf)
+            assert np.array_equal(pos, p_pos[occ_m]), t
+        else:
+            d, tf = rd.decode_term(t)
+        assert np.array_equal(d, p_doc[m]), t
+        assert np.array_equal(tf, p_tf[m]), t

@@ -127,6 +127,39 @@ def test_phrase_requires_positions(spark, corpus_df, tmp_path_factory):
             {"qid": [0], "phrase": [PHRASES[0]], "k": [5]}))
 
 
+def test_phrase_survives_compaction_with_deletes(spark, pos_index,
+                                                 corpus_pdf,
+                                                 tmp_path_factory):
+    """Compaction must CARRY the positional payload stream: phrase results
+    on the compacted index equal the oracle over the reduced corpus with
+    remapped docids (positions are within-doc indices — docid renumbering
+    never touches them)."""
+    from jvector_spark.plans.merge import compact_index, mark_deleted
+
+    idx, _ = pos_index
+    deleted = [1, 5, 40]
+    mark_deleted(idx, deleted)
+    out = str(tmp_path_factory.mktemp("idx_pos_compact"))
+    compact_index(spark, idx, out, target_segments=2)
+    phrase = PHRASES[0]
+    terms = list(tokenize_series(pd.Series([phrase]), "code").iloc[0])
+    exp_old = _python_phrase_counts(corpus_pdf, terms)
+    # remap: survivors keep order; new docid = rank among survivors
+    survivors = [d for d in range(len(corpus_pdf)) if d not in deleted]
+    remap = {d: i for i, d in enumerate(survivors)}
+    exp = {remap[d]: n for d, n in exp_old.items() if d in remap}
+    got = phrase_search(
+        spark, out,
+        pd.DataFrame({"qid": [0], "phrase": [phrase], "k": [100]}),
+        merge="driver")
+    exp_sorted = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    assert got["docid"].tolist() == [d for d, _ in exp_sorted]
+    assert got["n_matches"].tolist() == [n for _, n in exp_sorted]
+    # cleanup: pos_index fixture is module-scoped — drop the tombstones
+    import os
+    os.remove(os.path.join(idx, "tombstones.json"))
+
+
 def test_phrase_with_tombstones(spark, pos_index, corpus_pdf):
     """Deleted docs drop out of phrase results immediately."""
     idx, manifest = pos_index
