@@ -13,6 +13,8 @@ Subcommands:
     build    corpus parquet -> dense docids -> compressed segments
              (resumable: re-running skips fingerprint-matched segments)
     search   top-k BM25 queries (JSON lines: {"qid","terms","k"}) -> parquet
+    phrase   exact phrase queries over positional payloads
+             (JSON lines: {"qid","phrase","k"}) -> parquet
     compact  merge segments + purge tombstones + renumber
     delete   add tombstones by docid
     metrics  print the manifest's lineage/metrics JSON
@@ -82,12 +84,20 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--segments", type=int, default=None)
     b.add_argument("--content-col", default="content")
     b.add_argument("--key-cols", default="repo,path,commit")
+    b.add_argument("--positions", action="store_true",
+                   help="store positional payloads (enables phrase search)")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True,
                    help="JSON-lines file: {qid, terms, k}")
     s.add_argument("--output", required=True, help="output parquet path")
+
+    ph = sub.add_parser("phrase")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--queries", required=True,
+                    help="JSON-lines file: {qid, phrase, k}")
+    ph.add_argument("--output", required=True, help="output parquet path")
 
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
@@ -129,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             manifest = build_index(
                 docs, args.index, mode=args.mode, num_segments=args.segments,
                 content_col=args.content_col, key_cols=key_cols,
-                assume_partitioned=True,
+                assume_partitioned=True, positions=args.positions,
             )
             print(json.dumps({
                 "segments": len(manifest),
@@ -144,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
 
             qpdf = pd.read_json(args.queries, lines=True)
             res = search_index(spark, args.index, qpdf)
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "phrase":
+            import pandas as pd
+
+            from jvector_spark.operators.phrase import phrase_search
+
+            qpdf = pd.read_json(args.queries, lines=True)
+            res = phrase_search(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
         elif args.cmd == "compact":

@@ -78,6 +78,19 @@ def test_cli_lifecycle(spark, corpus_pdf, tmp_path):
     res = pd.read_parquet(out)
     assert set(res["qid"]) == {0, 1}
 
+    # positional build + phrase through the CLI
+    idxp = str(tmp_path / "idxp")
+    pfile = str(tmp_path / "p.jsonl")
+    pd.DataFrame({"qid": [0], "phrase": ["map_get21 run_parse33"],
+                  "k": [5]}).to_json(pfile, orient="records", lines=True)
+    outp = str(tmp_path / "outp")
+    assert cli.main(["build", "--input", src, "--index", idxp,
+                     "--segments", "3", "--positions"]) == 0
+    assert cli.main(["phrase", "--index", idxp, "--queries", pfile,
+                     "--output", outp]) == 0
+    pres = pd.read_parquet(outp)
+    assert len(pres) > 0 and (pres["n_matches"] >= 1).all()
+
     assert cli.main(["delete", "--index", idx, "--docids", "0,1"]) == 0
     out2 = str(tmp_path / "idx2")
     assert cli.main(["compact", "--index", idx, "--output", out2,
