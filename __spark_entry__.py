@@ -252,6 +252,33 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token regexes over the documents vocabulary; unanchored search semantics
+# in BOTH engines (python re.search / DuckDB-RE2 regexp_matches); the last
+# pattern matches nothing
+REGEX_QUERY_SET: list[tuple[int, str, int]] = [
+    (0, "^sc", 10),
+    (1, "le$", 10),
+    (2, "^..st$", 100),
+    (3, "a.*e", 10),
+    (4, "zzz_never", 10),
+]
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep-style token-regex search: dictionary-driven term expansion
+    (the hot-tier vocabulary scan), matched-term posting aggregation,
+    rank by total matching-token occurrences."""
+    from jvector_spark.operators.regex import regex_token_topk
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(REGEX_QUERY_SET, columns=["qid", "pattern", "k"])
+    out = regex_token_topk(spark, index_dir, qpdf)
+    return out.select(
+        F.col("qid").cast("long"), F.col("rank").cast("int"),
+        F.col("docid").cast("long"), F.col("n_occ").cast("long"),
+    )
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.postings import term_stats
 
@@ -539,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
         "phrase_search": q_phrase_search,
+        "regex_search": q_regex_search,
         "term_stats": q_term_stats,
         "term_stats_salted": q_term_stats_salted,
         "corpus_stats": q_corpus_stats,
@@ -705,6 +733,28 @@ FROM j WHERE jaccard_ppm >= 500000
 """
 
 
+def _regex_oracle() -> str:
+    """Token-regex oracle: regexp_matches (RE2 unanchored search — same
+    semantics as python re.search in the engine's dictionary expansion)
+    joined into the per-doc tf table, summed, ranked by n_occ."""
+    vals = ", ".join(
+        f"({qid}, '{pat}', {k})" for qid, pat, k in REGEX_QUERY_SET
+    )
+    return f"""
+WITH {_TOK}, {_TF},
+q(qid, pat, k) AS (VALUES {vals}),
+m AS (SELECT q.qid::BIGINT AS qid, q.k, tf.doc_id,
+      sum(tf.tf)::BIGINT AS n_occ
+      FROM q JOIN tf ON regexp_matches(tf.term, q.pat) GROUP BY 1, 2, 3),
+r AS (SELECT qid, k, doc_id, n_occ,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY n_occ DESC, doc_id ASC) AS rn
+      FROM m)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid, n_occ
+FROM r WHERE rn <= k
+"""
+
+
 def _phrase_oracle() -> str:
     """Sliding-window phrase-count oracle: for phrase [t1..tm], anchors i
     where ts[i+j] == tj for all j (DuckDB 1-based element_at)."""
@@ -843,6 +893,7 @@ FROM per
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
         "phrase_search": _phrase_oracle(),
+        "regex_search": _regex_oracle(),
         "term_stats": term_stats_sql,
         "term_stats_salted": term_stats_sql,
         "corpus_stats": f"""

@@ -15,6 +15,8 @@ Subcommands:
     search   top-k BM25 queries (JSON lines: {"qid","terms","k"}) -> parquet
     phrase   exact phrase queries over positional payloads
              (JSON lines: {"qid","phrase","k"}) -> parquet
+    regex    grep-style token-regex search (dictionary expansion)
+             (JSON lines: {"qid","pattern","k"}) -> parquet
     compact  merge segments + purge tombstones + renumber
     delete   add tombstones by docid
     metrics  print the manifest's lineage/metrics JSON
@@ -99,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON-lines file: {qid, phrase, k}")
     ph.add_argument("--output", required=True, help="output parquet path")
 
+    rx = sub.add_parser("regex")
+    rx.add_argument("--index", required=True)
+    rx.add_argument("--queries", required=True,
+                    help="JSON-lines file: {qid, pattern, k}")
+    rx.add_argument("--output", required=True, help="output parquet path")
+
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
     c.add_argument("--output", required=True)
@@ -163,6 +171,15 @@ def main(argv: list[str] | None = None) -> int:
 
             qpdf = pd.read_json(args.queries, lines=True)
             res = phrase_search(spark, args.index, qpdf)
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "regex":
+            import pandas as pd
+
+            from jvector_spark.operators.regex import regex_token_topk
+
+            qpdf = pd.read_json(args.queries, lines=True)
+            res = regex_token_topk(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
         elif args.cmd == "compact":
