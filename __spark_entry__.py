@@ -40,6 +40,17 @@ BM25_QUERY_SET: list[tuple[int, list[str], int]] = [
 
 STOPWORDS_SQL = "('the','a','of','to','and','in','is','for','on','with')"
 
+# conjunctive (AND) query set: 'dup' (df~25, the planted near-dup docs)
+# makes the conjunction genuinely selective; the OOV term exercises the
+# strict-AND empty case
+CONJ_QUERY_SET: list[tuple[int, list[str], int]] = [
+    (0, ["spark", "join"], 10),
+    (1, ["dup", "spark"], 10),
+    (2, ["dup", "window", "stream"], 10),
+    (3, ["hash", "scan", "sort", "table"], 100),
+    (4, ["dup", "zz_oov_term"], 10),
+]
+
 ENTRY_INDEX_ROOT = "/tmp/jvector_spark_entry_index"
 
 
@@ -56,14 +67,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
-def _qpdf(k_mult: int = 2) -> pd.DataFrame:
+def _qpdf(k_mult: int = 2, query_set=None) -> pd.DataFrame:
     """Query set with k scaled by `k_mult`: the engine truncates top-k on
     RAW float64 scores, while display ranking (and the oracle) order by
     round(score,6) — fetching 2k of slack means a <1e-6 score tie
     straddling the raw-k cutoff can never change rounded top-k membership
     (_rerank_rounded cuts back to the true k)."""
     return pd.DataFrame(
-        [(qid, terms, k_mult * k) for qid, terms, k in BM25_QUERY_SET],
+        [(qid, terms, k_mult * k)
+         for qid, terms, k in (query_set or BM25_QUERY_SET)],
         columns=["qid", "terms", "k"],
     )
 
@@ -72,14 +84,15 @@ def _query_df(spark: SparkSession, k_mult: int = 2) -> DataFrame:
     return spark.createDataFrame(_qpdf(k_mult))
 
 
-def _rerank_rounded(out: DataFrame, page: int = 0) -> DataFrame:
+def _rerank_rounded(out: DataFrame, page: int = 0,
+                    query_set=None) -> DataFrame:
     """Deterministic display ranking: order by (round(score,6) desc, docid)
     so rank agrees with the SQL oracle even where raw float64 sums differ
     in the last ulp between engines (summation order). `page` slices rows
     (page*k, (page+1)*k] of the rounded ordering."""
     from pyspark.sql import Window
 
-    ks = {qid: k for qid, _, k in BM25_QUERY_SET}
+    ks = {qid: k for qid, _, k in (query_set or BM25_QUERY_SET)}
     kmap = F.create_map(*[x for qid, k in ks.items()
                           for x in (F.lit(qid), F.lit(k))])
     w = Window.partitionBy("qid").orderBy(
@@ -198,6 +211,18 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = search_index(spark, index_dir, _qpdf(),
                        doc_filter={"lang": ["en", "de"]})
     return _rerank_rounded(out)
+
+
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) top-k: only docs containing EVERY query term,
+    scored with the same exact BM25 sums (strict semantics: an OOV term
+    empties the query)."""
+    from jvector_spark.operators.wand import search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    out = search_index(spark, index_dir, _qpdf(query_set=CONJ_QUERY_SET),
+                       mode="and")
+    return _rerank_rounded(out, query_set=CONJ_QUERY_SET)
 
 
 def q_bm25_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_df": q_bm25_topk_df,
         "bm25_topk_index": q_bm25_topk_index,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
         "phrase_search": q_phrase_search,
@@ -650,28 +676,35 @@ _MINHASH = (
 
 
 def _bm25_oracle(accept_where: str = "", score_floor: float | None = None,
-                 page: int = 0) -> str:
+                 page: int = 0, conjunctive: bool = False,
+                 query_set=None) -> str:
     """BM25 top-k oracle; variants share one template:
     accept_where — SQL predicate over `documents d` restricting result
                    docs (NOT the stats — matches engine acceptOrds);
     score_floor  — threshold-query mode;
-    page         — search-after page p returns global ranks (p*k, (p+1)*k].
+    page         — search-after page p returns global ranks (p*k, (p+1)*k];
+    conjunctive  — AND semantics: docs must match every query term
+                   (count(DISTINCT term) per doc == the query's term count,
+                   so an OOV term empties the query — strict AND).
     """
     vals = ", ".join(
-        f"({qid}, '{t}', {k})" for qid, terms, k in BM25_QUERY_SET for t in terms
+        f"({qid}, '{t}', {k})"
+        for qid, terms, k in (query_set or BM25_QUERY_SET) for t in terms
     )
     accept = (
         f"AND doc_id IN (SELECT doc_id FROM documents d WHERE {accept_where})"
         if accept_where else ""
     )
     floor = f"AND score >= {score_floor!r}" if score_floor is not None else ""
+    conj = "AND nt = m" if conjunctive else ""
     return f"""
 WITH {_TOK}, {_TF}, {_DL},
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
 ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(qid, term, k) AS (VALUES {vals}),
+nq AS (SELECT qid, count(*) AS m FROM q GROUP BY 1),
 scored AS (
-  SELECT q.qid::BIGINT AS qid, q.k, tf.doc_id,
+  SELECT q.qid::BIGINT AS qid, q.k, q.term, tf.doc_id,
          ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
          * tf.tf::DOUBLE * (1.2 + 1.0)
          / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
@@ -679,9 +712,10 @@ scored AS (
   FROM q JOIN ts USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
 ),
-agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored
-        GROUP BY 1,2,3),
-acc AS (SELECT * FROM agg WHERE 1=1 {accept} {floor}),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score,
+        count(DISTINCT term) AS nt FROM scored GROUP BY 1,2,3),
+acc AS (SELECT agg.* FROM agg JOIN nq USING (qid)
+        WHERE 1=1 {conj} {accept} {floor}),
 r AS (SELECT qid, k, doc_id, score,
       row_number() OVER (PARTITION BY qid
                          ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
@@ -890,6 +924,8 @@ FROM per
         "bm25_topk_filtered": _bm25_oracle(
             accept_where="lang IN ('en', 'de')"
         ),
+        "bm25_conjunctive": _bm25_oracle(conjunctive=True,
+                                         query_set=CONJ_QUERY_SET),
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
         "phrase_search": _phrase_oracle(),

@@ -308,6 +308,72 @@ def score_query_on_segment(
     return candidates[top], scores[top]
 
 
+def score_conjunctive_on_segment(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    avgdl: float,
+    tombstones: np.ndarray | None = None,
+    cache: dict | None = None,
+    accept: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive (AND) top-k: only docs containing EVERY query term
+    score; scores are the same exact BM25 sums as the disjunctive path.
+    Doc-partitioned segments decide the conjunction locally (all of a
+    doc's postings live in its segment). Strict semantics: a query term
+    that is OOV corpus-wide (or absent from this segment) empties the
+    result — matching `HAVING count(DISTINCT term) = m` in SQL.
+
+    Candidates come from a cheapest-first docid-list intersection (no
+    block-max machinery needed — the intersection is already a stronger
+    filter than theta); scoring reuses the shared per-segment caches.
+    """
+    uniq_terms = sorted(set(terms))
+    if not uniq_terms or any(
+        t not in idfs or not reader.has_term(t) for t in uniq_terms
+    ):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if cache is None:
+        cache = {}
+
+    def decode_full(t):
+        key = ("full", t)
+        if key not in cache:
+            cache[key] = reader.decode_term(t)
+        return cache[key]
+
+    def contrib_full(t):
+        key = ("contrib", t)
+        if key not in cache:
+            d, tf = decode_full(t)
+            cache[key] = (d, idfs[t] * _tf_norm(tf, reader.doclen(d), avgdl))
+        return cache[key]
+
+    lists = {t: decode_full(t)[0] for t in uniq_terms}
+    cand = None
+    for t in sorted(uniq_terms, key=lambda t: len(lists[t])):
+        cand = lists[t] if cand is None else cand[
+            np.isin(cand, lists[t], assume_unique=True)
+        ]
+        if not len(cand):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if accept is not None:
+        cand = cand[np.isin(cand, accept, assume_unique=True)]
+    if tombstones is not None and len(tombstones):
+        cand = cand[~np.isin(cand, tombstones)]
+    if not len(cand):
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for t in uniq_terms:  # canonical sorted order (oracle bit-parity)
+        d, c = contrib_full(t)
+        pos = np.searchsorted(d, cand)
+        scores += c[pos]  # every candidate is in every list by construction
+    top = np.lexsort((cand, -scores))[:k]
+    return cand[top], scores[top]
+
+
 class _TopK:
     """Per-query bounded top-k accumulator across segments (the NodeQueue /
     BoundedLongHeap analog, util/BoundedLongHeap.java:33-80)."""
@@ -344,6 +410,7 @@ def search_partition(
     min_score: float = 0.0,
     after: dict | None = None,
     metrics: dict | None = None,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern).
@@ -381,11 +448,17 @@ def search_partition(
         )
         for qid, st in states.items():
             qstats = metrics.setdefault(qid, {}) if metrics is not None else None
-            d, s = score_query_on_segment(
-                reader, qterms[qid], idfs, st.k,
-                max(st.theta, min_score), avgdl, tombstones,
-                seg_cache, accept, qstats,
-            )
+            if mode == "and":
+                d, s = score_conjunctive_on_segment(
+                    reader, qterms[qid], idfs, st.k, avgdl, tombstones,
+                    seg_cache, accept,
+                )
+            else:
+                d, s = score_query_on_segment(
+                    reader, qterms[qid], idfs, st.k,
+                    max(st.theta, min_score), avgdl, tombstones,
+                    seg_cache, accept, qstats,
+                )
             if min_score > 0.0 and len(s):
                 keep = s >= min_score
                 d, s = d[keep], s[keep]
@@ -418,6 +491,7 @@ def search_index(
     after: dict | None = None,
     metrics_acc=None,
     merge: str = "spark",
+    mode: str = "or",
 ) -> DataFrame | pd.DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
@@ -476,7 +550,7 @@ def search_index(
             task_metrics: dict | None = {} if metrics_acc is not None else None
             yield search_partition(
                 paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
-                doc_filter, min_score, after, task_metrics,
+                doc_filter, min_score, after, task_metrics, mode,
             )
             if metrics_acc is not None:
                 metrics_acc.add(task_metrics)

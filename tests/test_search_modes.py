@@ -77,3 +77,35 @@ def test_search_after_pagination(spark, index, oracle, queries_pdf):
         # no overlap with page 1
         p1 = set(page1[page1["qid"] == q.qid]["docid"])
         assert not p1 & set(got["docid"])
+
+
+def test_conjunctive_search(spark, index, oracle, queries_pdf):
+    """mode='and': results = exact BM25 over docs containing EVERY query
+    term; a query with an OOV term is empty (strict AND)."""
+    res = search_index(spark, index, queries_pdf, mode="and",
+                       merge="driver")
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        # oracle: intersect per-term posting docids, rank by full score
+        terms = sorted(set(q.terms))
+        if any(t not in oracle.postings for t in terms):
+            assert len(got) == 0
+            continue
+        cand = None
+        for t in terms:
+            d = oracle.postings[t][0]
+            cand = d if cand is None else np.intersect1d(cand, d)
+        docids, scores = oracle.score_query(list(q.terms))
+        keep = np.isin(docids, cand)
+        d, s = docids[keep], scores[keep]
+        order = np.lexsort((d, -s))[: int(q.k)]
+        assert got["docid"].tolist() == d[order].tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(), s[order],
+                           rtol=0, atol=0)
+    # an OOV term empties the whole query under strict AND
+    import pandas as pd
+
+    oov = pd.DataFrame({"qid": [0], "terms": [["import", "zz_not_a_term"]],
+                        "k": [5]})
+    assert len(search_index(spark, index, oov, mode="and",
+                            merge="driver")) == 0
