@@ -304,6 +304,27 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: index-backed BM25 top-k -> join back to the
+    source table -> first-match position + ±3-token snippet per result
+    (the result-rendering surface; index stores postings, text stays in
+    the source of truth)."""
+    from jvector_spark.operators.snippets import first_match_snippets
+
+    res = q_bm25_topk_index(spark, sf_dir).select("qid", "docid")
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            [(qid, terms) for qid, terms, _ in BM25_QUERY_SET],
+            columns=["qid", "terms"],
+        )
+    )
+    out = first_match_snippets(_docs(spark, sf_dir), res, queries, window=3)
+    return out.select(
+        F.col("qid").cast("long"), F.col("docid").cast("long"),
+        F.col("first_pos").cast("long"), "snippet",
+    )
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.postings import term_stats
 
@@ -593,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": q_bm25_search_after,
         "phrase_search": q_phrase_search,
         "regex_search": q_regex_search,
+        "search_snippets": q_search_snippets,
         "term_stats": q_term_stats,
         "term_stats_salted": q_term_stats_salted,
         "corpus_stats": q_corpus_stats,
@@ -767,6 +789,35 @@ FROM j WHERE jaccard_ppm >= 500000
 """
 
 
+def _snippets_oracle() -> str:
+    """BM25 top-k (the bm25 oracle as a subquery) joined back to the
+    documents text; first query-term hit position + ±3-token slice —
+    identical list semantics to the Spark transform/slice expressions."""
+    qvals = ", ".join(
+        "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in terms))
+        for qid, terms, _ in BM25_QUERY_SET
+    )
+    return f"""
+WITH res AS (SELECT qid, docid FROM ({_bm25_oracle()}) b),
+tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       FROM documents),
+q(qid, terms) AS (VALUES {qvals}),
+j AS (SELECT res.qid, res.docid, tl.ts, q.terms
+      FROM res JOIN tl ON res.docid = tl.doc_id JOIN q ON res.qid = q.qid),
+f AS (SELECT qid, docid, ts,
+      coalesce(list_filter(list_transform(range(len(ts)),
+        i -> CASE WHEN list_contains(terms, ts[i + 1]) THEN i + 1 ELSE 0 END),
+        x -> x > 0)[1], 0) AS first_pos
+      FROM j)
+SELECT qid, docid, first_pos::BIGINT AS first_pos,
+       CASE WHEN first_pos > 0 THEN array_to_string(
+         list_slice(ts, greatest(1, first_pos - 3),
+                    least(len(ts), first_pos + 3)), ' ')
+       ELSE '' END AS snippet
+FROM f
+"""
+
+
 def _regex_oracle() -> str:
     """Token-regex oracle: regexp_matches (RE2 unanchored search — same
     semantics as python re.search in the engine's dictionary expansion)
@@ -930,6 +981,7 @@ FROM per
         "bm25_search_after": _bm25_oracle(page=1),
         "phrase_search": _phrase_oracle(),
         "regex_search": _regex_oracle(),
+        "search_snippets": _snippets_oracle(),
         "term_stats": term_stats_sql,
         "term_stats_salted": term_stats_sql,
         "corpus_stats": f"""

@@ -79,7 +79,11 @@ def match_phrase_on_segment(
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
     # anchor set per candidate: positions of t1 shifted by 0, t2 by -1, ...
-    # kept as (doc, anchor) pairs encoded into one int64 key space
+    # kept as (doc, anchor) pairs packed into one int64 key space. Docids
+    # pack SEGMENT-RELATIVE (docids are dense-contiguous per segment), so
+    # the key never overflows even at 10^12 global docids — segment spans
+    # stay far below 2^31, positions below 2^32.
+    base = np.int64(reader.meta["min_docid"])
     anchors = None
     for j, t in enumerate(terms):
         d, tf, pos = _positions_by_doc(reader, t, cand)
@@ -88,14 +92,14 @@ def match_phrase_on_segment(
         doc_of_occ = np.repeat(d, tf)[occ]
         p = pos[occ] - j  # anchor = position of tj minus its offset
         valid = p >= 0
-        key = doc_of_occ[valid] * np.int64(1 << 32) + p[valid]
+        key = (doc_of_occ[valid] - base) * np.int64(1 << 32) + p[valid]
         key = np.unique(key)
         anchors = key if anchors is None else anchors[
             np.isin(anchors, key, assume_unique=True)
         ]
         if not len(anchors):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    docs = (anchors >> np.int64(32)).astype(np.int64)
+    docs = (anchors >> np.int64(32)).astype(np.int64) + base
     uniq, counts = np.unique(docs, return_counts=True)
     return uniq, counts.astype(np.int64)
 
