@@ -209,6 +209,7 @@ def compact_index(
     out_dir: str,
     target_segments: int | None = None,
     block_size: int = BLOCK_SIZE,
+    target_bytes: int | None = None,
 ) -> pd.DataFrame:
     """Sort-merge-compact an index: group docid-adjacent segments, purge
     tombstones, renumber docids densely, write a fresh index + docid_map
@@ -226,13 +227,33 @@ def compact_index(
     manifest = load_manifest(index_dir)
     segs = sorted(manifest["segments"], key=lambda s: s["min_docid"])
     tomb_u = np.unique(np.array(load_tombstones(index_dir), dtype=np.int64))
-    if target_segments is None:
-        target_segments = max(1, len(segs) // 2)
-    groups: list[list[dict]] = [[] for _ in range(target_segments)]
-    per = (len(segs) + target_segments - 1) // target_segments
-    for i, s in enumerate(segs):
-        groups[min(i // per, target_segments - 1)].append(s)
-    groups = [g for g in groups if g]
+    if target_bytes is not None:
+        # size-bounded policy (the LSM merge-policy surface): greedily
+        # pack ADJACENT segments (groups must stay docid-contiguous for
+        # order-preserving renumbering) until the next one would push the
+        # group past target_bytes — bounds each merge task's input bytes
+        # regardless of segment-size skew. An oversized single segment
+        # becomes its own group.
+        groups = []
+        cur: list[dict] = []
+        cb = 0
+        for s in segs:
+            b = int(s["bytes_postings"])
+            if cur and cb + b > target_bytes:
+                groups.append(cur)
+                cur, cb = [], 0
+            cur.append(s)
+            cb += b
+        if cur:
+            groups.append(cur)
+    else:
+        if target_segments is None:
+            target_segments = max(1, len(segs) // 2)
+        groups = [[] for _ in range(target_segments)]
+        per = (len(segs) + target_segments - 1) // target_segments
+        for i, s in enumerate(segs):
+            groups[min(i // per, target_segments - 1)].append(s)
+        groups = [g for g in groups if g]
 
     # live-doc count per group from manifest metadata + the (tiny, sorted)
     # tombstone array — zero data reads on the driver

@@ -52,6 +52,23 @@ def read_ivecs(path: str) -> np.ndarray:
     return mat[:, 4:].copy().view(np.int32).reshape(-1, k)
 
 
+def read_hdf5_dataset(path: str, dataset: str = "train") -> np.ndarray:
+    """ann-benchmarks-style HDF5 loader (Hdf5Loader.java analog:
+    datasets 'train'/'test'/'neighbors'). Gated on h5py, which this
+    container does not ship — the call raises a clear ImportError rather
+    than failing at import time; the fvecs/ivecs path covers the shipped
+    reference data."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without h5py
+        raise ImportError(
+            "read_hdf5_dataset needs h5py (not installed in this "
+            "environment); use read_fvecs/read_ivecs for SIFT-format data"
+        ) from e
+    with h5py.File(path, "r") as f:  # pragma: no cover
+        return np.asarray(f[dataset])
+
+
 def fvecs_df(spark: SparkSession, path: str,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """fvecs file -> DataFrame(vec_id long, embedding array<float>)."""

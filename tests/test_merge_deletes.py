@@ -120,6 +120,40 @@ def test_compaction_fully_tombstoned_group(spark, corpus_df, corpus_pdf,
     assert (res["docid"] <= n_live - 1).all()
 
 
+def test_compaction_bytes_bounded_policy(spark, corpus_df, corpus_pdf,
+                                         queries_pdf, oracle,
+                                         tmp_path_factory):
+    """target_bytes policy: adjacent-greedy groups each stay under the
+    byte bound (unless a single segment exceeds it), docid order is
+    preserved, and search results are unchanged."""
+    idx = str(tmp_path_factory.mktemp("idx_bytes"))
+    manifest = build_index(assign_dense_docids(corpus_df), idx,
+                           num_segments=6)
+    bound = int(manifest["bytes_postings"].median() * 2.5)
+    out = str(tmp_path_factory.mktemp("idx_bytes_out"))
+    om = compact_index(spark, idx, out, target_bytes=bound)
+    assert 1 < len(om) < 6
+    # every output segment's INPUT group respected the bound: check via
+    # merged_from meta against the input manifest's byte sizes
+    import json as _json
+
+    in_bytes = {s: b for s, b in zip(manifest["segment_id"],
+                                     manifest["bytes_postings"])}
+    for p in om["path"]:
+        with open(os.path.join(p, "meta.json")) as f:
+            meta = _json.load(f)
+        src = meta["merged_from"]
+        total = sum(in_bytes[s] for s in src)
+        assert total <= bound or len(src) == 1, (src, total)
+    # order-preserving, result-identical
+    assert om["min_docid"].iloc[0] == 0
+    res = search_index(spark, out, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist()
+
+
 def test_compaction_everything_tombstoned(spark, corpus_df, tmp_path_factory):
     """Tombstoning the whole corpus compacts to a valid EMPTY index."""
     idx = str(tmp_path_factory.mktemp("idx_all_dead"))
