@@ -483,6 +483,29 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a CLUSTER-PARTITIONED corpus: probes prune partition
+    directories (PartitionFilters — no IO for unprobed clusters).
+    nprobe == n_clusters -> exact, so the brute-force oracle applies."""
+    from jvector_spark.operators.ann import (
+        ivf_topk_partitioned, train_centroids, write_ivf_index)
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb, n_clusters=8, seed=42)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(ENTRY_INDEX_ROOT, f"ivf_{tag}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ivf_index(emb, path, cents)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk_partitioned(
+        spark, path, queries, cents, k=10, nprobe=len(cents)
+    ).select(
+        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the BUCKETED path: random-hyperplane LSH
     candidate generation + exact cosine verify of candidates only (no
@@ -638,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "embed_near_dup": q_embed_near_dup,
         "ann_pq_rerank": q_ann_pq_rerank,
         "curation_pipeline": q_curation_pipeline,
@@ -1083,6 +1107,7 @@ FROM bits GROUP BY 1
         "lsh_jaccard_verified": _lsh_verified_oracle(),
         "ann_brute_topk": ann,
         "ann_ivf_exact": ann,
+        "ann_ivf_partitioned": ann,
         "embed_near_dup": _embed_lsh_oracle(),
         # ann_pq_rerank: the rerank phase outputs EXACT cosine top-k
         # whenever ADC survivors (rerank_k=100 of 500) cover the true

@@ -176,6 +176,68 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY CLUSTER (parquet
+    partitionBy) — the IVF inverted-file layout on object storage. A
+    probe of `nprobe` clusters then reads only those directories
+    (partition pruning — the scan never opens unprobed clusters' files),
+    which is the scale path the in-memory `ivf_topk` filter-join only
+    simulates."""
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF search over a cluster-partitioned corpus: the scan filter
+    `cluster IN (union of probed clusters)` prunes PARTITION DIRECTORIES
+    (PartitionFilters in the plan — no IO for unprobed clusters), then
+    the per-query probe join restricts each query to its own nprobe
+    clusters. Results are identical to `ivf_topk` on the same centroids.
+    """
+    qc = assign_probes(queries, centroids, nprobe, qvec_col)
+    probed = sorted({
+        int(c) for row in qc.select("probes").collect() for c in row["probes"]
+    })
+    corpus = spark.read.parquet(path).where(F.col("cluster").isin(probed))
+    scored = corpus.join(
+        F.broadcast(qc), F.array_contains(qc.probes, corpus.cluster)
+    ).select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
+    )
+    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
+        F.col("prn") <= k
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col,
+                "score")
+    )
+
+
 def assign_probes(
     queries: DataFrame, centroids: np.ndarray, nprobe: int, qvec_col: str = "qvec"
 ) -> DataFrame:

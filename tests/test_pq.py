@@ -145,3 +145,36 @@ def test_ivf_probe_recall(spark, vectors_df, vectors_pdf):
         e = set(exact[exact["qid"] == qid]["vec_id"])
         recalls.append(len(a & e) / len(e))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_partitioned_prunes_and_matches(spark, vectors_df, tmp_path_factory):
+    """Cluster-partitioned IVF: PartitionFilters prune unprobed cluster
+    directories (plan-asserted) and results equal the filter-join IVF on
+    the same centroids; nprobe=all equals brute force exactly."""
+    from jvector_spark.operators.ann import (
+        brute_force_topk, ivf_topk, ivf_topk_partitioned, train_centroids,
+        write_ivf_index)
+
+    cents = train_centroids(vectors_df, n_clusters=8, seed=11)
+    path = str(tmp_path_factory.mktemp("ivf_part"))
+    write_ivf_index(vectors_df, path, cents)
+    queries = vectors_df.limit(6).select(
+        F_col("vec_id").alias("qid"), F_col("embedding").alias("qvec"))
+
+    part = ivf_topk_partitioned(spark, path, queries, cents, k=10, nprobe=3)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    a = part.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = ivf_topk(vectors_df, queries, cents, k=10, nprobe=3).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a[["qid", "vec_id"]].values.tolist() == \
+        b[["qid", "vec_id"]].values.tolist()
+
+    exact = ivf_topk_partitioned(spark, path, queries, cents, k=10,
+                                 nprobe=8).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    brute = brute_force_topk(vectors_df, queries, k=10).toPandas() \
+        .sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert exact[["qid", "vec_id"]].values.tolist() == \
+        brute[["qid", "vec_id"]].values.tolist()
