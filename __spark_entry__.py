@@ -121,6 +121,21 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(docs, mode="simple", content_col="text")
 
 
+def _input_sig(sf_dir: str, fname: str, extra: str = "") -> str:
+    """Content signature for /tmp entry caches: sha256 of the fixture
+    file bytes + the derivation parameters. Regenerated fixtures or
+    changed constants invalidate the cache instead of silently serving
+    stale artifacts (the stale-entry-cache class _ensure_index already
+    guards for the segment index)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(os.path.join(sf_dir, fname), "rb") as f:
+        h.update(f.read())
+    h.update(extra.encode())
+    return h.hexdigest()[:12]
+
+
 def _postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized postings: tokenize ONCE into a parquet table, then
     every consumer (dictionary, stats, scoring join) is a column-pruned
@@ -129,7 +144,8 @@ def _postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the materialized table is exactly the artifact an index build
     writes anyway (segments ARE materialized postings)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(ENTRY_INDEX_ROOT, f"postings_v2_{tag}.parquet")
+    sig = _input_sig(sf_dir, "documents.parquet", "postings|simple|v2")
+    path = os.path.join(ENTRY_INDEX_ROOT, f"postings_{tag}_{sig}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _postings(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -493,7 +509,8 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb, n_clusters=8, seed=42)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(ENTRY_INDEX_ROOT, f"ivf_{tag}.parquet")
+    sig = _input_sig(sf_dir, "embeddings.parquet", "ivf|k8|seed42|v1")
+    path = os.path.join(ENTRY_INDEX_ROOT, f"ivf_{tag}_{sig}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_ivf_index(emb, path, cents)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -533,10 +550,9 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # versioned codebook store: train once, then reopen across sessions
     # (ProductQuantization.write/load contract)
-    book_path = os.path.join(
-        ENTRY_INDEX_ROOT,
-        f"pq_{os.path.basename(os.path.normpath(sf_dir))}.bin",
-    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sig = _input_sig(sf_dir, "embeddings.parquet", "pq|m8|seed42|v1")
+    book_path = os.path.join(ENTRY_INDEX_ROOT, f"pq_{tag}_{sig}.bin")
     books = None
     if os.path.exists(book_path):
         try:
@@ -938,6 +954,20 @@ FROM j WHERE jaccard_ppm >= 500000
 """
 
 
+def _fixture_emb_dim(default: int = 64) -> int:
+    """Embedding dimensionality read from the first available fixture —
+    the oracle's hyperplane VALUES must match the data the engine reads
+    (a hardcoded dim would silently truncate dots if fixtures changed)."""
+    import pyarrow.parquet as papq
+
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        p = f"/root/testdata/{sf}/embeddings.parquet"
+        if os.path.exists(p):
+            tbl = papq.read_table(p, columns=["embedding"]).slice(0, 1)
+            return len(tbl.column("embedding")[0].as_py())
+    return default
+
+
 def _embed_lsh_oracle() -> str:
     """SQL mirror of ann.embedding_lsh_near_dup: same hyperplane constants,
     same banding, same bucket hash + cap, exact cosine >= 0.4 on candidates.
@@ -946,7 +976,7 @@ def _embed_lsh_oracle() -> str:
     from jvector_spark.operators.ann import (
         LSH_BAND_BITS, N_PLANES, random_hyperplanes)
 
-    planes = random_hyperplanes(N_PLANES, 64, seed=7)
+    planes = random_hyperplanes(N_PLANES, _fixture_emb_dim(), seed=7)
     plane_vals = ", ".join(
         f"({p}, {i}, {float(v)})"
         for p, row in enumerate(planes) for i, v in enumerate(row)

@@ -118,6 +118,13 @@ def phrase_search(
     top-k per query. Same distribution shape as wand.search_index.
     """
     manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    from jvector_spark.operators.wand import (
+        empty_topk, merge_topk, scatter_paths)
+    from jvector_spark.plans.merge import load_tombstones
+
+    if not seg_paths:  # valid empty index (nothing can match any phrase)
+        return empty_topk(spark, "n_matches", merge)
     if not manifest.get("has_positions"):
         raise ValueError(
             "index was built without positions=True — phrase queries need "
@@ -125,20 +132,11 @@ def phrase_search(
     mode = manifest["tokenizer_mode"]
     qp = queries.copy()
     qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
-    seg_paths = [s["path"] for s in manifest["segments"]]
-    from jvector_spark.plans.merge import load_tombstones
-
     tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
     sc = spark.sparkContext
     b_q = sc.broadcast(qp[["qid", "terms", "k"]])
     b_tomb = sc.broadcast(tomb)
-    if num_tasks is None:
-        num_tasks = min(len(seg_paths),
-                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    paths_df = spark.createDataFrame(
-        sc.parallelize([(p,) for p in seg_paths], numSlices=num_tasks),
-        "path string",
-    )
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
@@ -158,29 +156,4 @@ def phrase_search(
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, n_matches long")
     ks = {int(q.qid): int(q.k) for q in qp.itertuples()}
-    if merge == "driver":
-        pdf = partial.toPandas()
-        outs = []
-        for qid, g in pdf.groupby("qid", sort=True):
-            d = g["docid"].to_numpy(np.int64)
-            n = g["n_matches"].to_numpy(np.int64)
-            order = np.lexsort((d, -n))[: ks[int(qid)]]
-            outs.append(pd.DataFrame({
-                "qid": np.int64(qid),
-                "rank": np.arange(len(order), dtype=np.int32),
-                "docid": d[order], "n_matches": n[order],
-            }))
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            {"qid": pd.Series([], dtype="int64"),
-             "rank": pd.Series([], dtype="int32"),
-             "docid": pd.Series([], dtype="int64"),
-             "n_matches": pd.Series([], dtype="int64")})
-    kmap = F.create_map(*[x for qid, k in ks.items()
-                          for x in (F.lit(qid), F.lit(k))])
-    w = Window.partitionBy("qid").orderBy(F.desc("n_matches"), F.asc("docid"))
-    return (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= kmap[F.col("qid")])
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
-                "docid", "n_matches")
-    )
+    return merge_topk(partial, ks, "n_matches", merge)

@@ -38,23 +38,37 @@ from pyspark.sql import functions as F
 from jvector_spark.sources.segment import SegmentReader, load_manifest
 
 
-def expand_pattern(
-    index_dir: str, pattern: str, max_terms: int = 10000
-) -> list[str]:
-    """Terms of the index dictionary matching `pattern` (re.search).
-    If the expansion exceeds max_terms, the highest-df terms are kept
+def expand_patterns(
+    index_dir: str, patterns: dict[int, str], max_terms: int = 10000
+) -> dict[int, list[str]]:
+    """{key: pattern} -> {key: matching dictionary terms} in ONE scan of
+    term_stats.parquet: every pattern compiles up front and each Arrow
+    batch is matched against all of them, so Q queries cost one vocabulary
+    pass, not Q. Expansions exceeding max_terms keep the highest-df terms
     (deterministic tie-break on the term string)."""
     path = os.path.join(index_dir, "term_stats.parquet")
-    rx = re.compile(pattern)
-    hits: list[tuple[int, str]] = []
+    rxs = {key: re.compile(p) for key, p in patterns.items()}
+    hits: dict[int, list[tuple[int, str]]] = {key: [] for key in patterns}
     for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
         terms = batch.column("term").to_pylist()
         dfs = batch.column("df").to_pylist()
-        hits.extend((d, t) for t, d in zip(terms, dfs) if rx.search(t))
-    if len(hits) > max_terms:
-        hits.sort(key=lambda x: (-x[0], x[1]))
-        hits = hits[:max_terms]
-    return sorted(t for _, t in hits)
+        for key, rx in rxs.items():
+            hits[key].extend(
+                (d, t) for t, d in zip(terms, dfs) if rx.search(t))
+    out: dict[int, list[str]] = {}
+    for key, h in hits.items():
+        if len(h) > max_terms:
+            h.sort(key=lambda x: (-x[0], x[1]))
+            h = h[:max_terms]
+        out[key] = sorted(t for _, t in h)
+    return out
+
+
+def expand_pattern(
+    index_dir: str, pattern: str, max_terms: int = 10000
+) -> list[str]:
+    """Single-pattern convenience wrapper over expand_patterns."""
+    return expand_patterns(index_dir, {0: pattern}, max_terms)[0]
 
 
 def regex_token_topk(
@@ -72,12 +86,17 @@ def regex_token_topk(
     """
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
-    expansions = {
-        int(q.qid): expand_pattern(index_dir, str(q.pattern), max_terms)
-        for q in queries.itertuples()
-    }
+    expansions = expand_patterns(
+        index_dir,
+        {int(q.qid): str(q.pattern) for q in queries.itertuples()},
+        max_terms,
+    )
+    from jvector_spark.operators.wand import (
+        empty_topk, merge_topk, scatter_paths)
     from jvector_spark.plans.merge import load_tombstones
 
+    if not seg_paths:  # valid empty index
+        return empty_topk(spark, "n_occ", merge)
     tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
     sc = spark.sparkContext
     b_q = sc.broadcast(
@@ -85,13 +104,7 @@ def regex_token_topk(
          for q in queries.itertuples()]
     )
     b_tomb = sc.broadcast(tomb)
-    if num_tasks is None:
-        num_tasks = min(len(seg_paths),
-                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    paths_df = spark.createDataFrame(
-        sc.parallelize([(p,) for p in seg_paths], numSlices=num_tasks),
-        "path string",
-    )
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
@@ -128,29 +141,4 @@ def regex_token_topk(
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, n_occ long")
     ks = {int(q.qid): int(q.k) for q in queries.itertuples()}
-    if merge == "driver":
-        pdf = partial.toPandas()
-        outs = []
-        for qid, g in pdf.groupby("qid", sort=True):
-            d = g["docid"].to_numpy(np.int64)
-            n = g["n_occ"].to_numpy(np.int64)
-            order = np.lexsort((d, -n))[: ks[int(qid)]]
-            outs.append(pd.DataFrame({
-                "qid": np.int64(qid),
-                "rank": np.arange(len(order), dtype=np.int32),
-                "docid": d[order], "n_occ": n[order],
-            }))
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            {"qid": pd.Series([], dtype="int64"),
-             "rank": pd.Series([], dtype="int32"),
-             "docid": pd.Series([], dtype="int64"),
-             "n_occ": pd.Series([], dtype="int64")})
-    kmap = F.create_map(*[x for qid, k in ks.items()
-                          for x in (F.lit(qid), F.lit(k))])
-    w = Window.partitionBy("qid").orderBy(F.desc("n_occ"), F.asc("docid"))
-    return (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= kmap[F.col("qid")])
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
-                "docid", "n_occ")
-    )
+    return merge_topk(partial, ks, "n_occ", merge)

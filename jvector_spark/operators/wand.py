@@ -78,27 +78,115 @@ from pyspark.accumulators import AccumulatorParam
 
 
 class _MetricsParam(AccumulatorParam):
-    """AccumulatorParam merging per-qid counter dicts (executor -> driver).
+    """AccumulatorParam for per-PARTITION {pid: {qid: counters}} maps.
+    Each partition's entry REPLACES any previous one, so task retries,
+    speculative attempts, and re-materializations of the result DataFrame
+    cannot double-count (accumulators in transformations are at-least-
+    once; replacement makes the per-partition contribution idempotent).
     The accumulation analog of the reference's per-search visited/expanded
-    counters (GraphSearcher.java:67-69,93-103; SearchResult.java:27-31 —
-    getVisitedCount/getRerankedCount), surfaced per query id."""
+    counters (GraphSearcher.java:67-69,93-103; SearchResult.java:27-31)."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a: dict, b: dict) -> dict:
-        for qid, counters in b.items():
-            dst = a.setdefault(qid, {})
-            for k, v in counters.items():
-                dst[k] = dst.get(k, 0) + v
+        a.update(b)  # partition-keyed: last attempt wins
         return a
 
 
 def make_metrics_accumulator(spark: SparkSession):
     """Create a per-query search-metrics accumulator to pass as
-    search_index(metrics_acc=...). Read .value AFTER the result DataFrame
-    is materialized (Spark accumulator semantics)."""
+    search_index(metrics_acc=...). Read via read_metrics(acc) AFTER the
+    result DataFrame is materialized (Spark accumulator semantics)."""
     return spark.sparkContext.accumulator({}, _MetricsParam())
+
+
+def read_metrics(acc) -> dict:
+    """{qid: counters} summed across partitions from a metrics
+    accumulator (each partition contributed exactly once)."""
+    out: dict = {}
+    for counters_by_qid in acc.value.values():
+        for qid, counters in counters_by_qid.items():
+            dst = out.setdefault(qid, {})
+            for k, v in counters.items():
+                dst[k] = dst.get(k, 0) + v
+    return out
+
+
+def scatter_paths(spark: SparkSession, seg_paths: list[str],
+                  num_tasks: int | None) -> DataFrame:
+    """Segment paths -> a small DataFrame pre-sliced into num_tasks
+    partitions (explicit numSlices — no repartition shuffle). Shared by
+    every index-scatter operator (BM25/phrase/regex)."""
+    if num_tasks is None:
+        num_tasks = min(len(seg_paths),
+                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    num_tasks = max(1, num_tasks)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in seg_paths], numSlices=num_tasks
+        ),
+        "path string",
+    )
+
+
+def _empty_result(value_col: str) -> pd.DataFrame:
+    return pd.DataFrame({
+        "qid": pd.Series([], dtype="int64"),
+        "rank": pd.Series([], dtype="int32"),
+        "docid": pd.Series([], dtype="int64"),
+        value_col: pd.Series(
+            [], dtype="float64" if value_col == "score" else "int64"),
+    })
+
+
+def merge_topk(
+    partial: DataFrame,
+    ks: dict[int, int],
+    value_col: str = "score",
+    merge: str = "spark",
+) -> DataFrame | pd.DataFrame:
+    """Global top-k merge of per-task partial rows (qid, docid, value):
+    rank by value desc, docid asc, bounded per query. merge="spark" is a
+    lazy window (composable); merge="driver" collects the bounded partial
+    rows and merges with one numpy lexsort per query — the caller-thread
+    multi-index combine (GraphSearcher.java:368-385). Shared by
+    search_index / phrase_search / regex_token_topk."""
+    if merge == "driver":
+        pdf = partial.toPandas()
+        outs = []
+        for qid, g in pdf.groupby("qid", sort=True):
+            d = g["docid"].to_numpy(np.int64)
+            v = g[value_col].to_numpy()
+            order = np.lexsort((d, -v))[: ks[int(qid)]]
+            outs.append(pd.DataFrame({
+                "qid": np.int64(qid),
+                "rank": np.arange(len(order), dtype=np.int32),
+                "docid": d[order], value_col: v[order],
+            }))
+        return (pd.concat(outs, ignore_index=True)
+                if outs else _empty_result(value_col))
+    kmap = F.create_map(*[x for qid, k in ks.items()
+                          for x in (F.lit(qid), F.lit(k))])
+    w = Window.partitionBy("qid").orderBy(F.desc(value_col), F.asc("docid"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= kmap[F.col("qid")])
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
+                "docid", value_col)
+    )
+
+
+def empty_topk(spark: SparkSession, value_col: str,
+               merge: str) -> DataFrame | pd.DataFrame:
+    """A valid empty result in either merge mode (zero-segment indexes —
+    e.g. after an everything-tombstoned compaction — are legal)."""
+    pdf = _empty_result(value_col)
+    if merge == "driver":
+        return pdf
+    typ = "double" if value_col == "score" else "long"
+    return spark.createDataFrame(
+        pdf, f"qid long, rank int, docid long, {value_col} {typ}")
 
 
 def _tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
@@ -528,21 +616,13 @@ def search_index(
 
     tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
 
+    if not seg_paths:  # zero-segment index (everything-compacted) is valid
+        return empty_topk(spark, "score", merge)
     sc = spark.sparkContext
     b_q = sc.broadcast(queries[["qid", "terms", "k"]])
     b_idfs = sc.broadcast(idfs)
     b_tomb = sc.broadcast(tomb)
-    if num_tasks is None:
-        num_tasks = min(len(seg_paths),
-                        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    # parallelize with explicit slice count — a .repartition() here would be
-    # a whole extra shuffle job just to scatter 64 path strings
-    paths_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(p,) for p in seg_paths], numSlices=num_tasks
-        ),
-        "path string",
-    )
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
@@ -553,36 +633,16 @@ def search_index(
                 doc_filter, min_score, after, task_metrics, mode,
             )
             if metrics_acc is not None:
-                metrics_acc.add(task_metrics)
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                pid = tc.partitionId() if tc is not None else -1
+                # keyed by partition: a retried/speculative attempt or a
+                # re-materialization OVERWRITES its partition's entry
+                # instead of double-counting (Spark only guarantees
+                # exactly-once accumulators in actions)
+                metrics_acc.add({pid: task_metrics})
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
-    if merge == "driver":
-        pdf = partial.toPandas()
-        ks = {int(q.qid): int(q.k) for q in queries.itertuples()}
-        outs = []
-        for qid, g in pdf.groupby("qid", sort=True):
-            d = g["docid"].to_numpy(np.int64)
-            s = g["score"].to_numpy(np.float64)
-            order = np.lexsort((d, -s))[: ks[int(qid)]]
-            outs.append(pd.DataFrame({
-                "qid": np.int64(qid),
-                "rank": np.arange(len(order), dtype=np.int32),
-                "docid": d[order], "score": s[order],
-            }))
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame({"qid": pd.Series([], dtype="int64"),
-                               "rank": pd.Series([], dtype="int32"),
-                               "docid": pd.Series([], dtype="int64"),
-                               "score": pd.Series([], dtype="float64")})
-        )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-    ks = F.create_map(
-        *[x for q in queries.itertuples() for x in (F.lit(int(q.qid)), F.lit(int(q.k)))]
-    )
-    return (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= ks[F.col("qid")])
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), "docid", "score")
-    )
+    ks = {int(q.qid): int(q.k) for q in queries.itertuples()}
+    return merge_topk(partial, ks, "score", merge)

@@ -80,10 +80,16 @@ def _task_lineage() -> dict:
         return {}
 
 
-def _fingerprint(docids: np.ndarray, shas: pd.Series) -> str:
+def _fingerprint(docids: np.ndarray, shas: pd.Series, params: str = "") -> str:
+    """Input fingerprint for segment resume. `params` MUST encode every
+    build setting that changes the segment BYTES (tokenizer mode, codec,
+    positions, block size) — otherwise rebuilding the same docs with
+    different settings would silently resume the old segments (e.g.
+    `build --positions` over a non-positional index would no-op)."""
     h = hashlib.sha256()
     h.update(docids.astype("<i8").tobytes())
     h.update("".join(shas.tolist()).encode())
+    h.update(params.encode())
     return h.hexdigest()
 
 
@@ -488,7 +494,10 @@ def _build_segment_stream(
         "docid", kind="mergesort"
     ).reset_index(drop=True)
     docids = docs_pdf["docid"].to_numpy(np.int64)
-    fp = _fingerprint(docids, docs_pdf["content_sha"])
+    fp = _fingerprint(
+        docids, docs_pdf["content_sha"],
+        f"mode={mode}|codec={codec}|positions={positions}|block={block_size}",
+    )
     seg_id = f"seg-{int(docids[0]):012d}"
     seg_dir = os.path.join(index_dir, seg_id)
 
@@ -656,10 +665,14 @@ def write_global_term_stats(index_dir: str, manifest: pd.DataFrame) -> str:
     )
     out = os.path.join(index_dir, "term_stats.parquet")
     tmp = out + ".tmp"
-    pq.write_table(
-        pa.Table.from_pandas(agg, preserve_index=False), tmp,
-        row_group_size=65536,
-    )
+    tbl = pa.Table.from_pandas(agg, preserve_index=False)
+    if tbl.num_rows == 0:
+        # pandas infers a null-typed term column from an empty frame,
+        # which breaks term-filtered reads later — pin the schema
+        tbl = pa.table({"term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                        "cf": pa.array([], pa.int64())})
+    pq.write_table(tbl, tmp, row_group_size=65536)
     os.replace(tmp, out)
     return out
 

@@ -82,9 +82,13 @@ def _session_fn_factory(gap_sec: float):
 
         out = None
         if last is not None and secs[0] - last <= gap_sec:
-            # open state session absorbs the batch's first group
+            # open state session absorbs the batch's first group; the
+            # carry accumulates FIRST (val0 precedes the batch's events,
+            # matching the incremental accumulation order — appending it
+            # after the group sum would reassociate the float total)
             g_n[0] += n0
-            g_sum[0] += val0
+            g_sum[0] = float(np.add.reduce(
+                np.concatenate(([val0], vals[: ends[0]]))))
             if start0 is not None:
                 g_start[0] = start0
         elif last is not None:

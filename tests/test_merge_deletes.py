@@ -186,3 +186,52 @@ def test_compaction_no_tombstones_is_pure_merge(spark, corpus_df, corpus_pdf,
         assert got["docid"].tolist() == exp["docid"].tolist()
         assert np.allclose(got["score"].to_numpy(),
                            exp["score"].to_numpy(), rtol=0, atol=0)
+
+
+def test_empty_index_queries_return_empty(spark, corpus_df, tmp_path_factory):
+    """A zero-segment index (everything-tombstoned compaction output) is
+    valid: search/regex/phrase return EMPTY results, never crash."""
+    import pandas as pd
+
+    from jvector_spark.operators.phrase import phrase_search
+    from jvector_spark.operators.regex import regex_token_topk
+
+    idx = str(tmp_path_factory.mktemp("idx_e"))
+    m = build_index(assign_dense_docids(corpus_df), idx, num_segments=2,
+                    positions=True)
+    mark_deleted(idx, list(range(int(m["max_docid"].max()) + 1)))
+    out = str(tmp_path_factory.mktemp("idx_e_out"))
+    compact_index(spark, idx, out, target_segments=1)
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    assert search_index(spark, out, q).count() == 0
+    assert len(search_index(spark, out, q, merge="driver")) == 0
+    rq = pd.DataFrame({"qid": [0], "pattern": ["^run_"], "k": [5]})
+    assert regex_token_topk(spark, out, rq).count() == 0
+    pq_ = pd.DataFrame({"qid": [0], "phrase": ["import os"], "k": [5]})
+    assert len(phrase_search(spark, out, pq_, merge="driver")) == 0
+
+
+def test_resume_rebuilds_when_build_params_change(spark, corpus_df,
+                                                  tmp_path_factory):
+    """The resume fingerprint covers output-affecting build params: the
+    same docs rebuilt with positions=True must NOT resume the old
+    non-positional segments."""
+    import pandas as pd
+
+    from jvector_spark.operators.phrase import phrase_search
+
+    idx = str(tmp_path_factory.mktemp("idx_params"))
+    docs = assign_dense_docids(corpus_df)
+    m1 = build_index(docs, idx, num_segments=2)
+    assert (m1["status"] == "built").all()
+    m2 = build_index(docs, idx, num_segments=2, positions=True)
+    assert (m2["status"] == "built").all(), "positions change must rebuild"
+    res = phrase_search(
+        spark, idx,
+        pd.DataFrame({"qid": [0], "phrase": ["map_get21 run_parse33"],
+                      "k": [5]}),
+        merge="driver")
+    assert len(res) >= 0  # phrase path now valid on this index
+    # and an identical rebuild still resumes
+    m3 = build_index(docs, idx, num_segments=2, positions=True)
+    assert (m3["status"] == "resumed").all()

@@ -151,14 +151,15 @@ def test_search_metrics_show_pruning(spark, index, queries_pdf):
     one (k = corpus size forces theta=0 everywhere). num_tasks=1 puts all
     segments in one sequential task so theta propagates segment-to-segment
     (the rerankFloor path) — with one segment per task nothing can prune."""
-    from jvector_spark.operators.wand import make_metrics_accumulator
+    from jvector_spark.operators.wand import (
+        make_metrics_accumulator, read_metrics)
 
     idx, _ = index
     q_small = queries_pdf.copy()
     q_small["k"] = 5
     acc = make_metrics_accumulator(spark)
     search_index(spark, idx, q_small, num_tasks=1, metrics_acc=acc).toPandas()
-    pruned = acc.value
+    pruned = read_metrics(acc)
     assert pruned, "no metrics accumulated"
     some_qid = next(iter(pruned))
     assert pruned[some_qid].get("segments_visited", 0) > 0
@@ -168,7 +169,7 @@ def test_search_metrics_show_pruning(spark, index, queries_pdf):
     q_big["k"] = 100000  # k >= corpus: theta stays 0, nothing prunes
     acc2 = make_metrics_accumulator(spark)
     search_index(spark, idx, q_big, num_tasks=1, metrics_acc=acc2).toPandas()
-    exhaustive = acc2.value
+    exhaustive = read_metrics(acc2)
     tot = lambda m, key: sum(c.get(key, 0) for c in m.values())  # noqa: E731
     assert tot(pruned, "postings_scored") <= tot(exhaustive, "postings_scored")
     assert tot(pruned, "candidates") < tot(exhaustive, "candidates"), (
