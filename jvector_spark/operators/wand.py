@@ -528,7 +528,26 @@ def search_partition(
 
     usage = Counter(t for ts in qterms.values() for t in set(ts))
     hot = frozenset(t for t, n in usage.items() if n >= 2)
+    all_terms = [t for t in usage if t in idfs]
+    from jvector_spark.sources.segment import bloom_may_contain, load_term_bloom
+
     for path in seg_paths:
+        # term-presence bloom (BQ 1-bit sketch analog): a segment whose
+        # bloom rejects EVERY query term never opens its dictionary —
+        # at thousands of segments this skips whole-segment loads for
+        # selective vocabularies (FP-safe: false positives only cost the
+        # normal lookup; absent bloom.bin = pre-bloom segment, no skip)
+        bloom = load_term_bloom(path)
+        if bloom is not None and all_terms and not any(
+            bloom_may_contain(bloom, t) for t in all_terms
+        ):
+            if metrics is not None:
+                for qid in states:
+                    qs = metrics.setdefault(qid, {})
+                    qs["segments_bloom_skipped"] = (
+                        qs.get("segments_bloom_skipped", 0) + 1
+                    )
+            continue
         reader = SegmentReader(path)
         seg_cache: dict = {"_hot": hot}  # shared across this segment's queries
         accept = (

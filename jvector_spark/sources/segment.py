@@ -362,6 +362,45 @@ def encode_postings_frame(
     return tbl, blob
 
 
+# --- term-presence bloom (the BQ 1-bit-sketch analog, SURVEY §2.8: a
+# one-bit-per-dimension pre-filter that cheaply rejects non-matches before
+# the full structure loads). 64 KiB bitmap, 3 probes derived from the same
+# md5 base hash the rest of the engine uses; FP rate ~2% at 5k terms.
+BLOOM_BITS = 1 << 19  # 512 Kbit = 64 KiB
+BLOOM_K = 3
+
+
+def _bloom_positions(term: str) -> list[int]:
+    h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+    return [(h >> (19 * i)) & (BLOOM_BITS - 1) for i in range(BLOOM_K)]
+
+
+def build_term_bloom(terms: list[str]) -> bytes:
+    bits = np.zeros(BLOOM_BITS, dtype=np.uint8)
+    for t in terms:
+        for p in _bloom_positions(t):
+            bits[p] = 1
+    return np.packbits(bits).tobytes()
+
+
+def bloom_may_contain(bloom: np.ndarray, term: str) -> bool:
+    """bloom = uint8 array of packed bits (np.frombuffer of bloom.bin).
+    False -> the term is DEFINITELY absent from the segment."""
+    for p in _bloom_positions(term):
+        if not (bloom[p >> 3] >> (7 - (p & 7))) & 1:
+            return False
+    return True
+
+
+def load_term_bloom(seg_dir: str) -> np.ndarray | None:
+    """Segment's term bloom as packed bits; None for pre-bloom segments
+    (callers must then fall back to opening the dictionary)."""
+    path = os.path.join(seg_dir, "bloom.bin")
+    if not os.path.exists(path):
+        return None
+    return np.fromfile(path, dtype=np.uint8)
+
+
 def write_segment_files(
     seg_dir: str,
     terms_tbl: pa.Table,
@@ -376,6 +415,8 @@ def write_segment_files(
     pq.write_table(terms_tbl, os.path.join(tmp_dir, "terms.parquet"))
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(blob)
+    with open(os.path.join(tmp_dir, "bloom.bin"), "wb") as f:
+        f.write(build_term_bloom(terms_tbl.column("term").to_pylist()))
     pq.write_table(
         pa.Table.from_pandas(docs_pdf, preserve_index=False),
         os.path.join(tmp_dir, "docs.parquet"),

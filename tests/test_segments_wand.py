@@ -292,3 +292,39 @@ def test_empty_content_docs(spark, tmp_path_factory):
     q = pd.DataFrame({"qid": [0], "terms": [["alpha"]], "k": [5]})
     res = search_index(spark, idx, q).toPandas()
     assert len(res) == 1 and res["docid"].iloc[0] >= 0
+
+
+def test_bloom_prefilter_skips_segments(spark, corpus_pdf, tmp_path_factory):
+    """Term-presence bloom (BQ 1-bit sketch analog): segments that cannot
+    contain any query term are skipped before their dictionary loads —
+    results unchanged, metrics show the skips."""
+    from jvector_spark.operators.wand import (
+        make_metrics_accumulator, read_metrics)
+    from jvector_spark.sources.segment import (
+        bloom_may_contain, build_term_bloom, load_term_bloom)
+
+    # unit: bloom never false-negatives, and rejects unseen terms mostly
+    terms = [f"term_{i}" for i in range(5000)]
+    bloom = np.frombuffer(build_term_bloom(terms), np.uint8)
+    assert all(bloom_may_contain(bloom, t) for t in terms)
+    fp = sum(bloom_may_contain(bloom, f"absent_{i}") for i in range(2000))
+    assert fp < 2000 * 0.05, f"bloom FP rate too high: {fp}/2000"
+
+    # integration: plant a marker token in ONE doc -> one segment
+    corpus = corpus_pdf.copy()
+    corpus.loc[corpus.index[7], "content"] = (
+        corpus.iloc[7]["content"] + " zz_bloom_marker_token")
+    docs = assign_dense_docids(spark.createDataFrame(corpus).repartition(8))
+    idx = str(tmp_path_factory.mktemp("idx_bloom"))
+    manifest = build_index(docs, idx, num_segments=6)
+    assert all(load_term_bloom(p) is not None for p in manifest["path"])
+
+    q = pd.DataFrame({"qid": [0], "terms": [["zz_bloom_marker_token"]],
+                      "k": [5]})
+    acc = make_metrics_accumulator(spark)
+    res = search_index(spark, idx, q, num_tasks=1, metrics_acc=acc,
+                       merge="driver")
+    assert len(res) == 1  # exactly the planted doc
+    m = read_metrics(acc)[0]
+    assert m.get("segments_bloom_skipped", 0) >= 4, m
+    assert m.get("segments_visited", 0) <= 2, m
