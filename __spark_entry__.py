@@ -51,6 +51,16 @@ CONJ_QUERY_SET: list[tuple[int, list[str], int]] = [
     (4, ["dup", "zz_oov_term"], 10),
 ]
 
+# fielded (BM25F-style) query set: mixes content terms with `source`
+# field values (src0..src19, df=25 each) — metadata matches boost docs
+FIELDED_QUERY_SET: list[tuple[int, list[str], int]] = [
+    (0, ["spark", "src3"], 10),
+    (1, ["window", "src7"], 10),
+    (2, ["src0"], 10),
+    (3, ["hash", "scan", "src12"], 100),
+]
+FIELD_WEIGHTS = {"text": 1.0, "source": 2.0}
+
 ENTRY_INDEX_ROOT = "/tmp/jvector_spark_entry_index"
 
 
@@ -169,6 +179,33 @@ def q_bm25_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = corpus_stats(doc_lengths(postings))
     out = bm25_topk(postings, term_stats(postings), stats, _query_df(spark))
     return _rerank_rounded(out)
+
+
+def q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded (BM25F-style) search: weighted sum of per-field BM25 over
+    the content tokens (weight 1.0) and the `source` metadata field
+    (weight 2.0, its own df/avgdl stats) — the code-search pattern of
+    boosting filename/metadata matches."""
+    from jvector_spark.operators.bm25 import bm25_fielded_topk
+    from jvector_spark.operators.postings import (
+        corpus_stats, doc_lengths, term_stats)
+
+    text_p = _postings_table(spark, sf_dir)
+    src_p = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("source").alias("term"),
+        F.lit(1).cast("int").alias("tf"),
+        F.lit(1).cast("int").alias("dl"),
+    )
+    fields = [
+        (text_p, term_stats(text_p), corpus_stats(doc_lengths(text_p)),
+         FIELD_WEIGHTS["text"]),
+        (src_p, term_stats(src_p), corpus_stats(doc_lengths(src_p)),
+         FIELD_WEIGHTS["source"]),
+    ]
+    queries = spark.createDataFrame(_qpdf(query_set=FIELDED_QUERY_SET))
+    out = bm25_fielded_topk(fields, queries)
+    return _rerank_rounded(out, query_set=FIELDED_QUERY_SET)
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -653,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_index": q_bm25_topk_index,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_fielded": q_bm25_fielded,
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
         "phrase_search": q_phrase_search,
@@ -830,6 +868,53 @@ j AS (SELECT doc_a, doc_b,
       FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard_ppm
 FROM j WHERE jaccard_ppm >= 500000
+"""
+
+
+def _fielded_oracle() -> str:
+    """Weighted two-field BM25: content tokens (weight 1.0) + the source
+    metadata field as a 1-token field with its own stats (weight 2.0).
+    Per (qid, doc): sum of weighted per-field BM25 sums; display rank by
+    round(score,6) desc, docid asc."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {k})"
+        for qid, terms, k in FIELDED_QUERY_SET for t in terms
+    )
+    wt, ws = FIELD_WEIGHTS["text"], FIELD_WEIGHTS["source"]
+    return f"""
+WITH {_TOK}, {_TF}, {_DL},
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+tf2 AS (SELECT doc_id, source AS term, 1::BIGINT AS tf FROM documents),
+stats2 AS (SELECT count(*)::DOUBLE AS n_docs, 1.0 AS avgdl FROM documents),
+ts2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY 1),
+q(qid, term, k) AS (VALUES {vals}),
+s1 AS (
+  SELECT q.qid::BIGINT AS qid, q.k, tf.doc_id,
+         {wt} * ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf::DOUBLE * (1.2 + 1.0)
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
+           AS contrib
+  FROM q JOIN ts USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+s2 AS (
+  SELECT q.qid::BIGINT AS qid, q.k, tf2.doc_id,
+         {ws} * ln(1.0 + (s.n_docs - ts2.df + 0.5) / (ts2.df + 0.5))
+         * tf2.tf::DOUBLE * (1.2 + 1.0)
+         / (tf2.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / s.avgdl))
+           AS contrib
+  FROM q JOIN ts2 USING (term) JOIN tf2 USING (term) CROSS JOIN stats2 s
+),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM u GROUP BY 1,2,3),
+r AS (SELECT qid, k, doc_id, score,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM agg)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
+       round(score, 6) AS score
+FROM r WHERE rn <= k
 """
 
 
@@ -1035,6 +1120,7 @@ FROM per
         ),
         "bm25_conjunctive": _bm25_oracle(conjunctive=True,
                                          query_set=CONJ_QUERY_SET),
+        "bm25_fielded": _fielded_oracle(),
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
         "phrase_search": _phrase_oracle(),

@@ -35,6 +35,36 @@ def bm25_score_expr(tf="tf", dl="dl", df="df", n_docs="n_docs", avgdl="avgdl"):
     return idf * norm
 
 
+def bm25_scores(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """Uncut per-doc scores: queries(qid, terms[, k]) ->
+    (qid[, k], docid, score) for every doc matching >= 1 term.
+
+    Plan shape (scale notes):
+      * query terms exploded then BROADCAST into the postings join — the big
+        side (postings) never shuffles for the join;
+      * term_stats is joined into the broadcast side first (dictionary-sized);
+      * score sum per (qid, docid) is a partial+final hash aggregate.
+    """
+    keep = ["qid", "k"] if "k" in queries.columns else ["qid"]
+    qt = (
+        queries.select(*keep, F.explode("terms").alias("term"))
+        .dropDuplicates([*keep, "term"])
+    )
+    # dictionary-sized joins: (qid, term[, k], df); stays broadcast-able
+    qt = qt.join(term_stats, "term", "inner")
+    matched = F.broadcast(qt).join(postings, "term", "inner").crossJoin(
+        F.broadcast(stats))
+    scored = matched.select(
+        *keep, "docid", bm25_score_expr().alias("contrib"),
+    )
+    return scored.groupBy(*keep, "docid").agg(F.sum("contrib").alias("score"))
+
+
 def bm25_topk(
     postings: DataFrame,
     term_stats: DataFrame,
@@ -43,30 +73,47 @@ def bm25_topk(
     default_k: int | None = None,
 ) -> DataFrame:
     """queries(qid, terms array<string>[, k]) -> (qid, rank, docid, score).
-
-    Plan shape (scale notes):
-      * query terms exploded then BROADCAST into the postings join — the big
-        side (postings) never shuffles for the join;
-      * term_stats is joined into the broadcast side first (dictionary-sized);
-      * score sum per (qid, docid) is a partial+final hash aggregate;
-      * top-k per qid = window row_number bounded by k (rank-identical
-        tie-break: score desc, docid asc).
-    """
-    spark = postings.sparkSession
+    Top-k per qid = window row_number bounded by k (rank-identical
+    tie-break: score desc, docid asc) over `bm25_scores`."""
     if default_k is not None and "k" not in queries.columns:
         queries = queries.withColumn("k", F.lit(default_k))
-    qt = (
-        queries.select("qid", "k", F.explode("terms").alias("term"))
-        .dropDuplicates(["qid", "term"])
+    per_doc = bm25_scores(postings, term_stats, stats, queries)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("k"))
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), "docid", "score")
     )
-    # dictionary-sized joins: (qid, term, k, df); stays broadcast-able
-    qt = qt.join(term_stats, "term", "inner")
-    matched = F.broadcast(qt).join(postings, "term", "inner").crossJoin(F.broadcast(stats))
-    scored = matched.select(
-        "qid", "k", "docid",
-        bm25_score_expr().alias("contrib"),
-    )
-    per_doc = scored.groupBy("qid", "k", "docid").agg(F.sum("contrib").alias("score"))
+
+
+def bm25_fielded_topk(
+    fields: list[tuple[DataFrame, DataFrame, DataFrame, float]],
+    queries: DataFrame,
+) -> DataFrame:
+    """Fielded (BM25F-style weighted-field) top-k: score(doc) =
+    sum over fields of weight_f * BM25_f(query, doc), each field with its
+    OWN postings/stats (content vs filename/source/title fields — the
+    code-search pattern of boosting metadata matches).
+
+    `fields`: [(postings, term_stats, corpus_stats, weight), ...].
+    Combination happens on the UNCUT per-field scores (a doc strong in
+    only one field must still compete), then one bounded window per qid.
+    The per-(qid,docid) outer-merge is a hash aggregate over docs that
+    matched >= 1 field — never corpus-sized.
+    """
+    parts = []
+    for postings, tstats, cstats, weight in fields:
+        s = bm25_scores(postings, tstats, cstats,
+                        queries.select("qid", "terms"))
+        parts.append(s.select(
+            "qid", "docid", (F.col("score") * F.lit(float(weight))).alias("ws")
+        ))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    per_doc = union.groupBy("qid", "docid").agg(F.sum("ws").alias("score"))
+    ks = queries.select("qid", "k")
+    per_doc = per_doc.join(F.broadcast(ks), "qid")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
     return (
         per_doc.withColumn("rn", F.row_number().over(w))

@@ -119,3 +119,41 @@ def test_docids_stable_across_partition_counts(spark, corpus_pdf):
         )
         outs.append(ids)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_fielded_bm25(spark, pipeline, corpus_pdf):
+    """bm25_fielded_topk: with a zero-weight second field it equals plain
+    BM25 exactly; boosting a metadata field re-ranks docs that match it."""
+    from jvector_spark.operators.bm25 import bm25_fielded_topk
+
+    docs, postings, tstats, cstats = pipeline
+    # metadata field: repo name as a single token per doc
+    repo_p = docs.select(
+        "docid", F.col("repo").alias("term"),
+        F.lit(1).cast("int").alias("tf"), F.lit(1).cast("int").alias("dl"),
+    )
+    r_tstats = term_stats(repo_p)
+    r_cstats = corpus_stats(doc_lengths(repo_p))
+    some_repo = docs.select("repo").first()["repo"]
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": [0], "terms": [["import", some_repo]], "k": [15]}))
+
+    base = bm25_topk(postings, tstats, cstats, queries).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    zerow = bm25_fielded_topk(
+        [(postings, tstats, cstats, 1.0)], queries,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    assert base["docid"].tolist() == zerow["docid"].tolist()
+    assert np.array_equal(base["score"].to_numpy(), zerow["score"].to_numpy())
+
+    boosted = bm25_fielded_topk(
+        [(postings, tstats, cstats, 1.0), (repo_p, r_tstats, r_cstats, 5.0)],
+        queries,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    # every doc of the boosted repo outranks same-content docs elsewhere:
+    # the top results must all come from `some_repo`
+    repo_docs = set(docs.where(F.col("repo") == some_repo)
+                    .select("docid").toPandas()["docid"])
+    top = boosted["docid"].head(min(5, len(repo_docs))).tolist()
+    assert all(d in repo_docs for d in top), (top, some_repo)
+    assert boosted["docid"].tolist() != base["docid"].tolist()
