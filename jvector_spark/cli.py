@@ -20,6 +20,7 @@ Subcommands:
     compact  merge segments + purge tombstones + renumber
     delete   add tombstones by docid
     metrics  print the manifest's lineage/metrics JSON
+    vacuum   remove segment dirs unreferenced by the manifest
 """
 
 from __future__ import annotations
@@ -119,12 +120,22 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics")
     m.add_argument("--index", required=True)
 
+    v = sub.add_parser("vacuum")
+    v.add_argument("--index", required=True)
+    v.add_argument("--dry-run", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
         from jvector_spark.sources.segment import load_manifest
 
         print(json.dumps(load_manifest(args.index), indent=1))
+        return 0
+    if args.cmd == "vacuum":
+        from jvector_spark.plans.merge import vacuum_index
+
+        removed = vacuum_index(args.index, dry_run=args.dry_run)
+        print(json.dumps({"removed": removed, "dry_run": args.dry_run}))
         return 0
     if args.cmd == "delete":
         from jvector_spark.plans.merge import mark_deleted

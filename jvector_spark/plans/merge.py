@@ -203,6 +203,30 @@ def _merge_group(
     return man, docid_map
 
 
+def vacuum_index(index_dir: str, dry_run: bool = False) -> list[str]:
+    """Garbage-collect segment directories not referenced by the live
+    manifest: crash leftovers (a failed append builds segment dirs but
+    dies before the atomic manifest write), `.tmp` staging dirs, and
+    superseded rebuilds. Safe by construction — the manifest is the
+    single source of visibility, so anything it doesn't reference is
+    invisible to every reader. Returns the removed (or would-remove)
+    paths."""
+    manifest = load_manifest(index_dir)
+    live = {os.path.basename(os.path.normpath(s["path"]))
+            for s in manifest["segments"]}
+    removed = []
+    for name in sorted(os.listdir(index_dir)):
+        full = os.path.join(index_dir, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith("seg-") and (name.endswith(".tmp")
+                                        or name not in live):
+            removed.append(full)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
+    return removed
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,

@@ -235,3 +235,32 @@ def test_resume_rebuilds_when_build_params_change(spark, corpus_df,
     # and an identical rebuild still resumes
     m3 = build_index(docs, idx, num_segments=2, positions=True)
     assert (m3["status"] == "resumed").all()
+
+
+def test_vacuum_removes_orphans_only(spark, corpus_df, tmp_path_factory):
+    """vacuum_index removes unreferenced segment dirs (crash leftovers,
+    .tmp staging) and leaves every manifest-referenced segment intact;
+    queries are unaffected."""
+    import shutil as _shutil
+
+    from jvector_spark.plans.merge import vacuum_index
+
+    idx = str(tmp_path_factory.mktemp("idx_vac"))
+    manifest = build_index(assign_dense_docids(corpus_df), idx,
+                           num_segments=3)
+    # fabricate orphans: a copied segment dir not in the manifest + a tmp
+    src = manifest["path"].iloc[0]
+    orphan = os.path.join(idx, "seg-999999999999")
+    _shutil.copytree(src, orphan)
+    tmp = os.path.join(idx, "seg-000000000123.tmp")
+    os.makedirs(tmp)
+    would = vacuum_index(idx, dry_run=True)
+    assert set(would) == {orphan, tmp}
+    assert os.path.exists(orphan)  # dry run touched nothing
+    removed = vacuum_index(idx)
+    assert set(removed) == {orphan, tmp}
+    assert not os.path.exists(orphan) and not os.path.exists(tmp)
+    for p in manifest["path"]:
+        assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    assert search_index(spark, idx, q).count() > 0
