@@ -168,3 +168,30 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path_factory):
     for col in ["user_id", "session_idx", "n_events", "start_sec", "end_sec"]:
         assert (g[col].to_numpy() == e[col].to_numpy()).all(), col
     assert np.allclose(g["sum_value"], e["sum_value"], atol=1e-6)
+
+
+def test_sessionize_matches_spark_builtin_session_window(spark):
+    """Cross-validate the custom gap sessionizer against Spark's OWN
+    F.session_window aggregation (30-min gap): same session count, same
+    (n_events, start, end) multiset per user."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.events import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ours = sessionize(events, gap_minutes=30).toPandas()
+    builtin = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events",
+                F.unix_timestamp("w.start").alias("start_sec"))
+        .toPandas()
+    )
+    assert len(ours) == len(builtin)
+    a = ours[["user_id", "n_events", "start_sec"]].sort_values(
+        ["user_id", "start_sec"]).reset_index(drop=True)
+    b = builtin.sort_values(["user_id", "start_sec"]).reset_index(drop=True)
+    assert a["user_id"].tolist() == b["user_id"].tolist()
+    assert a["n_events"].tolist() == b["n_events"].tolist()
+    assert a["start_sec"].tolist() == b["start_sec"].tolist()
