@@ -203,6 +203,39 @@ def _merge_group(
     return man, docid_map
 
 
+def compact_in_place(
+    spark: SparkSession,
+    index_dir: str,
+    target_segments: int | None = None,
+    target_bytes: int | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> pd.DataFrame:
+    """Compact an index INTO ITSELF: merged segments build under a
+    generation subdirectory, then ONE atomic manifest write flips
+    visibility to them (readers hold the old snapshot until then — the
+    same read-while-write discipline as the streaming append), tombstones
+    reset (they are now physically purged), and the superseded segment
+    dirs are vacuumed. The LSM minor->major compaction lifecycle without
+    a second index location.
+    """
+    import time as _time
+
+    from jvector_spark.sources.segment import write_index_manifest
+
+    gen = os.path.join(index_dir, f"gen-{int(_time.time() * 1000):013d}")
+    manifest = compact_index(spark, index_dir, gen, target_segments,
+                             block_size, target_bytes)
+    mode = load_manifest(gen)["tokenizer_mode"]
+    # flip the PARENT manifest to the new generation's segments (paths are
+    # absolute), then clear tombstones and collect the old dirs
+    write_index_manifest(index_dir, manifest, mode)
+    tomb = os.path.join(index_dir, TOMBSTONES_FILE)
+    if os.path.exists(tomb):
+        os.remove(tomb)
+    vacuum_index(index_dir)
+    return manifest
+
+
 def vacuum_index(index_dir: str, dry_run: bool = False) -> list[str]:
     """Garbage-collect segment directories not referenced by the live
     manifest: crash leftovers (a failed append builds segment dirs but
@@ -212,18 +245,24 @@ def vacuum_index(index_dir: str, dry_run: bool = False) -> list[str]:
     invisible to every reader. Returns the removed (or would-remove)
     paths."""
     manifest = load_manifest(index_dir)
-    live = {os.path.basename(os.path.normpath(s["path"]))
-            for s in manifest["segments"]}
+    live = {os.path.realpath(s["path"]) for s in manifest["segments"]}
     removed = []
     for name in sorted(os.listdir(index_dir)):
         full = os.path.join(index_dir, name)
         if not os.path.isdir(full):
             continue
-        if name.startswith("seg-") and (name.endswith(".tmp")
-                                        or name not in live):
-            removed.append(full)
-            if not dry_run:
-                shutil.rmtree(full, ignore_errors=True)
+        if name.startswith("seg-"):
+            if name.endswith(".tmp") or os.path.realpath(full) not in live:
+                removed.append(full)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("gen-"):
+            # compaction generation: removable iff it hosts no live segment
+            gen_real = os.path.realpath(full)
+            if not any(p.startswith(gen_real + os.sep) for p in live):
+                removed.append(full)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
     return removed
 
 

@@ -50,6 +50,7 @@ def append_micro_segment(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     segments_per_batch: int = 1,
     positions: bool = False,
+    auto_compact_segments: int | None = None,
 ) -> None:
     """foreachBatch sink: build the batch into micro-segment(s) and extend
     the manifest with EXACTLY ONE atomic manifest write per batch.
@@ -117,6 +118,15 @@ def append_micro_segment(
     else:
         merged = sub_manifest
     write_index_manifest(index_dir, merged, mode)
+    # LSM minor->major: when micro-segments pile past the threshold, fold
+    # them with an in-place compaction (atomic manifest flip + vacuum) —
+    # steady-state segment counts stay bounded under continuous ingest
+    if (auto_compact_segments is not None
+            and len(merged) > auto_compact_segments):
+        from jvector_spark.plans.merge import compact_in_place
+
+        compact_in_place(spark, index_dir,
+                         target_segments=auto_compact_segments)
 
 
 def stream_build_index(
@@ -128,6 +138,7 @@ def stream_build_index(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     trigger_once: bool = True,
     positions: bool = False,
+    auto_compact_segments: int | None = None,
 ):
     """readStream source -> micro-segment index. Returns the query handle.
 
@@ -136,7 +147,8 @@ def stream_build_index(
     """
     def sink(bdf: DataFrame, bid: int) -> None:
         append_micro_segment(bdf, bid, index_dir, mode, content_col, key_cols,
-                             positions=positions)
+                             positions=positions,
+                             auto_compact_segments=auto_compact_segments)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -264,3 +264,68 @@ def test_vacuum_removes_orphans_only(spark, corpus_df, tmp_path_factory):
         assert os.path.exists(os.path.join(p, "_SUCCESS"))
     q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
     assert search_index(spark, idx, q).count() > 0
+
+
+def test_compact_in_place(spark, corpus_df, corpus_pdf, queries_pdf,
+                          tmp_path_factory):
+    """In-place compaction: same directory serves the compacted index
+    (atomic manifest flip), tombstones purge+reset, superseded segment
+    dirs vacuum away, and a SECOND compaction chains generations."""
+    from jvector_spark.plans.merge import compact_in_place
+
+    idx = str(tmp_path_factory.mktemp("idx_inplace"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=6)
+    mark_deleted(idx, DELETED)
+    m1 = compact_in_place(spark, idx, target_segments=3)
+    n_live = len(corpus_pdf) - len(DELETED)
+    assert int(m1["n_docs"].sum()) == n_live
+    assert load_tombstones(idx) == []  # physically purged
+    # old top-level seg dirs gone; only the generation's segments remain
+    top_segs = [n for n in os.listdir(idx) if n.startswith("seg-")]
+    assert top_segs == []
+    # queries match the reduced-corpus oracle from the SAME path
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    live_corpus = keyed[~keyed.index.isin(DELETED)].reset_index(drop=True)
+    oracle2 = BM25Oracle(live_corpus)
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle2.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
+    # second in-place compaction: old generation vacuumed
+    gens_before = [n for n in os.listdir(idx) if n.startswith("gen-")]
+    m2 = compact_in_place(spark, idx, target_segments=1)
+    assert int(m2["n_docs"].sum()) == n_live
+    gens_after = [n for n in os.listdir(idx) if n.startswith("gen-")]
+    assert len(gens_after) == 1 and gens_after != gens_before
+    res2 = search_index(spark, idx, queries_pdf).toPandas()
+    assert len(res2) == len(res)
+
+
+def test_streaming_auto_compaction(spark, corpus_df, corpus_pdf,
+                                   tmp_path_factory):
+    """Continuous ingest with auto_compact_segments keeps the manifest's
+    segment count bounded while results stay oracle-exact."""
+    from jvector_spark.streaming.micro_segments import stream_build_index
+
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    src = tmp_path_factory.mktemp("ac_src")
+    for i, chunk in enumerate(np.array_split(np.arange(len(keyed)), 5)):
+        keyed.iloc[chunk].to_parquet(src / f"p{i:02d}.parquet", index=False)
+    idx = str(tmp_path_factory.mktemp("ac_idx"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = stream_build_index(stream, idx, str(tmp_path_factory.mktemp("ac_ck")),
+                           auto_compact_segments=2)
+    q.awaitTermination(300)
+    m = load_manifest(idx)
+    assert m["n_docs"] == len(keyed)
+    assert len(m["segments"]) <= 3
+    # compaction renumbers docids densely but preserves arrival order, so
+    # ranks must still match the whole-corpus oracle
+    oracle = BM25Oracle(keyed)
+    qdf = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [10]})
+    res = search_index(spark, idx, qdf).toPandas().sort_values("rank")
+    exp = oracle.topk(["import"], 10)
+    assert res["docid"].tolist() == exp["docid"].tolist()
