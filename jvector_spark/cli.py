@@ -21,6 +21,7 @@ Subcommands:
     delete   add tombstones by docid
     metrics  print the manifest's lineage/metrics JSON
     vacuum   remove segment dirs unreferenced by the manifest
+    fsck     distributed integrity verification (checksums + decode)
 """
 
 from __future__ import annotations
@@ -124,6 +125,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--dry-run", action="store_true")
 
+    fs = sub.add_parser("fsck")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--max-terms", type=int, default=None,
+                    help="bound per-segment decode work (quick audit)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -193,6 +199,17 @@ def main(argv: list[str] | None = None) -> int:
             res = regex_token_topk(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "fsck":
+            from jvector_spark.plans.verify import verify_index
+
+            res = verify_index(spark, args.index,
+                               max_terms_per_segment=args.max_terms).toPandas()
+            bad = res[~res["ok"]]
+            print(json.dumps({
+                "segments": len(res), "ok": int(res["ok"].sum()),
+                "bad": bad.to_dict("records"),
+            }, default=str))
+            return 0 if bad.empty else 1
         elif args.cmd == "compact":
             from jvector_spark.plans.merge import compact_index
 

