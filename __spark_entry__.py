@@ -481,6 +481,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    LSH pair graph via iterative min-label propagation (transitivity:
+    A~B, B~C -> one cluster). Oracle: WITH RECURSIVE reachability."""
+    from jvector_spark.operators.dedup import near_dup_groups
+
+    return near_dup_groups(_docs(spark, sf_dir), min_jaccard=0.5).select(
+        F.col("doc_id").cast("long"), F.col("dup_group").cast("long")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.dedup import simhash
 
@@ -713,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
+        "near_dup_groups": q_near_dup_groups,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
@@ -998,18 +1010,18 @@ FROM r WHERE rn <= k
 """
 
 
-def _lsh_verified_oracle() -> str:
-    """SQL mirror of dedup.lsh_verified_pairs: 16-hash minhash LSH banding
-    (8 bands of 2) for candidates, exact n-gram Jaccard >= 0.5 on the
-    candidates only — the same semantics the Spark pipeline executes."""
+def _lsh_verified_ctes() -> str:
+    """CTE chain of the LSH->verify pipeline mirror: 16-hash minhash LSH
+    banding (8 bands of 2) for candidates, exact n-gram Jaccard in CTE
+    `j` — shared by the pairs oracle and the connected-components groups
+    oracle (same semantics the Spark pipeline executes)."""
     from jvector_spark.operators.dedup import AFFINE_HASH_PARAMS
 
     vals16 = ", ".join(
         f"({j}, {a}, {b}, {c})"
         for j, (a, b, c) in enumerate(AFFINE_HASH_PARAMS[:16])
     )
-    return f"""
-WITH {_SHINGLES},
+    return f"""{_SHINGLES},
 bh AS (SELECT doc_id, {_H60.format(x="s")} AS hv FROM she),
 hp(j, a, b, c) AS (VALUES {vals16}),
 mh AS (SELECT doc_id, j,
@@ -1033,9 +1045,35 @@ i AS (SELECT cand.doc_a, cand.doc_b, count(*)::BIGINT AS inter
 j AS (SELECT doc_a, doc_b,
       floor(inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE * 1e6)::BIGINT
         AS jaccard_ppm
-      FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)
+      FROM i JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id)"""
+
+
+def _lsh_verified_oracle() -> str:
+    """Pairs oracle: the pipeline-mirror CTEs cut at jaccard >= 0.5."""
+    return f"""
+WITH {_lsh_verified_ctes()}
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, jaccard_ppm
 FROM j WHERE jaccard_ppm >= 500000
+"""
+
+
+def _near_dup_groups_oracle() -> str:
+    """Connected components over the verified pair graph via WITH
+    RECURSIVE reachability: a node's dup_group = min doc_id reachable —
+    exactly the engine's min-label-propagation fixpoint."""
+    return f"""
+WITH RECURSIVE {_lsh_verified_ctes()},
+vp AS (SELECT doc_a, doc_b FROM j WHERE jaccard_ppm >= 500000),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp),
+nn AS (SELECT DISTINCT src AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node FROM nn
+  UNION
+  SELECT e.src, reach.lbl FROM reach JOIN e ON reach.node = e.dst
+)
+SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS dup_group
+FROM reach GROUP BY 1
 """
 
 
@@ -1221,6 +1259,7 @@ FROM bits GROUP BY 1
         # fixture — one j=0.9 pair with 10-element shingle sets never
         # agrees on a band) is asserted separately in tests/test_skew.py
         "lsh_jaccard_verified": _lsh_verified_oracle(),
+        "near_dup_groups": _near_dup_groups_oracle(),
         "ann_brute_topk": ann,
         "ann_ivf_exact": ann,
         "ann_ivf_partitioned": ann,

@@ -230,6 +230,64 @@ def lsh_verified_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                    text: str = "text",
+                    min_jaccard: float = 0.5,
+                    max_iters: int = 20) -> DataFrame:
+    """(doc_id, dup_group) — near-duplicate CLUSTERS: connected components
+    over the verified LSH pair graph, labeled by the component's min
+    doc_id (the canonical representative a curation pipeline keeps).
+
+    The full dedup story: exact groups come from `exact_dup_groups`;
+    NEAR-dup groups need transitivity (A~B, B~C => one cluster even when
+    A,C never collide in LSH), which pairs alone don't give. Components
+    compute by iterative min-label propagation — each round is one
+    neighbor join + min aggregate, converging in O(log diameter) rounds
+    (the standard large-graph CC shape; near-dup components are tiny, so
+    this is 2-3 rounds in practice, `max_iters` bounds adversarial
+    chains). Each round materializes via localCheckpoint so lineage
+    doesn't snowball.
+
+    Only docs participating in >= 1 pair return (singletons are their own
+    trivial group — join back if needed).
+    """
+    pairs = lsh_verified_pairs(docs, id_col, text, min_jaccard)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"),
+                         F.col("doc_a").alias("dst")))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lbl").alias("dup_group"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
             bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — tf-weighted SimHash over tokens.

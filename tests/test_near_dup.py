@@ -12,6 +12,7 @@ groundtruth ivecs.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from jvector_spark.operators.ann import (
@@ -103,3 +104,32 @@ def test_pq_rerank_exact_on_fixtures(spark):
         assert got[["qid", "rank", "vec_id"]].equals(
             exact[["qid", "rank", "vec_id"]].astype(got[["qid", "rank", "vec_id"]].dtypes)
         ), f"PQ rerank not exact at {sf}"
+
+
+def test_near_dup_groups_transitive(spark):
+    """Connected components over the pair graph: a chain A~B~C where A,C
+    never collide directly must still cluster under min-label A."""
+    import numpy as np
+
+    from jvector_spark.operators.dedup import near_dup_groups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    # A and B share all-but-one shingles; B and C likewise; A vs C differ
+    # in two places (lower jaccard) — transitivity must bridge them
+    a = " ".join(base)
+    b = " ".join(base[:-1] + ["CHANGED1"])
+    c = " ".join(base[:10] + ["CHANGED2"] + base[11:-1] + ["CHANGED1"])
+    fillers = [
+        " ".join(f"w{i}_{j}" for j in range(20)) for i in range(30)
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(33, dtype=np.int64),
+        "text": [a, b, c] + fillers,
+    })
+    docs = spark.createDataFrame(pdf)
+    groups = near_dup_groups(docs, min_jaccard=0.5).toPandas() \
+        .set_index("doc_id")["dup_group"].to_dict()
+    assert groups.get(0) == 0 and groups.get(1) == 0, groups
+    assert groups.get(2) == 0, f"transitivity failed: {groups}"
+    assert all(d < 3 for d in groups), f"fillers clustered: {groups}"
