@@ -456,6 +456,16 @@ def q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_sha(_docs(spark, sf_dir))
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per doc (training-data summarization)."""
+    from jvector_spark.operators.textstats import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), top_k=5).select(
+        F.col("doc_id").cast("long"), F.col("rank").cast("int"),
+        "term", F.col("tfidf_ppm").cast("long"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.dedup import exact_dup_groups
 
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "content_sha": q_content_sha,
+        "doc_keywords": q_doc_keywords,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1218,6 +1229,23 @@ SELECT doc_id, md5(text) AS content_md5, winnow_fp FROM g
 """,
         "content_sha": """
 SELECT doc_id, sha256(text) AS content_sha FROM documents
+""",
+        "doc_keywords": f"""
+WITH {_TOK}, {_TF},
+dl2 AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tokf),
+s AS (SELECT tf.doc_id, tf.term,
+      floor((tf.tf::DOUBLE / dl2.dl::DOUBLE)
+            * ln((1.0 + nd.n) / (1.0 + dfx.df::DOUBLE)) * 1e6)::BIGINT
+        AS tfidf_ppm
+      FROM tf JOIN dl2 USING (doc_id) JOIN dfx USING (term) CROSS JOIN nd),
+r AS (SELECT doc_id, term, tfidf_ppm,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf_ppm DESC, term ASC) AS rn
+      FROM s)
+SELECT doc_id, (rn - 1)::INT AS rank, term, tfidf_ppm
+FROM r WHERE rn <= 5
 """,
         "dedup_exact": """
 SELECT doc_id::BIGINT AS doc_id,

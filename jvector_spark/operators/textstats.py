@@ -155,3 +155,48 @@ def content_sha(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col), F.sha2(F.col(text), 256).alias("content_sha")
     )
+
+
+def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
+                 text: str = "text", top_k: int = 5) -> DataFrame:
+    """(doc_id, rank, term, tfidf_ppm) — each doc's top_k keywords by
+    smoothed tf-idf (the standard training-data summarization/labeling
+    primitive: what is this document about?).
+
+    tfidf = (tf / dl) * ln((1 + N) / (1 + df)); emitted as floor-ppm longs
+    (engine-invariant — see quality_scores). Rank ties break on the term
+    string. Plan: one tokenize pass -> explode -> two partial+final
+    aggregates (tf per (doc, term); df per term) -> broadcast-sized df
+    dictionary joins back -> per-doc window bounded at top_k. The explode
+    shuffles on (doc, term) — the same shape as posting construction,
+    which is the proven 100 TB path.
+    """
+    from pyspark.sql import Window
+
+    tok = with_tokens(docs, id_col, text).select(
+        F.col(id_col), F.explode("_toks").alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tok.select(id_col).distinct().count()
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df), "term")
+        .select(
+            F.col(id_col), "term",
+            F.floor(
+                (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                * F.log((1.0 + float(n_docs)) / (1.0 + F.col("df").cast("double")))
+                * 1e6
+            ).cast("long").alias("tfidf_ppm"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_ppm"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(F.col(id_col), (F.col("rn") - 1).cast("int").alias("rank"),
+                "term", "tfidf_ppm")
+    )
