@@ -466,6 +466,20 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 0.5, "es": 0.5}  # zh drops
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sample: downsample the
+    over-represented 'en' stratum, drop 'zh' (absent from fractions) —
+    the balanced-training-corpus primitive, pure map-side filter."""
+    from jvector_spark.operators.textstats import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACTIONS, strata_col="lang"
+    ).select(F.col("doc_id").cast("long"), "lang")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.dedup import exact_dup_groups
 
@@ -729,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "content_sha": q_content_sha,
         "doc_keywords": q_doc_keywords,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1246,6 +1261,12 @@ r AS (SELECT doc_id, term, tfidf_ppm,
       FROM s)
 SELECT doc_id, (rn - 1)::INT AS rank, term, tfidf_ppm
 FROM r WHERE rn <= 5
+""",
+        "stratified_sample": f"""
+WITH fr(lang, th) AS (VALUES {", ".join(f"('{k}', {int(round(v*1e6))})" for k, v in sorted(SAMPLE_FRACTIONS.items()))})
+SELECT doc_id::BIGINT AS doc_id, d.lang
+FROM documents d JOIN fr ON d.lang = fr.lang
+WHERE ({_H60.format(x="d.lang || ':' || doc_id::VARCHAR")}) % 1000000 < fr.th
 """,
         "dedup_exact": """
 SELECT doc_id::BIGINT AS doc_id,

@@ -200,3 +200,29 @@ def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), (F.col("rn") - 1).cast("int").alias("rank"),
                 "term", "tfidf_ppm")
     )
+
+
+def stratified_sample(docs: DataFrame, fractions: dict,
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling — the balanced-corpus primitive
+    (downsample over-represented languages/sources in training data).
+
+    Membership is a pure function of the row: keep iff
+    hash60(stratum ':' id) % 1e6 < fraction(stratum)*1e6 — reproducible
+    across runs, engines, and cluster sizes (no RNG state, unlike
+    df.sample), and trivially map-side (one filter, no shuffle). Strata
+    absent from `fractions` drop entirely (fraction 0).
+    """
+    from jvector_spark.operators.dedup import md5_hash60
+
+    frac_map = F.create_map(*[
+        x for k, v in sorted(fractions.items())
+        for x in (F.lit(k), F.lit(int(round(v * 1_000_000))))
+    ])
+    bucket = md5_hash60(
+        F.concat(F.col(strata_col).cast("string"), F.lit(":"),
+                 F.col(id_col).cast("string"))
+    ) % F.lit(1_000_000)
+    thresh = F.coalesce(frac_map[F.col(strata_col)], F.lit(0))
+    return docs.where(bucket < thresh)

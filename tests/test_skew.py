@@ -71,3 +71,23 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
     docs = spark.createDataFrame(pdf).repartition(8)
     pairs = minhash_lsh_pairs(docs, max_bucket=20).toPandas()
     assert len(pairs) == 20 * 19 // 2  # capped, not 500*499/2
+
+
+def test_stratified_sample_deterministic_and_balanced(spark):
+    """Hash-based stratified sampling: exact repeatability (no RNG state),
+    per-stratum rates near the requested fractions, absent strata drop."""
+    from jvector_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fr = {"en": 0.3, "de": 0.5}
+    a = stratified_sample(docs, fr).select("doc_id").toPandas()
+    b = stratified_sample(docs, fr).select("doc_id").toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # deterministic
+    counts = (stratified_sample(docs, fr).groupBy("lang").count()
+              .toPandas().set_index("lang")["count"].to_dict())
+    totals = docs.groupBy("lang").count().toPandas() \
+        .set_index("lang")["count"].to_dict()
+    assert set(counts) <= set(fr)  # absent strata fully dropped
+    for lang, f in fr.items():
+        rate = counts.get(lang, 0) / totals[lang]
+        assert abs(rate - f) < 0.15, (lang, rate)
