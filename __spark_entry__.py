@@ -469,6 +469,16 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 0.5, "es": 0.5}  # zh drops
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: docs stream in id order into
+    2048-token training bins (bin/offset of each doc's first token)."""
+    from jvector_spark.operators.textstats import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), max_tokens=2048).select(
+        F.col("doc_id").cast("long"), "n_tokens", "bin", "offset",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sample: downsample the
     over-represented 'en' stratum, drop 'zh' (absent from fractions) —
@@ -744,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha": q_content_sha,
         "doc_keywords": q_doc_keywords,
         "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1261,6 +1272,17 @@ r AS (SELECT doc_id, term, tfidf_ppm,
       FROM s)
 SELECT doc_id, (rn - 1)::INT AS rank, term, tfidf_ppm
 FROM r WHERE rn <= 5
+""",
+        "sequence_pack": f"""
+WITH {_TOK},
+n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tokf GROUP BY 1),
+c AS (SELECT doc_id, n_tokens,
+      (sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+        AS start FROM n)
+SELECT doc_id::BIGINT AS doc_id, n_tokens,
+       (start // 2048)::BIGINT AS bin, (start % 2048)::BIGINT AS offset
+FROM c
 """,
         "stratified_sample": f"""
 WITH fr(lang, th) AS (VALUES {", ".join(f"('{k}', {int(round(v*1e6))})" for k, v in sorted(SAMPLE_FRACTIONS.items()))})

@@ -226,3 +226,31 @@ def stratified_sample(docs: DataFrame, fractions: dict,
     ) % F.lit(1_000_000)
     thresh = F.coalesce(frac_map[F.col(strata_col)], F.lit(0))
     return docs.where(bucket < thresh)
+
+
+def sequence_pack(docs: DataFrame, max_tokens: int = 2048,
+                  id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, bin, offset) — contiguous token-budget packing:
+    docs in id order stream into training bins of `max_tokens`; a doc's
+    bin is where its FIRST token lands (offset = position within the
+    bin's budget). The deterministic skeleton of LLM pretraining sequence
+    packing (greedy in-order concat; long docs overflow their bin and the
+    next doc starts downstream — same running-total contract).
+
+    One window cumsum over doc order. At 10^12 docs the single global
+    ordering would be range-partitioned exactly like dense docid
+    assignment (ids.assign_dense_docids); the driver-query form uses the
+    plain window for oracle parity.
+    """
+    from pyspark.sql import Window
+
+    counts = token_counts(docs, id_col, text).select(
+        F.col(id_col), F.col("n_tokens"))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return counts.select(
+        F.col(id_col), F.col("n_tokens").cast("long"),
+        F.floor(start / F.lit(max_tokens)).cast("long").alias("bin"),
+        (start % F.lit(max_tokens)).cast("long").alias("offset"),
+    )
