@@ -479,6 +479,19 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: flag training docs sharing an 8-gram with the
+    pseudo-eval set (doc_id % 41 == 0 stands in for a benchmark). The
+    eval docs flag themselves; their planted near-dups also collide."""
+    from jvector_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.where(F.col("doc_id") % 41 == 0)
+    return decontaminate(docs, eval_docs).select(
+        F.col("doc_id").cast("long"), F.col("n_hits").cast("long")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sample: downsample the
     over-represented 'en' stratum, drop 'zh' (absent from fractions) —
@@ -754,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sha": q_content_sha,
         "doc_keywords": q_doc_keywords,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "sequence_pack": q_sequence_pack,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1272,6 +1286,18 @@ r AS (SELECT doc_id, term, tfidf_ppm,
       FROM s)
 SELECT doc_id, (rn - 1)::INT AS rank, term, tfidf_ppm
 FROM r WHERE rn <= 5
+""",
+        "decontaminate": """
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ts) >= 8 THEN
+       list_distinct(list_transform(range(len(ts) - 7),
+         i -> array_to_string(list_slice(ts, i + 1, i + 8), ' ')))
+       ELSE [array_to_string(ts, ' ')] END AS shs FROM tl),
+she AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM she WHERE doc_id % 41 = 0)
+SELECT she.doc_id::BIGINT AS doc_id, count(DISTINCT she.s)::BIGINT AS n_hits
+FROM she JOIN ev USING (s) GROUP BY 1
 """,
         "sequence_pack": f"""
 WITH {_TOK},

@@ -363,3 +363,34 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .where(F.col("jaccard_ppm") >= int(min_jaccard * 1e6))
     )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  id_col: str = "doc_id", text: str = "text",
+                  eval_id_col: str = "doc_id", eval_text: str = "text",
+                  k: int = 8) -> DataFrame:
+    """(doc_id, n_hits) — training docs sharing >= 1 k-gram shingle with
+    ANY eval-set document (n_hits = distinct overlapping shingles). The
+    standard pretraining decontamination gate: k-gram collision with an
+    evaluation benchmark flags a training doc for removal.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs) —
+    its distinct shingles broadcast into a map-side semi-join against the
+    corpus shingle stream, so the corpus never shuffles; the only
+    aggregate is per flagged doc. k=8 matches the winnowing fingerprint
+    window (doc_fingerprints) — long enough that natural collisions are
+    rare, short enough to catch paraphrase-free inclusion.
+    """
+    corpus_sh = with_tokens(docs, id_col, text).select(
+        F.col(id_col), F.explode(shingles_from(F.col("_toks"), k)).alias("s")
+    )
+    eval_sh = (
+        with_tokens(eval_docs, eval_id_col, eval_text)
+        .select(F.explode(shingles_from(F.col("_toks"), k)).alias("s"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("s").alias("n_hits"))
+    )
