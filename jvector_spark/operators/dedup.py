@@ -263,16 +263,24 @@ def near_dup_groups(docs: DataFrame, id_col: str = "doc_id",
         .distinct()
         .withColumn("lbl", F.col("node"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("lbl").alias("nmin"))
         )
+        jump = labels.select(F.col("node").alias("jnode"),
+                             F.col("lbl").alias("jlbl"))
         new_labels = (
             labels.join(neigh, labels.node == neigh.src, "left")
+            .join(jump, labels.lbl == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce("nmin", "lbl"),
+                    F.coalesce("jlbl", "lbl"),
+                ).alias("lbl"),
             )
         ).localCheckpoint()
         changed = (
@@ -283,7 +291,12 @@ def near_dup_groups(docs: DataFrame, id_col: str = "doc_id",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iters} rounds — "
+            "raise max_iters (components deeper than 2^max_iters hops)")
     return labels.select(F.col("node").alias(id_col),
                          F.col("lbl").alias("dup_group"))
 

@@ -179,15 +179,18 @@ def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tok.select(id_col).distinct().count()
+    # 1-row doc count stays LAZY (broadcast cross join) — a .count() here
+    # would run the whole tokenize+aggregate lineage a second time
+    nd = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
         tf.join(dl, id_col)
         .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
         .select(
             F.col(id_col), "term",
             F.floor(
                 (F.col("tf").cast("double") / F.col("dl").cast("double"))
-                * F.log((1.0 + float(n_docs)) / (1.0 + F.col("df").cast("double")))
+                * F.log((1.0 + F.col("_n")) / (1.0 + F.col("df").cast("double")))
                 * 1e6
             ).cast("long").alias("tfidf_ppm"),
         )
@@ -245,7 +248,8 @@ def sequence_pack(docs: DataFrame, max_tokens: int = 2048,
     from pyspark.sql import Window
 
     counts = token_counts(docs, id_col, text).select(
-        F.col(id_col), F.col("n_tokens"))
+        F.col(id_col), F.col("n_tokens")
+    ).where(F.col("n_tokens") > 0)  # empty docs carry nothing to pack
     w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum("n_tokens").over(w)
     start = (cum - F.col("n_tokens")).cast("long")

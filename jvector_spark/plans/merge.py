@@ -53,16 +53,32 @@ from jvector_spark.sources.segment import (
 TOMBSTONES_FILE = "tombstones.json"
 
 
+def _manifest_epoch(index_dir: str) -> int:
+    try:
+        return int(load_manifest(index_dir).get("docid_epoch", 0))
+    except FileNotFoundError:
+        return 0
+
+
 def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
     """Phase-1 delete: record tombstones in the index manifest dir
     (markNodeDeleted analog). Queries must exclude these immediately;
-    the postings bytes are untouched until compaction."""
+    the postings bytes are untouched until compaction.
+
+    Tombstones are EPOCH-SCOPED: they carry the manifest's docid_epoch,
+    and load_tombstones ignores them once a compaction bumps the epoch
+    (docids renumber — old-numbering tombstones applied to new docids
+    would silently delete the wrong live docs). This makes the
+    in-place-compaction manifest flip atomic w.r.t. deletes: a crash
+    between the flip and the tombstone-file removal leaves stale-epoch
+    tombstones that every reader ignores."""
     path = os.path.join(index_dir, TOMBSTONES_FILE)
     cur: set[int] = set(load_tombstones(index_dir))
     cur.update(int(d) for d in docids)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(sorted(cur), f)
+        json.dump({"docid_epoch": _manifest_epoch(index_dir),
+                   "docids": sorted(cur)}, f)
     os.replace(tmp, path)
     return sorted(cur)
 
@@ -72,7 +88,12 @@ def load_tombstones(index_dir: str) -> list[int]:
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return json.load(f)
+        data = json.load(f)
+    if isinstance(data, list):  # legacy epoch-less format == epoch 0
+        data = {"docid_epoch": 0, "docids": data}
+    if int(data.get("docid_epoch", 0)) != _manifest_epoch(index_dir):
+        return []  # stale epoch: docids renumbered since these were marked
+    return data["docids"]
 
 
 def _merge_group(
@@ -209,6 +230,8 @@ def compact_in_place(
     target_segments: int | None = None,
     target_bytes: int | None = None,
     block_size: int = BLOCK_SIZE,
+    vacuum_after: bool = True,
+    vacuum_min_age_sec: float = 600.0,
 ) -> pd.DataFrame:
     """Compact an index INTO ITSELF: merged segments build under a
     generation subdirectory, then ONE atomic manifest write flips
@@ -223,33 +246,52 @@ def compact_in_place(
     from jvector_spark.sources.segment import write_index_manifest
 
     gen = os.path.join(index_dir, f"gen-{int(_time.time() * 1000):013d}")
+    old_epoch = _manifest_epoch(index_dir)
     manifest = compact_index(spark, index_dir, gen, target_segments,
                              block_size, target_bytes)
     mode = load_manifest(gen)["tokenizer_mode"]
     # flip the PARENT manifest to the new generation's segments (paths are
-    # absolute), then clear tombstones and collect the old dirs
-    write_index_manifest(index_dir, manifest, mode)
+    # absolute). The epoch bump makes the flip atomic w.r.t. deletes: the
+    # old tombstones carry the old epoch and every reader ignores them the
+    # instant the new manifest lands — removing the file afterwards is
+    # pure GC (a crash in between leaves no wrong-results window).
+    write_index_manifest(index_dir, manifest, mode,
+                         docid_epoch=old_epoch + 1)
     tomb = os.path.join(index_dir, TOMBSTONES_FILE)
     if os.path.exists(tomb):
         os.remove(tomb)
-    vacuum_index(index_dir)
+    if vacuum_after:
+        vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
     return manifest
 
 
-def vacuum_index(index_dir: str, dry_run: bool = False) -> list[str]:
+def vacuum_index(index_dir: str, dry_run: bool = False,
+                 min_age_sec: float = 3600.0) -> list[str]:
     """Garbage-collect segment directories not referenced by the live
     manifest: crash leftovers (a failed append builds segment dirs but
     dies before the atomic manifest write), `.tmp` staging dirs, and
-    superseded rebuilds. Safe by construction — the manifest is the
-    single source of visibility, so anything it doesn't reference is
-    invisible to every reader. Returns the removed (or would-remove)
-    paths."""
+    superseded compaction generations. Returns the removed (or
+    would-remove) paths.
+
+    `min_age_sec` is the concurrency grace period: only dirs whose mtime
+    is older than it are touched. New manifests are the single source of
+    visibility, but (a) an in-flight append has built-but-not-yet-
+    referenced dirs, and (b) a long-running reader may still hold a
+    pre-compaction manifest snapshot — the age guard lets both drain
+    before their files disappear. Pass 0 only when nothing else can be
+    touching the index."""
     manifest = load_manifest(index_dir)
     live = {os.path.realpath(s["path"]) for s in manifest["segments"]}
     removed = []
+    now = time.time()
     for name in sorted(os.listdir(index_dir)):
         full = os.path.join(index_dir, name)
         if not os.path.isdir(full):
+            continue
+        try:
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue  # grace period: possibly still referenced
+        except OSError:
             continue
         if name.startswith("seg-"):
             if name.endswith(".tmp") or os.path.realpath(full) not in live:

@@ -6,7 +6,9 @@ per-doc `content_sha` at build (the OnDiskGraphIndex footer/checksum
 discipline, write_segment_files); this op re-reads every segment
 DISTRIBUTED (one task per segment batch) and verifies:
 
-  * postings.bin matches its recorded sha256 (bit-rot / truncation);
+  * postings.bin and bloom.bin match their recorded sha256 (bit-rot /
+    truncation; a garbled bloom would silently skip matching segments),
+    and the bloom has no false negatives over the dictionary;
   * the dictionary is self-consistent: sum(df) == meta n_postings,
     per-term block_n sums == df;
   * every term decodes: docids strictly ascending within bounds
@@ -50,6 +52,23 @@ def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list
             errors.append("postings_sha256 mismatch")
     except OSError as e:
         errors.append(f"postings.bin: {e!r}")
+    bloom_path = os.path.join(path, "bloom.bin")
+    if os.path.exists(bloom_path):
+        from jvector_spark.sources.segment import (
+            bloom_may_contain, load_term_bloom)
+
+        with open(bloom_path, "rb") as f:
+            bsha = hashlib.sha256(f.read()).hexdigest()
+        if "bloom_sha256" in meta and bsha != meta["bloom_sha256"]:
+            errors.append("bloom_sha256 mismatch")
+        bloom = load_term_bloom(path)
+        if bloom is None:
+            errors.append("bloom.bin wrong size")
+        else:
+            for t in reader.terms[:200]:
+                if not bloom_may_contain(bloom, t):
+                    errors.append(f"bloom false negative for {t!r}")
+                    break
     df_sum = 0
     lo, hi = int(meta["min_docid"]), int(meta["max_docid"])
     terms = reader.terms if max_terms is None else reader.terms[:max_terms]

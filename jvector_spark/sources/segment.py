@@ -394,11 +394,16 @@ def bloom_may_contain(bloom: np.ndarray, term: str) -> bool:
 
 def load_term_bloom(seg_dir: str) -> np.ndarray | None:
     """Segment's term bloom as packed bits; None for pre-bloom segments
-    (callers must then fall back to opening the dictionary)."""
+    OR wrong-sized files (a truncated/garbled bloom must never skip a
+    segment — callers fall back to opening the dictionary, which is
+    always correct)."""
     path = os.path.join(seg_dir, "bloom.bin")
     if not os.path.exists(path):
         return None
-    return np.fromfile(path, dtype=np.uint8)
+    bits = np.fromfile(path, dtype=np.uint8)
+    if len(bits) != BLOOM_BITS // 8:
+        return None  # corrupt/truncated: fail open (no skip)
+    return bits
 
 
 def write_segment_files(
@@ -415,8 +420,9 @@ def write_segment_files(
     pq.write_table(terms_tbl, os.path.join(tmp_dir, "terms.parquet"))
     with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
         f.write(blob)
+    bloom_bytes = build_term_bloom(terms_tbl.column("term").to_pylist())
     with open(os.path.join(tmp_dir, "bloom.bin"), "wb") as f:
-        f.write(build_term_bloom(terms_tbl.column("term").to_pylist()))
+        f.write(bloom_bytes)
     pq.write_table(
         pa.Table.from_pandas(docs_pdf, preserve_index=False),
         os.path.join(tmp_dir, "docs.parquet"),
@@ -434,6 +440,7 @@ def write_segment_files(
         "bytes_postings": len(blob),
         "sum_dl": int(docs_pdf["dl"].sum()),
         "postings_sha256": hashlib.sha256(blob).hexdigest(),
+        "bloom_sha256": hashlib.sha256(bloom_bytes).hexdigest(),
         # lineage + metrics (north rule: per-partition checkpoints carry
         # provenance; CheckpointManager analog)
         "lineage": {
@@ -734,7 +741,17 @@ def read_global_term_stats(index_dir: str,
     return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
 
-def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> dict:
+def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str,
+                         docid_epoch: int | None = None) -> dict:
+    """`docid_epoch` scopes tombstones to a docid numbering: appends keep
+    the current epoch (default — preserved from the existing manifest);
+    compactions that RENUMBER docids must bump it so stale tombstones are
+    ignored by readers (see plans/merge.mark_deleted)."""
+    if docid_epoch is None:
+        try:
+            docid_epoch = int(load_manifest(index_dir).get("docid_epoch", 0))
+        except FileNotFoundError:
+            docid_epoch = 0
     sum_dl = 0
     has_positions = bool(len(manifest))
     for p in manifest["path"]:
@@ -762,6 +779,7 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str) -> d
         "sum_dl": int(sum_dl),
         "avgdl": float(sum_dl / max(1, int(manifest["n_docs"].sum()))),
         "has_positions": has_positions,
+        "docid_epoch": int(docid_epoch),
         "tokenizer_mode": mode,
         "built_at": time.time(),
     }

@@ -119,14 +119,16 @@ def append_micro_segment(
         merged = sub_manifest
     write_index_manifest(index_dir, merged, mode)
     # LSM minor->major: when micro-segments pile past the threshold, fold
-    # them with an in-place compaction (atomic manifest flip + vacuum) —
-    # steady-state segment counts stay bounded under continuous ingest
+    # them with an in-place compaction. HYSTERESIS: compact down to
+    # threshold/2 so the next trigger is threshold/2 batches away —
+    # triggering at N and compacting to exactly N would rewrite the whole
+    # index EVERY batch thereafter (quadratic I/O over the stream's life).
     if (auto_compact_segments is not None
             and len(merged) > auto_compact_segments):
         from jvector_spark.plans.merge import compact_in_place
 
         compact_in_place(spark, index_dir,
-                         target_segments=auto_compact_segments)
+                         target_segments=max(1, auto_compact_segments // 2))
 
 
 def stream_build_index(

@@ -254,10 +254,10 @@ def test_vacuum_removes_orphans_only(spark, corpus_df, tmp_path_factory):
     _shutil.copytree(src, orphan)
     tmp = os.path.join(idx, "seg-000000000123.tmp")
     os.makedirs(tmp)
-    would = vacuum_index(idx, dry_run=True)
+    would = vacuum_index(idx, dry_run=True, min_age_sec=0)
     assert set(would) == {orphan, tmp}
     assert os.path.exists(orphan)  # dry run touched nothing
-    removed = vacuum_index(idx)
+    removed = vacuum_index(idx, min_age_sec=0)
     assert set(removed) == {orphan, tmp}
     assert not os.path.exists(orphan) and not os.path.exists(tmp)
     for p in manifest["path"]:
@@ -276,7 +276,8 @@ def test_compact_in_place(spark, corpus_df, corpus_pdf, queries_pdf,
     idx = str(tmp_path_factory.mktemp("idx_inplace"))
     build_index(assign_dense_docids(corpus_df), idx, num_segments=6)
     mark_deleted(idx, DELETED)
-    m1 = compact_in_place(spark, idx, target_segments=3)
+    m1 = compact_in_place(spark, idx, target_segments=3,
+                          vacuum_min_age_sec=0)
     n_live = len(corpus_pdf) - len(DELETED)
     assert int(m1["n_docs"].sum()) == n_live
     assert load_tombstones(idx) == []  # physically purged
@@ -294,7 +295,8 @@ def test_compact_in_place(spark, corpus_df, corpus_pdf, queries_pdf,
         assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
     # second in-place compaction: old generation vacuumed
     gens_before = [n for n in os.listdir(idx) if n.startswith("gen-")]
-    m2 = compact_in_place(spark, idx, target_segments=1)
+    m2 = compact_in_place(spark, idx, target_segments=1,
+                          vacuum_min_age_sec=0)
     assert int(m2["n_docs"].sum()) == n_live
     gens_after = [n for n in os.listdir(idx) if n.startswith("gen-")]
     assert len(gens_after) == 1 and gens_after != gens_before
