@@ -359,3 +359,28 @@ def test_verify_index_detects_corruption(spark, corpus_df, tmp_path_factory):
                for e in res.loc[vid, "errors"])
     others = res.drop(index=vid)
     assert others["ok"].all()
+
+
+def test_stale_epoch_tombstones_ignored(spark, corpus_df, tmp_path_factory):
+    """Crash-window simulation: a tombstones file from BEFORE an in-place
+    compaction (old docid_epoch) must be ignored by readers — old-
+    numbering ids applied to renumbered docids would delete wrong docs."""
+    import json as _json
+
+    from jvector_spark.plans.merge import compact_in_place
+
+    idx = str(tmp_path_factory.mktemp("idx_epoch"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    mark_deleted(idx, [0, 1])
+    assert load_tombstones(idx) == [0, 1]
+    compact_in_place(spark, idx, target_segments=2, vacuum_min_age_sec=0)
+    # simulate the crash: resurrect the PRE-compaction tombstones file
+    with open(os.path.join(idx, "tombstones.json"), "w") as f:
+        _json.dump({"docid_epoch": 0, "docids": [0, 1]}, f)
+    assert load_tombstones(idx) == []  # stale epoch -> ignored
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    res = search_index(spark, idx, q, merge="driver")
+    assert len(res) == 5  # renumbered docs 0,1 are NOT wrongly excluded
+    # fresh deletes at the new epoch apply normally
+    mark_deleted(idx, [2])
+    assert load_tombstones(idx) == [2]
