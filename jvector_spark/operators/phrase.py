@@ -19,8 +19,9 @@ Scale shape (same scatter/gather as wand.search_index): phrases broadcast;
 segments are the parallel dimension; per segment, candidate docs come from
 the docid-intersection of the phrase's term postings FIRST — positions
 (the big stream) decode only for blocks containing surviving candidates.
-Partial results are bounded (docs with >=1 match), merged by a
-window/driver rank like search_index.
+Partial results are bounded at k per (segment, query) — a per-segment
+lexsort cut in rank order, mergeable because top-k of n_matches composes
+across segments — then merged by a window/driver rank like search_index.
 """
 
 from __future__ import annotations
@@ -149,8 +150,15 @@ def phrase_search(
                 d, n = match_phrase_on_segment(
                     reader, list(q.terms), b_tomb.value)
                 if len(d):
+                    # Bound the shuffle: per-(segment, query) top-k cut in
+                    # rank order (n_matches desc, docid asc) — top-k is
+                    # mergeable across segments, so a stop-word-ish phrase
+                    # over a big segment emits k rows, not millions
+                    # (mirrors regex.py's per-segment cut).
+                    top = np.lexsort((d, -n))[: int(q.k)]
                     out.append(pd.DataFrame({
-                        "qid": int(q.qid), "docid": d, "n_matches": n}))
+                        "qid": int(q.qid), "docid": d[top],
+                        "n_matches": n[top]}))
         if out:
             yield pd.concat(out, ignore_index=True)
 

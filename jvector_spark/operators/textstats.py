@@ -166,10 +166,11 @@ def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
     tfidf = (tf / dl) * ln((1 + N) / (1 + df)); emitted as floor-ppm longs
     (engine-invariant — see quality_scores). Rank ties break on the term
     string. Plan: one tokenize pass -> explode -> two partial+final
-    aggregates (tf per (doc, term); df per term) -> broadcast-sized df
-    dictionary joins back -> per-doc window bounded at top_k. The explode
-    shuffles on (doc, term) — the same shape as posting construction,
-    which is the proven 100 TB path.
+    aggregates (tf per (doc, term); df per term) -> shuffle equi-join of
+    the df dictionary back on `term` (no broadcast hint: code vocabulary
+    is corpus-sized; AQE may still choose broadcast at small SF) ->
+    per-doc window bounded at top_k. The explode shuffles on (doc, term)
+    — the same shape as posting construction, the proven 100 TB path.
     """
     from pyspark.sql import Window
 
@@ -182,9 +183,14 @@ def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
     # 1-row doc count stays LAZY (broadcast cross join) — a .count() here
     # would run the whole tokenize+aggregate lineage a second time
     nd = dl.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # The term-df dictionary is NOT broadcast: on source code the
+    # vocabulary (identifiers) grows near-linearly with the corpus, so at
+    # 100 TB it exceeds any broadcast threshold. Plain equi-join on `term`
+    # — same uniform key as posting construction — and AQE may still
+    # downgrade it to broadcast at small SF.
     scored = (
         tf.join(dl, id_col)
-        .join(F.broadcast(df), "term")
+        .join(df, "term")
         .crossJoin(F.broadcast(nd))
         .select(
             F.col(id_col), "term",
@@ -240,21 +246,65 @@ def sequence_pack(docs: DataFrame, max_tokens: int = 2048,
     packing (greedy in-order concat; long docs overflow their bin and the
     next doc starts downstream — same running-total contract).
 
-    One window cumsum over doc order. At 10^12 docs the single global
-    ordering would be range-partitioned exactly like dense docid
-    assignment (ids.assign_dense_docids); the driver-query form uses the
-    plain window for oracle parity.
+    Scale shape: the global running total is computed with the SAME
+    two-phase scheme as dense docid assignment (ids.assign_dense_docids)
+    — range-repartition on doc order + sortWithinPartitions (the one
+    shuffle a global orderBy would also do), a tiny per-partition
+    token-sum job, a driver prefix-sum over ≤num_partitions longs, then
+    a mapInPandas running total per partition. No single-partition
+    Window anywhere in the plan (the round-2 version's scale-killer);
+    results are bit-identical at any parallelism because the range sort
+    reproduces the exact global order.
     """
-    from pyspark.sql import Window
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     counts = token_counts(docs, id_col, text).select(
-        F.col(id_col), F.col("n_tokens")
+        F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens")
     ).where(F.col("n_tokens") > 0)  # empty docs carry nothing to pack
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).cast("long")
-    return counts.select(
-        F.col(id_col), F.col("n_tokens").cast("long"),
-        F.floor(start / F.lit(max_tokens)).cast("long").alias("bin"),
-        (start % F.lit(max_tokens)).cast("long").alias("offset"),
+
+    # Phase 1: one range shuffle reproducing the global id order.
+    sorted_counts = counts.repartitionByRange(
+        nparts, F.col(id_col)
+    ).sortWithinPartitions(id_col).persist()
+    # Phase 2: per-partition token totals (tiny job: ≤nparts rows).
+    part_sums = (
+        sorted_counts.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").agg(F.sum("n_tokens").alias("_tok")).collect()
     )
+    by_pid = {r["_pid"]: r["_tok"] for r in part_sums}
+    offsets, acc = {}, 0
+    for pid in range(nparts):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    boffsets = spark.sparkContext.broadcast(offsets)
+
+    schema = StructType([
+        StructField(id_col, sorted_counts.schema[id_col].dataType),
+        StructField("n_tokens", LongType()),
+        StructField("bin", LongType()),
+        StructField("offset", LongType()),
+    ])
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Phase 3: token-offset running total = partition prefix + local
+        # cumsum; bin/offset are pure functions of the doc's start token.
+        pos = boffsets.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            n = pdf["n_tokens"].to_numpy()
+            start = pos + n.cumsum() - n
+            pos = int(pos + n.sum()) if len(n) else pos
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": n,
+                "bin": start // max_tokens,
+                "offset": start % max_tokens,
+            })
+
+    return sorted_counts.mapInPandas(pack, schema=schema)

@@ -69,6 +69,32 @@ def test_textstats_are_shuffle_free(spark):
         assert "Exchange" not in _plan(op(docs)), op.__name__
 
 
+def test_sequence_pack_has_no_single_partition_stage(spark):
+    """sequence_pack's running total must be the two-phase range-partition
+    + prefix-sum scheme: no global Window, no Exchange SinglePartition
+    (the round-2 scale-killer this guard pins fixed)."""
+    from jvector_spark.operators.textstats import sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sequence_pack(docs))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_doc_keywords_df_join_not_forced_broadcast(spark):
+    """The term-df dictionary join must not carry a forced broadcast hint:
+    on code corpora the vocabulary is corpus-sized. The logical plan must
+    show no user ResolvedHint on the df side (AQE may still *choose*
+    broadcast at this SF — that is fine and not asserted either way)."""
+    from jvector_spark.operators.textstats import doc_keywords
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = doc_keywords(docs)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint remains: the 1-row corpus-count crossJoin
+    assert logical.count("ResolvedHint") <= 1
+
+
 def test_near_dup_paths_have_no_cartesian(spark):
     """The production near-dup paths must stay bucketed (this is also
     asserted in test_near_dup; duplicated here so the plan-guard file is
