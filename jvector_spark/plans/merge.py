@@ -51,6 +51,62 @@ from jvector_spark.sources.segment import (
 )
 
 TOMBSTONES_FILE = "tombstones.json"
+LEASES_DIR = "_leases"
+
+
+def acquire_lease(index_dir: str, purpose: str = "build") -> str:
+    """Positive ownership marker for in-flight index mutations.
+
+    An appender/compactor acquires a lease BEFORE staging any segment or
+    generation dirs and releases it after its atomic manifest write.
+    vacuum_index skips every dir created after the oldest live lease
+    started, so a build that outlives any mtime grace period is still
+    protected — mtime age alone cannot distinguish a slow in-flight build
+    from a crash leftover. Heartbeat = the lease file's mtime
+    (refresh_lease); a lease not refreshed within `lease_timeout_sec`
+    (vacuum arg) is considered dead, which is how crashed writers'
+    leftovers eventually become collectable."""
+    import uuid
+
+    ldir = os.path.join(index_dir, LEASES_DIR)
+    os.makedirs(ldir, exist_ok=True)
+    path = os.path.join(ldir, f"lease-{uuid.uuid4().hex}.json")
+    with open(path, "w") as f:
+        json.dump({"purpose": purpose, "start": time.time()}, f)
+    return path
+
+
+def refresh_lease(lease_path: str) -> None:
+    """Heartbeat: bump the lease's mtime (call between long build stages)."""
+    os.utime(lease_path)
+
+
+def release_lease(lease_path: str) -> None:
+    try:
+        os.remove(lease_path)
+    except FileNotFoundError:
+        pass
+
+
+def _live_lease_floor(index_dir: str, lease_timeout_sec: float) -> float:
+    """Earliest start time among live leases (heartbeat within timeout),
+    or +inf when none — dirs whose mtime is at/after this floor belong to
+    a possibly-in-flight writer and must not be vacuumed."""
+    ldir = os.path.join(index_dir, LEASES_DIR)
+    floor = float("inf")
+    if not os.path.isdir(ldir):
+        return floor
+    now = time.time()
+    for name in os.listdir(ldir):
+        path = os.path.join(ldir, name)
+        try:
+            if now - os.path.getmtime(path) > lease_timeout_sec:
+                continue  # dead writer: heartbeat expired
+            with open(path) as f:
+                floor = min(floor, float(json.load(f).get("start", now)))
+        except (OSError, ValueError):
+            continue
+    return floor
 
 
 def _manifest_epoch(index_dir: str) -> int:
@@ -83,17 +139,24 @@ def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
     return sorted(cur)
 
 
-def load_tombstones(index_dir: str) -> list[int]:
+def _read_raw_tombstones(index_dir: str) -> tuple[int, set[int]]:
+    """(epoch, docids) exactly as stored — no epoch-validity filtering.
+    Used by compaction to detect deletes acked AFTER its snapshot."""
     path = os.path.join(index_dir, TOMBSTONES_FILE)
     if not os.path.exists(path):
-        return []
+        return -1, set()
     with open(path) as f:
         data = json.load(f)
     if isinstance(data, list):  # legacy epoch-less format == epoch 0
         data = {"docid_epoch": 0, "docids": data}
-    if int(data.get("docid_epoch", 0)) != _manifest_epoch(index_dir):
+    return int(data.get("docid_epoch", 0)), set(data["docids"])
+
+
+def load_tombstones(index_dir: str) -> list[int]:
+    epoch, docids = _read_raw_tombstones(index_dir)
+    if epoch != _manifest_epoch(index_dir):
         return []  # stale epoch: docids renumbered since these were marked
-    return data["docids"]
+    return sorted(docids)
 
 
 def _merge_group(
@@ -207,11 +270,17 @@ def _merge_group(
         )
         terms_tbl = terms_tbl.slice(0, 0)
         blob = b""
+    # committed-keys bloom carries through the merge when every input
+    # agrees on the key columns (legacy inputs without key_cols just
+    # produce a bloom-less merged segment — appends fail open on those)
+    kc_sets = {tuple(r.meta.get("key_cols") or ()) for r in readers}
+    key_cols = list(kc_sets.pop()) if len(kc_sets) == 1 else []
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_live, {
         "segment_id": seg_id, "block_size": block_size,
         "merged_from": [os.path.basename(p) for p in seg_paths],
         "fingerprint": f"merge-{group_id}-{len(old)}",
         "has_positions": bool(with_positions),
+        "key_cols": key_cols,
     })
     man = pd.DataFrame([{
         "segment_id": seg_id, "path": seg_dir, "status": "merged",
@@ -247,50 +316,97 @@ def compact_in_place(
 
     gen = os.path.join(index_dir, f"gen-{int(_time.time() * 1000):013d}")
     old_epoch = _manifest_epoch(index_dir)
-    manifest = compact_index(spark, index_dir, gen, target_segments,
-                             block_size, target_bytes)
+    # Snapshot of what compact_index will physically purge. Deletes acked
+    # AFTER this read must not be lost (they carry the old epoch, so
+    # post-flip readers rightly ignore them — but dropping the file would
+    # silently resurrect them).
+    snap_epoch, snap = _read_raw_tombstones(index_dir)
+    # Ownership lease: the gen dir must survive a concurrent vacuum even
+    # if the merge takes longer than the vacuum grace period.
+    lease = acquire_lease(index_dir, purpose="compact")
+    try:
+        manifest = compact_index(spark, index_dir, gen, target_segments,
+                                 block_size, target_bytes)
+    except BaseException:
+        release_lease(lease)
+        raise
     mode = load_manifest(gen)["tokenizer_mode"]
     # flip the PARENT manifest to the new generation's segments (paths are
     # absolute). The epoch bump makes the flip atomic w.r.t. deletes: the
     # old tombstones carry the old epoch and every reader ignores them the
-    # instant the new manifest lands — removing the file afterwards is
-    # pure GC (a crash in between leaves no wrong-results window).
+    # instant the new manifest lands (no wrong-results window at any crash
+    # point).
     write_index_manifest(index_dir, manifest, mode,
                          docid_epoch=old_epoch + 1)
+    # Late-delete carry-over: diff the file against the snapshot and
+    # translate survivors through the compaction's docid_map into the new
+    # epoch, instead of unconditionally removing the file.
+    cur_epoch, cur = _read_raw_tombstones(index_dir)
     tomb = os.path.join(index_dir, TOMBSTONES_FILE)
-    if os.path.exists(tomb):
-        os.remove(tomb)
+    if cur_epoch == old_epoch:
+        late_old = cur - snap if snap_epoch == old_epoch else cur
+        if late_old:
+            import glob as _glob
+
+            maps = sorted(
+                _glob.glob(os.path.join(gen, "docid_map", "*.parquet")))
+            remap: dict[int, int] = {}
+            for mp in maps:
+                t = pq.read_table(mp, columns=["old_docid", "new_docid"])
+                remap.update(zip(t["old_docid"].to_pylist(),
+                                 t["new_docid"].to_pylist()))
+            translated = sorted(remap[d] for d in late_old if d in remap)
+            tmp = tomb + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"docid_epoch": old_epoch + 1,
+                           "docids": translated}, f)
+            os.replace(tmp, tomb)
+        elif os.path.exists(tomb):
+            os.remove(tomb)  # fully-purged snapshot: pure GC
+    elif cur_epoch == old_epoch + 1:
+        pass  # a post-flip mark already rewrote the file under the new epoch
+    elif os.path.exists(tomb):
+        os.remove(tomb)  # stale older-epoch leftovers: GC
+    release_lease(lease)  # manifest flipped: the gen dir is now live
     if vacuum_after:
         vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
     return manifest
 
 
 def vacuum_index(index_dir: str, dry_run: bool = False,
-                 min_age_sec: float = 3600.0) -> list[str]:
+                 min_age_sec: float = 3600.0,
+                 lease_timeout_sec: float = 3600.0) -> list[str]:
     """Garbage-collect segment directories not referenced by the live
     manifest: crash leftovers (a failed append builds segment dirs but
     dies before the atomic manifest write), `.tmp` staging dirs, and
     superseded compaction generations. Returns the removed (or
     would-remove) paths.
 
-    `min_age_sec` is the concurrency grace period: only dirs whose mtime
-    is older than it are touched. New manifests are the single source of
-    visibility, but (a) an in-flight append has built-but-not-yet-
-    referenced dirs, and (b) a long-running reader may still hold a
-    pre-compaction manifest snapshot — the age guard lets both drain
-    before their files disappear. Pass 0 only when nothing else can be
-    touching the index."""
+    Two independent guards protect concurrent work:
+      * LEASES (positive ownership): any dir whose mtime is at/after the
+        oldest LIVE lease's start time is skipped — this protects an
+        in-flight build of ANY duration (appenders/compactors acquire a
+        lease before staging; a lease whose heartbeat is older than
+        `lease_timeout_sec` is dead and stops protecting).
+      * `min_age_sec` (mtime grace): dirs younger than it are skipped —
+        a fallback for writers that predate the lease protocol and for
+        long-running readers holding a pre-compaction manifest snapshot.
+    Pass min_age_sec=0 only when nothing else can be touching the index."""
     manifest = load_manifest(index_dir)
     live = {os.path.realpath(s["path"]) for s in manifest["segments"]}
     removed = []
     now = time.time()
+    lease_floor = _live_lease_floor(index_dir, lease_timeout_sec)
     for name in sorted(os.listdir(index_dir)):
         full = os.path.join(index_dir, name)
-        if not os.path.isdir(full):
+        if not os.path.isdir(full) or name == LEASES_DIR:
             continue
         try:
-            if now - os.path.getmtime(full) < min_age_sec:
+            mtime = os.path.getmtime(full)
+            if now - mtime < min_age_sec:
                 continue  # grace period: possibly still referenced
+            if mtime >= lease_floor:
+                continue  # owned by an in-flight writer (live lease)
         except OSError:
             continue
         if name.startswith("seg-"):

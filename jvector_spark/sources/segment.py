@@ -376,10 +376,20 @@ def _bloom_positions(term: str) -> list[int]:
 
 
 def build_term_bloom(terms: list[str]) -> bytes:
+    """Vectorized build (the segment-write hot path for vocabulary-heavy
+    segments): one md5 C-call per term into a single digest buffer, then
+    all bit positions extracted and set with numpy fancy indexing —
+    bit-identical to _bloom_positions (the top 60 bits of the digest are
+    int(hexdigest[:15], 16) == big-endian u64 of bytes 0..8 >> 4)."""
     bits = np.zeros(BLOOM_BITS, dtype=np.uint8)
-    for t in terms:
-        for p in _bloom_positions(t):
-            bits[p] = 1
+    if terms:
+        digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in terms)
+        h = np.frombuffer(digests, dtype=">u8") >> np.uint64(4)
+        mask = np.uint64(BLOOM_BITS - 1)
+        pos = np.concatenate([
+            ((h >> np.uint64(19 * i)) & mask) for i in range(BLOOM_K)
+        ]).astype(np.int64)
+        bits[pos] = 1
     return np.packbits(bits).tobytes()
 
 
@@ -406,6 +416,69 @@ def load_term_bloom(seg_dir: str) -> np.ndarray | None:
     return bits
 
 
+KEY_BLOOM_BITS = 1 << 20  # 128 KiB per segment: ~10 bits/key at 100k docs
+KEY_BLOOM_K = 3
+KEY_SEP = "\x1f"  # concat_ws separator for key tuples (matches append path)
+
+
+def _key_hash60(parts: pd.DataFrame) -> np.ndarray:
+    """60-bit md5 hash of each row's KEY_SEP-joined string columns —
+    value-identical to dedup.md5_hash60(F.concat_ws(KEY_SEP, *key_cols))
+    so the write side (here, pandas) and the probe side (Spark expression)
+    agree bit-for-bit."""
+    joined = parts.iloc[:, 0].astype(str)
+    for c in parts.columns[1:]:
+        joined = joined + KEY_SEP + parts[c].astype(str)
+    digests = b"".join(
+        hashlib.md5(s.encode()).digest()[:8] for s in joined
+    )
+    if not digests:
+        return np.zeros(0, dtype=np.uint64)
+    return np.frombuffer(digests, dtype=">u8") >> np.uint64(4)
+
+
+def _key_bloom_positions(h: np.ndarray) -> np.ndarray:
+    mask = np.uint64(KEY_BLOOM_BITS - 1)
+    return np.concatenate([
+        ((h >> np.uint64(20 * i)) & mask) for i in range(KEY_BLOOM_K)
+    ]).astype(np.int64)
+
+
+def build_key_bloom(hashes: np.ndarray) -> bytes:
+    bits = np.zeros(KEY_BLOOM_BITS, dtype=np.uint8)
+    if len(hashes):
+        bits[_key_bloom_positions(hashes.astype(np.uint64))] = 1
+    return np.packbits(bits).tobytes()
+
+
+def load_key_bloom(seg_dir: str) -> np.ndarray | None:
+    """Packed committed-keys bloom; None for legacy/corrupt files (callers
+    must then treat the segment as a possible key match — fail open)."""
+    path = os.path.join(seg_dir, "key_bloom.bin")
+    if not os.path.exists(path):
+        return None
+    bits = np.fromfile(path, dtype=np.uint8)
+    if len(bits) != KEY_BLOOM_BITS // 8:
+        return None
+    return bits
+
+
+def key_bloom_any(bloom: np.ndarray, hashes: np.ndarray) -> bool:
+    """True iff ANY of the probe hashes may be in the bloom (vectorized:
+    all K positions set for at least one hash)."""
+    if not len(hashes):
+        return False
+    pos = _key_bloom_positions(hashes.astype(np.uint64)).reshape(
+        KEY_BLOOM_K, -1)
+    hit = np.ones(pos.shape[1], dtype=bool)
+    for i in range(KEY_BLOOM_K):
+        p = pos[i]
+        hit &= ((bloom[p >> 3] >> (7 - (p & 7))) & 1).astype(bool)
+        if not hit.any():
+            return False
+    return True
+
+
 def write_segment_files(
     seg_dir: str,
     terms_tbl: pa.Table,
@@ -423,6 +496,18 @@ def write_segment_files(
     bloom_bytes = build_term_bloom(terms_tbl.column("term").to_pylist())
     with open(os.path.join(tmp_dir, "bloom.bin"), "wb") as f:
         f.write(bloom_bytes)
+    # committed-keys bloom: lets streaming appends dedup a micro-batch
+    # against the index WITHOUT rescanning every segment's docs sidecar
+    # (bloom miss == definitely-new doc; positives verify exactly). Lives
+    # inside the segment dir, so its visibility is atomic with the
+    # segment's — an fp here only costs an extra exact anti-join.
+    key_cols = meta_extra.get("key_cols")
+    if key_cols and all(c in docs_pdf.columns for c in key_cols):
+        kb = build_key_bloom(_key_hash60(docs_pdf[list(key_cols)]))
+        with open(os.path.join(tmp_dir, "key_bloom.bin"), "wb") as f:
+            f.write(kb)
+        meta_extra = {**meta_extra,
+                      "key_bloom_sha256": hashlib.sha256(kb).hexdigest()}
     pq.write_table(
         pa.Table.from_pandas(docs_pdf, preserve_index=False),
         os.path.join(tmp_dir, "docs.parquet"),
@@ -602,7 +687,7 @@ def _build_segment_stream(
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
-        "has_positions": positions,
+        "has_positions": positions, "key_cols": list(key_cols),
     })
     return manifest_row("built", meta, time.time() - t0)
 
@@ -721,18 +806,45 @@ def write_global_term_stats(index_dir: str, manifest: pd.DataFrame) -> str:
                         "df": pa.array([], pa.int64()),
                         "cf": pa.array([], pa.int64())})
     pq.write_table(tbl, tmp, row_group_size=65536)
+    with open(tmp, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()
     os.replace(tmp, out)
-    return out
+    return sha
+
+
+_TERM_STATS_SHA_CACHE: dict[tuple[str, float, int], str] = {}
+
+
+def _term_stats_file_sha(path: str) -> str:
+    """sha256 of the stats file, cached per (path, mtime, size) so the
+    integrity check costs one hash per file version per process."""
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    sha = _TERM_STATS_SHA_CACHE.get(key)
+    if sha is None:
+        with open(path, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        _TERM_STATS_SHA_CACHE[key] = sha
+    return sha
 
 
 def read_global_term_stats(index_dir: str,
                            terms: list[str]) -> dict[str, int] | None:
     """Driver-side df lookup for query terms from the hot-tier dictionary.
-    Returns None if the index predates term_stats.parquet (caller falls
-    back to the distributed aggregation); {} just means all terms OOV."""
+    Returns None if the index predates term_stats.parquet OR the file's
+    sha256 does not match the manifest's recorded hash (a crash between
+    the two writes leaves a mismatched pair — callers fall back to the
+    distributed aggregation, which is always correct); {} just means all
+    terms OOV."""
     path = os.path.join(index_dir, "term_stats.parquet")
     if not os.path.exists(path):
         return None
+    try:
+        want = load_manifest(index_dir).get("term_stats_sha")
+    except FileNotFoundError:
+        want = None
+    if want is not None and _term_stats_file_sha(path) != want:
+        return None  # stats/manifest torn write: distrust the hot tier
     import pyarrow.dataset as ds
 
     tbl = ds.dataset(path).to_table(
@@ -783,7 +895,12 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str,
         "tokenizer_mode": mode,
         "built_at": time.time(),
     }
-    write_global_term_stats(index_dir, manifest)
+    # Crash-consistency between the two files: term_stats lands first,
+    # then the manifest records its content sha. A crash in between
+    # leaves the OLD manifest (whose recorded sha no longer matches) —
+    # readers detect the tear and fall back to distributed aggregation
+    # instead of serving skewed idf (read_global_term_stats).
+    idx_meta["term_stats_sha"] = write_global_term_stats(index_dir, manifest)
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(idx_meta, f, indent=1)

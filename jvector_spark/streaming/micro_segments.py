@@ -68,8 +68,34 @@ def append_micro_segment(
     """
     import pandas as pd
 
+    from jvector_spark.plans.merge import acquire_lease, release_lease
+
     if batch_df.rdd.isEmpty():
         return
+
+    # Ownership lease: the micro-segment dirs staged below must survive a
+    # concurrent vacuum even when the batch's build outlives the vacuum
+    # mtime grace (vacuum skips dirs newer than any live lease's start).
+    lease = acquire_lease(index_dir, purpose="append")
+    try:
+        _append_micro_segment_locked(
+            batch_df, index_dir, mode, content_col, key_cols,
+            segments_per_batch, positions, auto_compact_segments)
+    finally:
+        release_lease(lease)
+
+
+def _append_micro_segment_locked(
+    batch_df: DataFrame,
+    index_dir: str,
+    mode: str,
+    content_col: str,
+    key_cols: tuple[str, ...],
+    segments_per_batch: int,
+    positions: bool,
+    auto_compact_segments: int | None,
+) -> None:
+    import pandas as pd
 
     spark = batch_df.sparkSession
     base = 0
@@ -78,17 +104,45 @@ def append_micro_segment(
         old = load_manifest(index_dir)
         if old["segments"]:
             base = max(s["max_docid"] for s in old["segments"]) + 1
-            # doc-granular dedup against the committed index: column-pruned
-            # scan of the key sidecars (at real scale this would be a
-            # bloom/key index; micro-batch joins against it all the same)
-            existing = spark.read.parquet(
-                *[os.path.join(s["path"], "docs.parquet")
-                  for s in old["segments"]]
-            ).select(*key_cols)
-            batch_df = batch_df.join(existing, on=list(key_cols),
-                                     how="left_anti")
-            if batch_df.rdd.isEmpty():
-                return
+            # Doc-granular dedup against the committed index, bloom-
+            # prefiltered: each segment carries a committed-keys bloom
+            # (key_bloom.bin, written atomically with the segment), so
+            # the steady-state all-new-docs batch touches 128 KiB per
+            # segment instead of rescanning every docs sidecar —
+            # O(batch) driver work + O(segments) bloom bytes per batch
+            # rather than O(index) sidecar I/O. Only segments the bloom
+            # cannot rule out (plus legacy bloom-less ones) enter the
+            # exact anti-join, which keeps the dedup exact: a bloom fp
+            # costs one extra join, never a dropped doc.
+            import numpy as np
+
+            from jvector_spark.operators.dedup import md5_hash60
+            from jvector_spark.sources.segment import (
+                KEY_SEP,
+                key_bloom_any,
+                load_key_bloom,
+            )
+
+            hcol = md5_hash60(
+                F.concat_ws(KEY_SEP, *[F.col(c).cast("string")
+                                       for c in key_cols]))
+            bh = np.array(
+                [r[0] for r in batch_df.select(hcol.alias("h")).collect()],
+                dtype=np.uint64)
+            candidates = []
+            for s in old["segments"]:
+                bloom = load_key_bloom(s["path"])
+                if bloom is None or key_bloom_any(bloom, bh):
+                    candidates.append(s)
+            if candidates:
+                existing = spark.read.parquet(
+                    *[os.path.join(s["path"], "docs.parquet")
+                      for s in candidates]
+                ).select(*key_cols)
+                batch_df = batch_df.join(existing, on=list(key_cols),
+                                         how="left_anti")
+                if batch_df.rdd.isEmpty():
+                    return
 
     # dense contiguous docids for this batch, stable under re-delivery:
     # order by the key columns (same contract as assign_dense_docids)

@@ -361,6 +361,115 @@ def test_verify_index_detects_corruption(spark, corpus_df, tmp_path_factory):
     assert others["ok"].all()
 
 
+def test_vacuum_respects_live_lease(spark, corpus_df, tmp_path_factory):
+    """A dir staged by an in-flight writer (live lease, mtime ≥ lease
+    start) must survive vacuum even at min_age_sec=0 — mtime age alone
+    cannot distinguish a slow build from a crash leftover. Once the lease
+    is released (or its heartbeat expires), the dir is collectable."""
+    from jvector_spark.plans.merge import (
+        acquire_lease,
+        release_lease,
+        vacuum_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idx_lease"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    lease = acquire_lease(idx, purpose="append")
+    staged = os.path.join(idx, "seg-777777777777.tmp")
+    os.makedirs(staged)  # staged AFTER lease start -> owned by the writer
+    assert vacuum_index(idx, min_age_sec=0) == []
+    assert os.path.exists(staged)
+    release_lease(lease)
+    assert vacuum_index(idx, min_age_sec=0) == [staged]
+    assert not os.path.exists(staged)
+    # dead-writer path: an expired heartbeat stops protecting
+    lease2 = acquire_lease(idx, purpose="append")
+    staged2 = os.path.join(idx, "seg-777777777778.tmp")
+    os.makedirs(staged2)
+    assert vacuum_index(idx, min_age_sec=0) == []  # heartbeat fresh
+    assert vacuum_index(idx, min_age_sec=0,
+                        lease_timeout_sec=0.0) == [staged2]
+    release_lease(lease2)
+
+
+def test_late_delete_survives_in_place_compaction(spark, corpus_df,
+                                                  corpus_pdf, queries_pdf,
+                                                  tmp_path_factory,
+                                                  monkeypatch):
+    """A delete acked AFTER compaction snapshots the tombstones but BEFORE
+    the manifest flip must not be lost: compact_in_place diffs the file at
+    flip time and rewrites the late docid under the new epoch, translated
+    through the docid_map."""
+    import jvector_spark.plans.merge as merge_mod
+
+    idx = str(tmp_path_factory.mktemp("idx_late"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=4)
+    mark_deleted(idx, DELETED)
+    late = 100  # not in DELETED: survives the purge, then gets deleted late
+    assert late not in DELETED
+
+    real_compact = merge_mod.compact_index
+
+    def compact_then_late_delete(*args, **kwargs):
+        out = real_compact(*args, **kwargs)
+        # the late delete lands between the snapshot and the flip
+        mark_deleted(idx, [late])
+        return out
+
+    monkeypatch.setattr(merge_mod, "compact_index", compact_then_late_delete)
+    merge_mod.compact_in_place(spark, idx, target_segments=2,
+                               vacuum_min_age_sec=0)
+    # survivor renumbering: new docid = old - |deleted below old|
+    translated = late - sum(1 for d in DELETED if d < late)
+    assert load_tombstones(idx) == [translated]
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    assert not res["docid"].isin([translated]).any()
+    # and the doc is genuinely the same one: purging it at the NEXT
+    # compaction keeps results oracle-exact for the doubly-reduced corpus
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    live = keyed[~keyed.index.isin(DELETED + [late])].reset_index(drop=True)
+    monkeypatch.setattr(merge_mod, "compact_index", real_compact)
+    merge_mod.compact_in_place(spark, idx, target_segments=1,
+                               vacuum_min_age_sec=0)
+    assert load_tombstones(idx) == []
+    oracle2 = BM25Oracle(live)
+    res2 = search_index(spark, idx, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res2[res2["qid"] == q.qid].sort_values("rank")
+        exp = oracle2.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
+
+
+def test_torn_term_stats_detected_and_search_falls_back(
+        spark, corpus_df, oracle, queries_pdf, tmp_path_factory):
+    """Crash-window simulation: term_stats.parquet from a NEWER write than
+    the manifest (the torn pair a crash between the two file replaces
+    leaves behind). The manifest's recorded sha must flag the mismatch —
+    the hot-tier lookup returns None and search falls back to the
+    distributed df aggregation, staying oracle-exact."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from jvector_spark.sources.segment import read_global_term_stats
+
+    idx = str(tmp_path_factory.mktemp("idx_torn"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    assert read_global_term_stats(idx, ["import"]) is not None
+    # simulate the tear: rewrite the stats file with wrong (skewed) df
+    stats = os.path.join(idx, "term_stats.parquet")
+    t = _pq.read_table(stats).to_pandas()
+    t["df"] = 1  # maximally-wrong idf if ever trusted
+    _pq.write_table(_pa.Table.from_pandas(t, preserve_index=False), stats)
+    assert read_global_term_stats(idx, ["import"]) is None  # tear detected
+    res = search_index(spark, idx, queries_pdf).toPandas()
+    for q in queries_pdf.itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(),
+                           exp["score"].to_numpy(), rtol=0, atol=0)
+
+
 def test_stale_epoch_tombstones_ignored(spark, corpus_df, tmp_path_factory):
     """Crash-window simulation: a tombstones file from BEFORE an in-place
     compaction (old docid_epoch) must be ignored by readers — old-

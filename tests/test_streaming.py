@@ -58,6 +58,56 @@ def test_stream_build_matches_oracle(spark, staged_corpus, queries_pdf,
                            rtol=0, atol=0)
 
 
+def test_key_bloom_parity_and_prefilter(spark, staged_corpus,
+                                        tmp_path_factory):
+    """The committed-keys bloom must (a) hash identically on the pandas
+    write side and the Spark probe side, (b) contain every committed key
+    (no false negatives — a fn would DROP a re-delivered doc's dedup and
+    duplicate it... other way: fn would skip the anti-join and duplicate
+    the doc), and (c) rule out a batch of definitely-new keys so the
+    steady-state append skips the sidecar scan entirely."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.operators.dedup import md5_hash60
+    from jvector_spark.sources.segment import (
+        KEY_SEP,
+        _key_hash60,
+        key_bloom_any,
+        load_key_bloom,
+    )
+
+    src_dir, keyed = staged_corpus
+    idx = str(tmp_path_factory.mktemp("kb_idx"))
+    schema = spark.read.parquet(src_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    stream_build_index(stream, idx,
+                       str(tmp_path_factory.mktemp("kb_ck"))).awaitTermination(300)
+    m = load_manifest(idx)
+    key_cols = ["repo", "path", "commit"]
+    # (a) hash parity pandas vs Spark expression
+    pd_h = _key_hash60(keyed[key_cols]).astype(np.int64)
+    sp_h = np.array(
+        spark.read.parquet(src_dir)
+        .select(md5_hash60(F.concat_ws(
+            KEY_SEP, *[F.col(c).cast("string") for c in key_cols])))
+        .toPandas().iloc[:, 0], dtype=np.int64)
+    assert set(pd_h.tolist()) == set(sp_h.tolist())
+    # (b) every committed key hits SOME segment bloom
+    blooms = [load_key_bloom(s["path"]) for s in m["segments"]]
+    assert all(b is not None for b in blooms)
+    for h in pd_h[:50]:
+        assert any(key_bloom_any(b, np.array([h], np.uint64)) for b in blooms)
+    # (c) definitely-new keys: overwhelmingly ruled out (fp rate ~1e-4 at
+    # this fill; assert zero hits for a 100-key probe set)
+    fresh = _key_hash60(pd.DataFrame({
+        "repo": [f"brand-new-repo-{i}" for i in range(100)],
+        "path": [f"src/new_{i}.py" for i in range(100)],
+        "commit": ["deadbeef"] * 100}))
+    hits = sum(key_bloom_any(b, fresh) for b in blooms)
+    assert hits == 0
+
+
 def test_stream_restart_is_idempotent(spark, staged_corpus, tmp_path_factory):
     """Re-running the stream over the same source (fresh checkpoint —
     worst-case full re-delivery) must not duplicate docs: fingerprint
