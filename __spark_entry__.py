@@ -255,6 +255,45 @@ def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out)
 
 
+def q_bm25_topk_index_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed BM25 over an NVQ-QUANTIZED dictionary (uint8 affine
+    block-max metadata, segment.py _quantize_meta_stream — the analog of
+    the reference's NVQuantization/NVQScorer lossy-metadata + exact-rerank
+    path). Quantization is directional (tf up, dl down) so block pruning
+    stays sound; results must hash-match the SAME full-precision BM25
+    oracle — the quantization is visible only in dictionary size."""
+    import shutil
+
+    from jvector_spark.sources.segment import build_index, load_manifest
+    from jvector_spark.operators.wand import search_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) + "-nvq"
+    index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
+    if os.path.exists(os.path.join(index_dir, "manifest.json")):
+        try:
+            m = load_manifest(index_dir)
+            if "metrics" not in m or not any(
+                s.get("path") and os.path.exists(
+                    os.path.join(s["path"], "meta.json"))
+                for s in m.get("segments", [])
+            ):
+                shutil.rmtree(index_dir, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(index_dir, ignore_errors=True)
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("docid"), "text",
+            F.col("source"), F.col("lang"),
+        )
+        build_index(
+            docs, index_dir, mode="simple", num_segments=8,
+            content_col="text", key_cols=("source", "lang"),
+            quantize_meta=True,
+        )
+    out = search_index(spark, index_dir, _qpdf())
+    return _rerank_rounded(out)
+
+
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered top-k: acceptOrds attribute bitmap applied inside the
     search (stats unchanged) — reference filtered-search semantics."""
@@ -749,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_df": q_bm25_topk_df,
         "bm25_topk_index": q_bm25_topk_index,
+        "bm25_topk_index_nvq": q_bm25_topk_index_nvq,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_fielded": q_bm25_fielded,
@@ -1207,6 +1247,7 @@ FROM per
     return {
         "bm25_topk_df": bm25,
         "bm25_topk_index": bm25,
+        "bm25_topk_index_nvq": bm25,
         "bm25_topk_filtered": _bm25_oracle(
             accept_where="lang IN ('en', 'de')"
         ),

@@ -130,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--max-terms", type=int, default=None,
                     help="bound per-segment decode work (quick audit)")
 
+    sv = sub.add_parser(
+        "serve",
+        help="warm query loop: one session + pooled searchers, JSON-lines "
+             "requests on stdin, responses on stdout (IPCService analog)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--mode", default="local", choices=["local", "spark"],
+                    help="local = driver-side pooled segment scoring (zero "
+                         "Spark jobs/request); spark = distributed per batch")
+
     args = p.parse_args(argv)
 
     if args.cmd == "metrics":
@@ -210,6 +219,12 @@ def main(argv: list[str] | None = None) -> int:
                 "bad": bad.to_dict("records"),
             }, default=str))
             return 0 if bad.empty else 1
+        elif args.cmd == "serve":
+            from jvector_spark.serve import IndexServer, serve_loop
+
+            server = IndexServer(spark, args.index, mode=args.mode)
+            handled = serve_loop(server, sys.stdin, sys.stdout)
+            print(json.dumps({"served": handled}), file=sys.stderr)
         elif args.cmd == "compact":
             from jvector_spark.plans.merge import compact_index
 

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jvector_spark import B, K1
-from jvector_spark.sources.segment import SegmentReader, load_manifest
+from jvector_spark.sources.segment import (
+    SegmentReader,
+    block_meta_bounds,
+    load_manifest,
+)
 
 
 def idf_map(n_docs: int, df_by_term: dict[str, int]) -> dict[str, float]:
@@ -253,8 +257,10 @@ def score_query_on_segment(
         key = ("ub", t)
         if key not in cache:
             r = rows[t]
-            mtf = np.asarray(r["block_max_tf"], dtype=np.int64)
-            mdl = np.asarray(r["block_min_dl"], dtype=np.int64)
+            # (max_tf, min_dl) per block — exact, or sound dequantized
+            # bounds from an NVQ-quantized dictionary (tf ≥ true max,
+            # dl ≤ true min; block_meta_bounds)
+            mtf, mdl = block_meta_bounds(r)
             # same code path as the exact score (tf-norm is monotone in tf,
             # anti-monotone in dl, so (max_tf, min_dl) bounds every posting
             # in the block), inflated by 1e-9 relative so float rounding can
@@ -488,6 +494,47 @@ class _TopK:
         return float(self.scores[-1]) if len(self.scores) >= self.k else 0.0
 
 
+class SearcherPool:
+    """Pooled per-segment readers, score caches and blooms for warm
+    serving — the reference's pooled-searcher surface (ExplicitThreadLocal
+    GraphSearchers in GraphSearcher.java:51-57; long-lived CREATE/SEARCH
+    sessions in examples IPCService.java:80-87). One pool serves many
+    request batches against one index GENERATION: term-row/upper-bound/
+    full-decode caches persist across requests (they depend only on the
+    index bytes + global idf, both fixed per generation), so a warm
+    request pays zero dictionary re-reads. Call reset() when the manifest
+    changes (append/compaction)."""
+
+    __slots__ = ("readers", "caches", "blooms")
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.readers: dict[str, SegmentReader] = {}
+        self.caches: dict[str, dict] = {}
+        self.blooms: dict[str, object] = {}
+
+    def reader(self, path: str) -> SegmentReader:
+        r = self.readers.get(path)
+        if r is None:
+            r = self.readers[path] = SegmentReader(path)
+        return r
+
+    def cache(self, path: str) -> dict:
+        c = self.caches.get(path)
+        if c is None:
+            c = self.caches[path] = {}
+        return c
+
+    def bloom(self, path: str):
+        if path not in self.blooms:
+            from jvector_spark.sources.segment import load_term_bloom
+
+            self.blooms[path] = load_term_bloom(path)
+        return self.blooms[path]
+
+
 def search_partition(
     seg_paths: list[str],
     queries: pd.DataFrame,
@@ -499,6 +546,7 @@ def search_partition(
     after: dict | None = None,
     metrics: dict | None = None,
     mode: str = "or",
+    pool: "SearcherPool | None" = None,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern).
@@ -537,7 +585,7 @@ def search_partition(
         # at thousands of segments this skips whole-segment loads for
         # selective vocabularies (FP-safe: false positives only cost the
         # normal lookup; absent bloom.bin = pre-bloom segment, no skip)
-        bloom = load_term_bloom(path)
+        bloom = pool.bloom(path) if pool is not None else load_term_bloom(path)
         if bloom is not None and all_terms and not any(
             bloom_may_contain(bloom, t) for t in all_terms
         ):
@@ -548,8 +596,13 @@ def search_partition(
                         qs.get("segments_bloom_skipped", 0) + 1
                     )
             continue
-        reader = SegmentReader(path)
-        seg_cache: dict = {"_hot": hot}  # shared across this segment's queries
+        if pool is not None:
+            reader = pool.reader(path)
+            seg_cache = pool.cache(path)
+            seg_cache["_hot"] = hot  # hot set is per request batch
+        else:
+            reader = SegmentReader(path)
+            seg_cache = {"_hot": hot}  # shared across this segment's queries
         accept = (
             reader.accepted_docids(doc_filter) if doc_filter else None
         )

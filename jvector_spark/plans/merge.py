@@ -191,6 +191,11 @@ def _merge_group(
     # (position values are within-doc indices — docid remapping does not
     # touch them, only the posting reorder does)
     with_positions = all(r.has_positions for r in readers if r.terms)
+    # NVQ-quantized dictionaries stay quantized through compaction (the
+    # codes re-derive from exact merged (max_tf, min_dl) — no error
+    # accumulation across generations)
+    with_qmeta = bool(readers) and all(
+        r.meta.get("quantize_meta") for r in readers)
     for p, r in zip(seg_paths, readers):
         docs = pq.read_table(os.path.join(p, "docs.parquet")).to_pandas()
         doc_frames.append(docs)
@@ -261,7 +266,7 @@ def _merge_group(
     if len(p_doc):
         terms_tbl, blob = encode_postings_frame(
             p_term, p_doc, p_tf, dl_arr[p_doc - docid_offset], block_size,
-            p_pos=p_pos,
+            p_pos=p_pos, quantize_meta=with_qmeta,
         )
     else:
         terms_tbl, blob = encode_postings_frame(
@@ -281,6 +286,7 @@ def _merge_group(
         "fingerprint": f"merge-{group_id}-{len(old)}",
         "has_positions": bool(with_positions),
         "key_cols": key_cols,
+        "quantize_meta": bool(with_qmeta),
     })
     man = pd.DataFrame([{
         "segment_id": seg_id, "path": seg_dir, "status": "merged",

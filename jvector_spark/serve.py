@@ -1,0 +1,177 @@
+"""Warm serving loop: a long-lived search session over a built index.
+
+Reference mapping: jvector-examples/.../IPCService.java:80-87 — a
+long-lived process speaking a CREATE/SEARCH line protocol with POOLED
+searchers per session, so repeated queries never pay index reload. The
+repo's batch path (spark-submit `cli.py search`) pays full session +
+manifest + dictionary load per invocation; this module is the
+user-reachable warm path.
+
+Two execution modes per request batch:
+
+* ``local`` (default): the driver process scores every segment itself
+  through a persistent :class:`~jvector_spark.operators.wand.SearcherPool`
+  — pooled mmap SegmentReaders + term-row/upper-bound/decode caches that
+  survive across requests (ExplicitThreadLocal-pooled GraphSearcher
+  analog, GraphSearcher.java:51-57). Zero Spark jobs per request: this is
+  the single-node serving shape the reference itself is (an index that
+  fits one machine's disk; mmap random access), and what a per-shard
+  serving replica runs at 10^12-doc scale (each replica owns its shard's
+  segments locally — the scatter ACROSS shards lives above this layer).
+* ``spark``: delegates to wand.search_index(merge="driver") — the
+  cluster path for indexes too big for one node; still warm (one
+  SparkSession, hot term_stats reads) but pays a job per batch.
+
+Index mutations remain visible: tombstones re-read per request (phase-1
+deletes apply immediately), and a manifest change (append/compaction)
+detected by mtime+epoch resets the pool so the next request sees the new
+generation — the read-while-write snapshot contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import IO
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from jvector_spark.operators.wand import (
+    SearcherPool,
+    global_term_stats,
+    idf_map,
+    search_index,
+    search_partition,
+)
+from jvector_spark.sources.segment import load_manifest
+
+
+class IndexServer:
+    """One warm serving session over one index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 mode: str = "local") -> None:
+        if mode not in ("local", "spark"):
+            raise ValueError(f"unknown serve mode {mode!r}")
+        self.spark = spark
+        self.index_dir = index_dir
+        self.mode = mode
+        self.pool = SearcherPool()
+        self._df_memo: dict[str, int] = {}
+        self._load_manifest()
+        self.requests_served = 0
+
+    def _load_manifest(self) -> None:
+        self.manifest = load_manifest(self.index_dir)
+        self._manifest_mtime = os.path.getmtime(
+            os.path.join(self.index_dir, "manifest.json"))
+
+    def _refresh_if_stale(self) -> None:
+        """New generation (append/compaction) -> reload + drop pooled
+        readers/caches; the df memo is generation-scoped too."""
+        mtime = os.path.getmtime(os.path.join(self.index_dir, "manifest.json"))
+        if mtime != self._manifest_mtime:
+            self._load_manifest()
+            self.pool.reset()
+            self._df_memo.clear()
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        missing = [t for t in terms if t not in self._df_memo]
+        if missing:
+            self._df_memo.update(
+                global_term_stats(self.spark, self.index_dir, missing))
+            for t in missing:  # OOV terms memoize as absent (df lookup ran)
+                self._df_memo.setdefault(t, 0)
+        return idf_map(
+            self.manifest["n_docs"],
+            {t: df for t in terms if (df := self._df_memo.get(t, 0)) > 0},
+        )
+
+    def search(self, queries: pd.DataFrame, doc_filter: dict | None = None,
+               min_score: float = 0.0, mode: str = "or") -> pd.DataFrame:
+        """queries(qid, terms, k) -> (qid, rank, docid, score) pandas —
+        rank-identical to wand.search_index on the same index."""
+        self._refresh_if_stale()
+        self.requests_served += 1
+        if self.mode == "spark":
+            return search_index(self.spark, self.index_dir, queries,
+                                doc_filter=doc_filter, min_score=min_score,
+                                merge="driver", mode=mode)
+        from jvector_spark.plans.merge import load_tombstones
+
+        seg_paths = [s["path"] for s in self.manifest["segments"]]
+        all_terms = sorted({t for ts in queries["terms"] for t in ts})
+        idfs = self._idfs(all_terms)
+        tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
+        out = search_partition(
+            seg_paths, queries[["qid", "terms", "k"]], idfs,
+            self.manifest["avgdl"], tomb, doc_filter, min_score,
+            mode=mode, pool=self.pool,
+        )
+        # search_partition's _TopK output is already globally merged and
+        # rank-ordered (score desc, docid asc) per query
+        out["rank"] = out.groupby("qid").cumcount().astype("int32")
+        return out[["qid", "rank", "docid", "score"]]
+
+    def stats(self) -> dict:
+        return {
+            "index_dir": self.index_dir,
+            "mode": self.mode,
+            "n_docs": int(self.manifest["n_docs"]),
+            "n_segments": len(self.manifest["segments"]),
+            "docid_epoch": int(self.manifest.get("docid_epoch", 0)),
+            "pooled_readers": len(self.pool.readers),
+            "requests_served": self.requests_served,
+        }
+
+
+def serve_loop(server: IndexServer, in_stream: IO[str],
+               out_stream: IO[str]) -> int:
+    """JSON-lines request loop (the IPCService line protocol analog).
+
+    Requests (one JSON object per line):
+      {"op": "search", "queries": [{"qid": 0, "terms": [...], "k": 10}, ...],
+       "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?}
+      {"op": "stats"}
+      {"op": "ping"}
+      {"op": "quit"}
+    Responses: one JSON line each — {"ok": true, "results": [...]} for
+    search (rows as {qid, rank, docid, score}), {"ok": true, ...} for
+    stats/ping, {"ok": false, "error": "..."} on a bad request (the loop
+    keeps serving). Returns the number of requests handled.
+    """
+    handled = 0
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        handled += 1
+        try:
+            req = json.loads(line)
+            op = req.get("op")
+            if op == "quit":
+                out_stream.write(json.dumps({"ok": True, "bye": True}) + "\n")
+                out_stream.flush()
+                break
+            if op == "ping":
+                resp = {"ok": True, "pong": True}
+            elif op == "stats":
+                resp = {"ok": True, **server.stats()}
+            elif op == "search":
+                qpdf = pd.DataFrame(req["queries"])
+                res = server.search(
+                    qpdf,
+                    doc_filter=req.get("doc_filter"),
+                    min_score=float(req.get("min_score", 0.0)),
+                    mode=req.get("mode", "or"),
+                )
+                resp = {"ok": True, "results": res.to_dict("records")}
+            else:
+                resp = {"ok": False, "error": f"unknown op {op!r}"}
+        except Exception as e:  # bad request must not kill the session
+            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+    return handled

@@ -113,6 +113,64 @@ def _scatter_positions(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     )
 
 
+def _quantize_meta_stream(
+    vals: np.ndarray, b_term: np.ndarray, tblk_starts: np.ndarray,
+    up: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-term affine uint8 quantization of a flat per-block metadata
+    stream (NVQuantization.java:42-107 analog: per-subvector lo/scale).
+
+    `up=True` rounds codes UP (dequant ≥ value — for upper-bound fields
+    like max_tf); `up=False` rounds DOWN (dequant ≤ value — for
+    lower-bound fields like min_dl). A post-check bumps any code whose
+    float dequantization lands on the wrong side of the true value, so
+    soundness never rests on float rounding luck.
+
+    Returns (codes uint8 per block, lo float64 per term, scale float64
+    per term); dequant = lo[term] + code * scale[term].
+    """
+    lo = np.minimum.reduceat(vals, tblk_starts)
+    hi = np.maximum.reduceat(vals, tblk_starts)
+    # tiny inflation keeps (hi-lo)/scale strictly under 255.5 so ceil +
+    # the soundness bump can never exceed uint8 range
+    scale = np.where(hi > lo, (hi - lo) / 255.0 * (1.0 + 1e-9), 1.0)
+    lo_v, scale_v = lo[b_term], scale[b_term]
+    frac = (vals - lo_v) / scale_v
+    codes = (np.ceil(frac) if up else np.floor(frac)).astype(np.int64)
+    codes = np.clip(codes, 0, 255)
+    deq = lo_v + codes * scale_v
+    if up:
+        codes[deq < vals] += 1
+    else:
+        codes[deq > vals] -= 1
+    if codes.min() < 0 or codes.max() > 255:
+        raise AssertionError("quantized block-meta code out of uint8 range")
+    deq = lo_v + codes * scale_v
+    bad = (deq < vals) if up else (deq > vals)
+    if bad.any():
+        raise AssertionError("quantized block-meta bound unsound")
+    return codes.astype(np.uint8), lo, scale
+
+
+def block_meta_bounds(r: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(tf_upper, dl_lower) float64 per block from a dictionary row —
+    exact values for full-precision dictionaries, sound dequantized
+    bounds (tf ≥ true max_tf, dl ≤ true min_dl) for NVQ-quantized ones.
+    The returned pair always upper-bounds the block's BM25 contribution,
+    so block-max pruning with it is rank-exact either way."""
+    qtf = r.get("block_qtf")
+    if qtf is not None:
+        tf = (r["q_tf_lo"]
+              + np.frombuffer(qtf, np.uint8).astype(np.float64)
+              * r["q_tf_scale"])
+        dl = (r["q_dl_lo"]
+              + np.frombuffer(r["block_qdl"], np.uint8).astype(np.float64)
+              * r["q_dl_scale"])
+        return tf, np.maximum(dl, 1.0)
+    return (np.asarray(r["block_max_tf"], dtype=np.float64),
+            np.asarray(r["block_min_dl"], dtype=np.float64))
+
+
 def encode_postings_frame(
     p_term: np.ndarray,
     p_doc: np.ndarray,
@@ -121,6 +179,7 @@ def encode_postings_frame(
     block_size: int = BLOCK_SIZE,
     adaptive: bool = True,
     p_pos: np.ndarray | None = None,
+    quantize_meta: bool = False,
 ) -> tuple[pa.Table, bytes]:
     """Postings sorted by (term, docid) -> (dictionary table, postings blob).
 
@@ -150,6 +209,19 @@ def encode_postings_frame(
     reference's Feature-plugin surface, graph/disk/feature/*). Stored as a
     varint region after the tf region with per-block byte ranges
     (block_pos_off/len) in the dictionary; enables phrase queries.
+
+    `quantize_meta=True`: NVQ analog (the reference's nonuniform-quantized
+    metadata, quantization/NVQuantization.java:42-155 + NVQScorer — lossy
+    per-record metadata with exact rerank). The per-block (max_tf, min_dl)
+    pruning metadata stores as uint8 codes with per-term (lo, scale)
+    affine dequantization instead of two int32 lists — 8x smaller hot-tier
+    block metadata, the per-segment in-memory dictionary bill at 10^12
+    docs. Quantization is DIRECTIONAL so pruning stays sound and results
+    stay rank-identical: max_tf rounds UP (dequant ≥ true max_tf), min_dl
+    rounds DOWN (dequant ≤ true min_dl), so every quantized block upper
+    bound ≥ the exact bound — blocks are never wrongly skipped, and exact
+    scores are always computed from decoded postings (the
+    lossy-bound-plus-exact-rerank discipline of NVQ).
     """
     n = len(p_doc)
     if n == 0:  # all-empty-content partition: valid, empty segment
@@ -335,6 +407,34 @@ def encode_postings_frame(
     def lst(vals, typ):
         return pa.ListArray.from_arrays(loff, pa.array(vals, typ))
 
+    if quantize_meta:
+        tblk_starts = np.concatenate(
+            ([0], np.cumsum(nblocks_per_term)[:-1])).astype(np.int64)
+        qtf, tf_lo, tf_scale = _quantize_meta_stream(
+            blk_max_tf.astype(np.float64), b_term, tblk_starts, up=True)
+        qdl, dl_lo, dl_scale = _quantize_meta_stream(
+            blk_min_dl.astype(np.float64), b_term, tblk_starts, up=False)
+        offs = np.concatenate(([0], np.cumsum(nblocks_per_term))).astype(np.int64)
+        qtf_b = qtf.tobytes()
+        qdl_b = qdl.tobytes()
+        qmeta_cols = {
+            "block_qtf": pa.array(
+                [qtf_b[s:e] for s, e in zip(offs[:-1], offs[1:])],
+                pa.binary()),
+            "block_qdl": pa.array(
+                [qdl_b[s:e] for s, e in zip(offs[:-1], offs[1:])],
+                pa.binary()),
+            "q_tf_lo": pa.array(tf_lo, pa.float64()),
+            "q_tf_scale": pa.array(tf_scale, pa.float64()),
+            "q_dl_lo": pa.array(dl_lo, pa.float64()),
+            "q_dl_scale": pa.array(dl_scale, pa.float64()),
+        }
+    else:
+        qmeta_cols = {
+            "block_max_tf": lst(blk_max_tf.astype(np.int32), pa.int32()),
+            "block_min_dl": lst(blk_min_dl.astype(np.int32), pa.int32()),
+        }
+
     df_counts = tlens.astype(np.int64)
     cf = np.add.reduceat(p_tf.astype(np.int64), term_starts)
     tbl = pa.table({
@@ -352,8 +452,7 @@ def encode_postings_frame(
         "block_doc_len": lst(blk_doc_len.astype(np.int32), pa.int32()),
         "block_tf_off": lst(blk_tf_off.astype(np.int64), pa.int64()),
         "block_tf_len": lst(blk_tf_len.astype(np.int32), pa.int32()),
-        "block_max_tf": lst(blk_max_tf.astype(np.int32), pa.int32()),
-        "block_min_dl": lst(blk_min_dl.astype(np.int32), pa.int32()),
+        **qmeta_cols,
         **({
             "block_pos_off": lst(blk_pos_off.astype(np.int64), pa.int64()),
             "block_pos_len": lst(blk_pos_len.astype(np.int32), pa.int32()),
@@ -560,6 +659,7 @@ def _build_segment_stream(
     block_size: int,
     codec: str = "adaptive",
     positions: bool = False,
+    quantize_meta: bool = False,
 ) -> pd.DataFrame | None:
     """Build one segment by STREAMING the partition's Arrow batches.
 
@@ -683,11 +783,13 @@ def _build_segment_stream(
     terms_tbl, blob = encode_postings_frame(
         p_term, p_doc.astype(np.int64), p_tf.astype(np.int64), p_dl,
         block_size, adaptive=(codec == "adaptive"), p_pos=p_pos,
+        quantize_meta=quantize_meta,
     )
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
         "has_positions": positions, "key_cols": list(key_cols),
+        "quantize_meta": bool(quantize_meta),
     })
     return manifest_row("built", meta, time.time() - t0)
 
@@ -701,11 +803,12 @@ def _build_one_segment(
     block_size: int,
     codec: str = "adaptive",
     positions: bool = False,
+    quantize_meta: bool = False,
 ) -> pd.DataFrame:
     """Whole-frame convenience wrapper over the streaming builder."""
     return _build_segment_stream(
         iter([pdf]), index_dir, mode, content_col, key_cols, block_size,
-        codec, positions
+        codec, positions, quantize_meta
     )
 
 
@@ -721,6 +824,7 @@ def build_index(
     write_manifest: bool = True,
     codec: str = "adaptive",
     positions: bool = False,
+    quantize_meta: bool = False,
 ) -> pd.DataFrame:
     """Build all segments + index manifest. Returns the manifest as pandas.
 
@@ -750,7 +854,7 @@ def build_index(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         row = _build_segment_stream(batches, index_dir, mode, content_col,
                                     tuple(key_cols), block_size, codec,
-                                    positions)
+                                    positions, quantize_meta)
         if row is not None:
             yield row
 

@@ -53,19 +53,21 @@ def read_ivecs(path: str) -> np.ndarray:
 
 
 def read_hdf5_dataset(path: str, dataset: str = "train") -> np.ndarray:
-    """ann-benchmarks-style HDF5 loader (Hdf5Loader.java analog:
-    datasets 'train'/'test'/'neighbors'). Gated on h5py, which this
-    container does not ship — the call raises a clear ImportError rather
-    than failing at import time; the fvecs/ivecs path covers the shipped
-    reference data."""
+    """ann-benchmarks-style HDF5 loader (Hdf5Loader.java:87 analog:
+    root-level datasets 'train'/'test'/'neighbors'/'distances').
+
+    Uses h5py when available (full format coverage: chunked/compressed
+    files); otherwise falls back to the pure-python minimal reader
+    (sources/hdf5_minimal.py), which handles the uncompressed contiguous
+    layout ann-benchmarks files ship in — so this environment (no h5py)
+    still ingests them."""
     try:
         import h5py  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without h5py
-        raise ImportError(
-            "read_hdf5_dataset needs h5py (not installed in this "
-            "environment); use read_fvecs/read_ivecs for SIFT-format data"
-        ) from e
-    with h5py.File(path, "r") as f:  # pragma: no cover
+    except ImportError:
+        from jvector_spark.sources.hdf5_minimal import read_hdf5
+
+        return read_hdf5(path, dataset)
+    with h5py.File(path, "r") as f:  # pragma: no cover - env without h5py
         return np.asarray(f[dataset])
 
 

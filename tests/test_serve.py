@@ -1,0 +1,123 @@
+"""Warm serving loop (IPCService.java:80-87 analog): one session, pooled
+searchers, multiple request batches — results must stay rank-identical to
+the batch search path and the oracle, mutations must stay visible, and
+pooling must actually reuse reader state across requests."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.operators.wand import search_index
+from jvector_spark.serve import IndexServer, serve_loop
+from jvector_spark.sources.segment import build_index
+
+
+@pytest.fixture(scope="module")
+def served_index(spark, corpus_df, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx_serve"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=4)
+    return idx
+
+
+QBATCHES = [
+    pd.DataFrame({"qid": [0, 1], "terms": [["import"], ["def", "return"]],
+                  "k": [10, 5]}),
+    pd.DataFrame({"qid": [0], "terms": [["map_get21"]], "k": [20]}),
+    pd.DataFrame({"qid": [7], "terms": [["import", "zzz_oov"]], "k": [10]}),
+]
+
+
+@pytest.mark.parametrize("mode", ["local", "spark"])
+def test_serve_matches_batch_search(spark, served_index, oracle, mode):
+    """≥3 request batches through ONE warm session, each rank- and
+    score-identical to the one-shot search_index path."""
+    server = IndexServer(spark, served_index, mode=mode)
+    for qpdf in QBATCHES:
+        warm = server.search(qpdf).sort_values(
+            ["qid", "rank"]).reset_index(drop=True)
+        cold = search_index(spark, served_index, qpdf, merge="driver") \
+            .sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert warm[["qid", "docid"]].values.tolist() == \
+            cold[["qid", "docid"]].values.tolist()
+        assert np.allclose(warm["score"], cold["score"], rtol=0, atol=0)
+    assert server.requests_served == len(QBATCHES)
+    # and against the oracle for the first batch
+    res = server.search(QBATCHES[0])
+    for q in QBATCHES[0].itertuples():
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        exp = oracle.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_serve_pools_readers_across_requests(spark, served_index):
+    server = IndexServer(spark, served_index, mode="local")
+    server.search(QBATCHES[0])
+    readers_after_1 = dict(server.pool.readers)
+    assert len(readers_after_1) > 0
+    server.search(QBATCHES[1])
+    # same reader OBJECTS reused (no reopen), caches accumulated
+    for path, r in readers_after_1.items():
+        assert server.pool.readers[path] is r
+    assert any(server.pool.caches.values())
+
+
+def test_serve_sees_deletes_and_compaction(spark, corpus_df, corpus_pdf,
+                                           tmp_path_factory):
+    """Phase-1 delete visible on the NEXT request; a compaction (new
+    manifest generation) resets the pool and results follow the new
+    docid numbering."""
+    from jvector_spark.oracle import BM25Oracle
+    from jvector_spark.plans.merge import compact_in_place, mark_deleted
+
+    idx = str(tmp_path_factory.mktemp("idx_serve_mut"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    server = IndexServer(spark, idx, mode="local")
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    before = server.search(q)
+    victim = int(before["docid"].iloc[0])
+    mark_deleted(idx, [victim])
+    after = server.search(q)
+    assert victim not in after["docid"].tolist()
+    # compaction: new generation, renumbered docids
+    compact_in_place(spark, idx, target_segments=1, vacuum_min_age_sec=0)
+    res = server.search(q)
+    keyed = corpus_pdf.sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    live = keyed[~keyed.index.isin([victim])].reset_index(drop=True)
+    exp = BM25Oracle(live).topk(["import"], 5)
+    assert res["docid"].tolist() == exp["docid"].tolist()
+    assert server.stats()["docid_epoch"] == 1
+
+
+def test_serve_loop_protocol(spark, served_index):
+    """Drive the JSON-lines protocol end to end: ping, 3 search batches,
+    a bad request that must NOT kill the session, stats, quit."""
+    reqs = [
+        {"op": "ping"},
+        *[{"op": "search",
+           "queries": q.to_dict("records")} for q in QBATCHES],
+        {"op": "search"},  # malformed: missing queries
+        {"op": "stats"},
+        {"op": "quit"},
+    ]
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    out = io.StringIO()
+    server = IndexServer(spark, served_index, mode="local")
+    handled = serve_loop(server, inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert handled == len(reqs)
+    assert lines[0] == {"ok": True, "pong": True}
+    for i, q in enumerate(QBATCHES, start=1):
+        assert lines[i]["ok"], lines[i]
+        got = pd.DataFrame(lines[i]["results"])
+        exp = search_index(spark, served_index, q, merge="driver")
+        assert got["docid"].tolist() == exp["docid"].tolist()
+    assert not lines[4]["ok"] and "error" in lines[4]
+    assert lines[5]["ok"] and lines[5]["requests_served"] == len(QBATCHES)
+    assert lines[6]["bye"] is True

@@ -64,3 +64,75 @@ def test_distributed_fvecs_equals_driver(spark):
     pdf2 = fvecs_df(spark, SIFT_Q).toPandas().sort_values("vec_id")
     got2 = np.stack(pdf2["embedding"].to_numpy()).astype(np.float32)
     assert np.array_equal(got2, X)
+
+
+# ---- HDF5 (ann-benchmarks layout) — pure-python path, un-gated ----
+
+
+def test_hdf5_roundtrip_ann_benchmarks_layout(tmp_path):
+    """write_hdf5 -> read_hdf5_dataset round-trip on the exact dataset
+    shape ann-benchmarks files use (train/test float32, neighbors int32,
+    distances float64) — no h5py in this container, so this exercises the
+    minimal pure-python reader end to end (Hdf5Loader.java:87 analog)."""
+    from jvector_spark.sources.hdf5_minimal import read_hdf5, write_hdf5
+    from jvector_spark.sources.vecfiles import read_hdf5_dataset
+
+    rng = np.random.default_rng(11)
+    ds = {
+        "train": rng.normal(size=(200, 32)).astype(np.float32),
+        "test": rng.normal(size=(20, 32)).astype(np.float32),
+        "neighbors": rng.integers(0, 200, (20, 10)).astype(np.int32),
+        "distances": rng.random((20, 10)).astype(np.float64),
+    }
+    p = str(tmp_path / "ann.hdf5")
+    write_hdf5(p, ds)
+    assert read_hdf5(p) == ["distances", "neighbors", "test", "train"]
+    for name, arr in ds.items():
+        got = read_hdf5_dataset(p, name)
+        assert got.dtype == arr.dtype and got.shape == arr.shape
+        assert np.array_equal(got, arr), name
+    with pytest.raises(KeyError, match="nope"):
+        read_hdf5_dataset(p, "nope")
+
+
+def test_hdf5_recall_pipeline_from_file(spark, tmp_path):
+    """Full Hdf5Loader-style ingestion: load train/test/neighbors from the
+    hdf5 file, run brute-force topk, and verify recall 1.0 against the
+    file's OWN groundtruth (computed at write time) — the ann-benchmarks
+    harness shape."""
+    import pandas as pd
+
+    from jvector_spark.operators.ann import brute_force_topk
+    from jvector_spark.sources.hdf5_minimal import write_hdf5
+    from jvector_spark.sources.vecfiles import read_hdf5_dataset
+
+    rng = np.random.default_rng(5)
+    train = rng.normal(size=(300, 16)).astype(np.float32)
+    test = rng.normal(size=(5, 16)).astype(np.float32)
+    # cosine groundtruth (brute_force_topk contract), ties broken by id
+    tn = train / np.linalg.norm(train, axis=1, keepdims=True)
+    qn = test / np.linalg.norm(test, axis=1, keepdims=True)
+    sims = qn @ tn.T
+    k = 10
+    gt = np.empty((len(test), k), np.int32)
+    for i in range(len(test)):
+        order = np.lexsort((np.arange(len(train)), -sims[i]))[:k]
+        gt[i] = order
+    p = str(tmp_path / "synth.hdf5")
+    write_hdf5(p, {"train": train, "test": test, "neighbors": gt})
+
+    train_f = read_hdf5_dataset(p, "train")
+    test_f = read_hdf5_dataset(p, "test")
+    gt_f = read_hdf5_dataset(p, "neighbors")
+    base = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(len(train_f), dtype=np.int64),
+        "embedding": [r for r in train_f],
+    }))
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(len(test_f), dtype=np.int64),
+        "qvec": [r for r in test_f],
+    }))
+    res = brute_force_topk(base, queries, k=k).toPandas()
+    for qid in range(len(test_f)):
+        got = res[res["qid"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == gt_f[qid].tolist(), qid
