@@ -494,6 +494,15 @@ class _TopK:
         return float(self.scores[-1]) if len(self.scores) >= self.k else 0.0
 
 
+def _filter_key(doc_filter: dict) -> tuple:
+    """Canonical hashable key for a doc-attribute filter (list/tuple/set
+    values normalize to sorted tuples)."""
+    return tuple(
+        (c, tuple(sorted(v)) if isinstance(v, (list, tuple, set)) else v)
+        for c, v in sorted(doc_filter.items())
+    )
+
+
 class SearcherPool:
     """Pooled per-segment readers, score caches and blooms for warm
     serving — the reference's pooled-searcher surface (ExplicitThreadLocal
@@ -603,9 +612,16 @@ def search_partition(
         else:
             reader = SegmentReader(path)
             seg_cache = {"_hot": hot}  # shared across this segment's queries
-        accept = (
-            reader.accepted_docids(doc_filter) if doc_filter else None
-        )
+        accept = None
+        if doc_filter:
+            # memo per (segment, filter): ONE docs-sidecar read per
+            # segment per filter — across the batch's queries here, and
+            # across request batches when a pool persists the cache
+            # (the reference caches its Bits acceptOrds per View)
+            fkey = ("accept", _filter_key(doc_filter))
+            accept = seg_cache.get(fkey)
+            if accept is None:
+                accept = seg_cache[fkey] = reader.accepted_docids(doc_filter)
         for qid, st in states.items():
             qstats = metrics.setdefault(qid, {}) if metrics is not None else None
             if mode == "and":

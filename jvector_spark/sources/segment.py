@@ -679,6 +679,8 @@ def _build_segment_stream(
     from itertools import chain
 
     t0 = time.time()
+    stage = {"tokenize_sec": 0.0, "chunk_agg_sec": 0.0,
+             "final_sort_sec": 0.0, "encode_sec": 0.0}
     doc_meta: list[pd.DataFrame] = []
     c_terms: list[np.ndarray] = []
     c_docs: list[np.ndarray] = []
@@ -687,6 +689,7 @@ def _build_segment_stream(
     for pdf in batches:
         if not len(pdf):
             continue
+        ts = time.time()
         docids = pdf["docid"].to_numpy(np.int64)
         shas = pdf[content_col].map(
             lambda s: hashlib.sha256(s.encode()).hexdigest()
@@ -699,8 +702,10 @@ def _build_segment_stream(
             "content_sha": shas,
         }))
         total = int(lens.sum())
+        stage["tokenize_sec"] += time.time() - ts
         if total == 0:
             continue
+        ts = time.time()
         flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
         codes, uniq = pd.factorize(flat, sort=False)
         local = np.arange(len(pdf), dtype=np.int64).repeat(lens)
@@ -720,6 +725,7 @@ def _build_segment_stream(
         c_terms.append(uniq[uc // span])
         c_docs.append(docids[uc % span])
         c_tfs.append(tf.astype(np.int64))
+        stage["chunk_agg_sec"] += time.time() - ts
     if not doc_meta:
         return None
 
@@ -752,6 +758,7 @@ def _build_segment_stream(
             return manifest_row("resumed", meta, 0.0)
         shutil.rmtree(seg_dir, ignore_errors=True)
 
+    ts = time.time()
     if c_terms:
         # (term, docid) pairs are unique across chunks (docids disjoint) —
         # one global order pass, no re-aggregation
@@ -780,17 +787,27 @@ def _build_segment_stream(
         p_doc = p_tf = p_dl = np.array([], dtype=np.int64)
         p_pos = np.array([], dtype=np.int64) if positions else None
 
+    stage["final_sort_sec"] = time.time() - ts
+    ts = time.time()
     terms_tbl, blob = encode_postings_frame(
         p_term, p_doc.astype(np.int64), p_tf.astype(np.int64), p_dl,
         block_size, adaptive=(codec == "adaptive"), p_pos=p_pos,
         quantize_meta=quantize_meta,
     )
+    stage["encode_sec"] = time.time() - ts
+    ts = time.time()
     meta = write_segment_files(seg_dir, terms_tbl, blob, docs_pdf, {
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
         "has_positions": positions, "key_cols": list(key_cols),
         "quantize_meta": bool(quantize_meta),
     })
+    stage["write_sec"] = time.time() - ts
+    # stage timers land in meta.json AFTER the write (atomic dir rename
+    # already happened): append-only update of the metrics file
+    meta["stage_sec"] = {k: round(v, 3) for k, v in stage.items()}
+    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return manifest_row("built", meta, time.time() - t0)
 
 
@@ -1092,8 +1109,12 @@ class SegmentReader:
         """Sorted docids of this segment's docs matching the attribute
         filter ({col: value | list-of-values} conjunction) — the Bits
         acceptOrds bitmap computed from the doc-attributes sidecar
-        (docs.parquet); evaluated with parquet predicate pushdown."""
+        (docs.parquet); evaluated with parquet predicate pushdown.
+        `sidecar_reads` counts invocations (observability for the
+        per-(segment, filter) memo in wand.search_partition)."""
         import pyarrow.dataset as ds
+
+        self.sidecar_reads = getattr(self, "sidecar_reads", 0) + 1
 
         dset = ds.dataset(os.path.join(self.seg_dir, "docs.parquet"),
                           filesystem=self._fs)

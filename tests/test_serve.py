@@ -67,6 +67,41 @@ def test_serve_pools_readers_across_requests(spark, served_index):
     assert any(server.pool.caches.values())
 
 
+def test_filtered_search_memoizes_accept_bitmap(spark, corpus_df,
+                                                tmp_path_factory):
+    """One docs-sidecar read per (segment, filter) — across the queries
+    of a batch AND across warm request batches (the acceptOrds memo);
+    results stay identical to the uncached path."""
+    idx = str(tmp_path_factory.mktemp("idx_accept"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3,
+                key_cols=("repo", "path", "commit", "lang")
+                if "lang" in corpus_df.columns else ("repo", "path", "commit"))
+    # filter on a key col present in the docs sidecar
+    fcol = "repo"
+    val = corpus_df.select(fcol).first()[0]
+    filt = {fcol: [val]}
+    server = IndexServer(spark, idx, mode="local")
+    q1 = pd.DataFrame({"qid": [0, 1], "terms": [["import"], ["def"]],
+                       "k": [10, 10]})
+    r1 = server.search(q1, doc_filter=filt)
+    reads_after_1 = {p: r.sidecar_reads
+                     for p, r in server.pool.readers.items()}
+    assert all(n == 1 for n in reads_after_1.values()), reads_after_1
+    r2 = server.search(q1, doc_filter=filt)  # second warm batch
+    reads_after_2 = {p: r.sidecar_reads
+                     for p, r in server.pool.readers.items()}
+    assert reads_after_2 == reads_after_1  # memo hit: NO new sidecar reads
+    assert r1[["qid", "docid"]].values.tolist() == \
+        r2[["qid", "docid"]].values.tolist()
+    # a DIFFERENT filter misses the memo exactly once per segment
+    server.search(q1, doc_filter={fcol: [val, "zzz-other"]})
+    assert all(r.sidecar_reads == 2 for r in server.pool.readers.values())
+    # correctness vs the one-shot filtered path
+    cold = search_index(spark, idx, q1, doc_filter=filt, merge="driver")
+    assert r1[["qid", "docid"]].values.tolist() == \
+        cold[["qid", "docid"]].values.tolist()
+
+
 def test_serve_sees_deletes_and_compaction(spark, corpus_df, corpus_pdf,
                                            tmp_path_factory):
     """Phase-1 delete visible on the NEXT request; a compaction (new
