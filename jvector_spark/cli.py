@@ -18,10 +18,13 @@ Subcommands:
     regex    grep-style token-regex search (dictionary expansion)
              (JSON lines: {"qid","pattern","k"}) -> parquet
     compact  merge segments + purge tombstones + renumber
+    optimize second-pass refinement in place (codec upgrade + metadata
+             refresh; rank-identical results)
     delete   add tombstones by docid
     metrics  print the manifest's lineage/metrics JSON
     vacuum   remove segment dirs unreferenced by the manifest
     fsck     distributed integrity verification (checksums + decode)
+    serve    warm query loop (pooled searchers, JSON-lines on stdin/stdout)
 """
 
 from __future__ import annotations
@@ -113,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--target-segments", type=int, default=None)
+
+    op = sub.add_parser(
+        "optimize",
+        help="second-pass refinement: rewrite segments in place through "
+             "the current encoder (codec upgrade + metadata refresh; "
+             "rank-identical results)")
+    op.add_argument("--index", required=True)
+    op.add_argument("--target-bytes", type=int, default=None)
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)
@@ -219,6 +230,14 @@ def main(argv: list[str] | None = None) -> int:
                 "bad": bad.to_dict("records"),
             }, default=str))
             return 0 if bad.empty else 1
+        elif args.cmd == "optimize":
+            from jvector_spark.plans.merge import optimize_index
+
+            out = optimize_index(spark, args.index,
+                                 target_bytes=args.target_bytes)
+            print(json.dumps({"segments": len(out),
+                              "n_docs": int(out["n_docs"].sum()),
+                              "bytes_postings": int(out["bytes_postings"].sum())}))
         elif args.cmd == "serve":
             from jvector_spark.serve import IndexServer, serve_loop
 

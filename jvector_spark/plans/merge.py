@@ -535,3 +535,41 @@ def compact_index(
     out_manifest = out_manifest.sort_values("min_docid").reset_index(drop=True)
     write_index_manifest(out_dir, out_manifest, mode)
     return out_manifest
+
+
+def optimize_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_bytes: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    vacuum_min_age_sec: float = 600.0,
+) -> pd.DataFrame:
+    """Standalone refinement pass — the reference's optional second-pass
+    graph refinement (GraphIndexBuilder cleanup/refine after bulk build;
+    SURVEY §2.9 'graph refinement') re-expressed for segments: rewrite
+    every segment through the CURRENT encoder without requiring deletes
+    or a segment-count change.
+
+    What a pass refreshes:
+      * codec upgrade — v1/varint-forced segments re-encode with the
+        adaptive per-(term, stream) codec (typically ~2x smaller);
+      * block metadata recomputed (incl. NVQ quantization if the inputs
+        carry it) and segment sizes rebalanced to `target_bytes` groups;
+      * tombstones, if any, are purged as a side effect (it IS a
+        compaction underneath — same atomic generation-flip machinery).
+
+    Results are rank- and score-identical before/after: the pass changes
+    bytes, not semantics (the refine-must-not-change-ranks contract the
+    reference's rank-identical mode imposes on refinement).
+    """
+    manifest = load_manifest(index_dir)
+    if target_bytes is None:
+        total = sum(int(s["bytes_postings"]) for s in manifest["segments"])
+        n = max(1, len(manifest["segments"]))
+        # keep the segment count roughly stable by default: rebalance,
+        # don't collapse (callers wanting fewer segments use compact)
+        target_bytes = max(1, (total + n - 1) // n)
+    return compact_in_place(
+        spark, index_dir, target_bytes=target_bytes, block_size=block_size,
+        vacuum_min_age_sec=vacuum_min_age_sec,
+    )

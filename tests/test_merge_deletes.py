@@ -493,3 +493,33 @@ def test_stale_epoch_tombstones_ignored(spark, corpus_df, tmp_path_factory):
     # fresh deletes at the new epoch apply normally
     mark_deleted(idx, [2])
     assert load_tombstones(idx) == [2]
+
+
+def test_optimize_refine_pass_upgrades_codec(spark, corpus_df, oracle,
+                                             queries_pdf, tmp_path_factory):
+    """Standalone refinement (SURVEY §2.9 graph-refinement analog): a
+    varint-forced (v1-layout) index re-encoded through optimize_index
+    shrinks via the adaptive codec while results stay rank- AND
+    score-identical — refinement must not change ranks."""
+    from jvector_spark.plans.merge import optimize_index
+    from jvector_spark.sources.segment import SegmentReader
+
+    idx = str(tmp_path_factory.mktemp("idx_opt"))
+    m0 = build_index(assign_dense_docids(corpus_df), idx, num_segments=4,
+                     codec="varint")
+    bytes_before = int(m0["bytes_postings"].sum())
+    before = search_index(spark, idx, queries_pdf, merge="driver")
+    m1 = optimize_index(spark, idx, vacuum_min_age_sec=0)
+    bytes_after = int(m1["bytes_postings"].sum())
+    assert bytes_after < bytes_before, (bytes_after, bytes_before)
+    # adaptive codec in the refreshed dictionaries: at least one FOR term
+    r = SegmentReader(m1["path"].iloc[0])
+    assert (np.asarray(r._cols["gap_codec"]) == 1).any()
+    after = search_index(spark, idx, queries_pdf, merge="driver")
+    assert before[["qid", "docid"]].values.tolist() == \
+        after[["qid", "docid"]].values.tolist()
+    assert np.allclose(before["score"], after["score"], rtol=0, atol=0)
+    for q in queries_pdf.itertuples():
+        got = after[after["qid"] == q.qid].sort_values("rank")
+        exp = oracle.topk(list(q.terms), int(q.k))
+        assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
