@@ -51,6 +51,17 @@ CONJ_QUERY_SET: list[tuple[int, list[str], int]] = [
     (4, ["dup", "zz_oov_term"], 10),
 ]
 
+# boolean query-language set (Lucene-style AND/OR/NOT + ^boost); exercises
+# implicit AND, parens, negation, boosts, and OOV under AND/OR/NOT
+BOOL_QUERY_SET: list[tuple[int, str, int]] = [
+    (0, "spark AND (join OR window)", 10),
+    (1, "stream batch NOT merge", 10),
+    (2, "(customer OR order) AND NOT slow", 10),
+    (3, "hash^2 OR scan", 100),
+    (4, "dup AND NOT zz_oov_term", 10),
+    (5, "zz_oov_term OR window", 10),
+]
+
 # fielded (BM25F-style) query set: mixes content terms with `source`
 # field values (src0..src19, df=25 each) — metadata matches boost docs
 FIELDED_QUERY_SET: list[tuple[int, list[str], int]] = [
@@ -315,6 +326,23 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = search_index(spark, index_dir, _qpdf(query_set=CONJ_QUERY_SET),
                        mode="and")
     return _rerank_rounded(out, query_set=CONJ_QUERY_SET)
+
+
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language (operators/boolquery.py): Lucene-style
+    AND/OR/NOT clause trees with per-term ^boosts, parsed on the driver,
+    evaluated as posting-set algebra per segment, positive leaves scored
+    with the exact BM25 sums (MUST_NOT never scores — Lucene contract).
+    Oracle: the SAME ASTs translated to SQL by ast_to_sql_predicate."""
+    from jvector_spark.operators.boolquery import boolean_search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, q, 2 * k) for qid, q, k in BOOL_QUERY_SET],
+        columns=["qid", "query", "k"],
+    )
+    out = boolean_search_index(spark, index_dir, qpdf)
+    return _rerank_rounded(out, query_set=BOOL_QUERY_SET)
 
 
 def q_bm25_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_index_nvq": q_bm25_topk_index_nvq,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_conjunctive": q_bm25_conjunctive,
+        "bm25_boolean": q_bm25_boolean,
         "bm25_fielded": q_bm25_fielded,
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
@@ -933,6 +962,63 @@ r AS (SELECT qid, k, doc_id, score,
 SELECT qid, (rn - 1 - {page} * k)::INT AS rank, doc_id::BIGINT AS docid,
        round(score, 6) AS score
 FROM r WHERE rn > {page} * k AND rn <= ({page} + 1) * k
+"""
+
+
+def _boolean_oracle() -> str:
+    """Boolean-query oracle generated FROM the same ASTs the engine runs:
+    per-query match sets via GROUP BY doc_id HAVING bool_or(term=...)
+    (ast_to_sql_predicate), scored as sum over positive leaves of
+    boost x the exact BM25 contribution."""
+    from jvector_spark.operators.boolquery import (
+        all_terms, ast_to_sql_predicate, leaves_values_sql, parse_query,
+        positive_leaves,
+    )
+
+    asts = {qid: parse_query(q) for qid, q, _ in BOOL_QUERY_SET}
+    matched = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, doc_id FROM tf WHERE term IN ("
+        + ", ".join("'" + t + "'" for t in all_terms(a))
+        + f") GROUP BY doc_id HAVING {ast_to_sql_predicate(a)}"
+        for qid, a in sorted(asts.items())
+    )
+    pos_terms = sorted({leaf.text for a in asts.values()
+                        for leaf in positive_leaves(a)})
+    pos_in = ", ".join("'" + t + "'" for t in pos_terms)
+    ks = ", ".join(f"({qid}, {k})" for qid, _, k in BOOL_QUERY_SET)
+    return f"""
+WITH {_TOK}, {_TF}, {_DL},
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+leaves(qid, term, boost) AS (VALUES {leaves_values_sql(asts)}),
+ktab(qid, k) AS (VALUES {ks}),
+matched AS (
+{matched}
+),
+contrib AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf::DOUBLE * (1.2 + 1.0)
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
+           AS c
+  FROM tf JOIN ts USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({pos_in})
+),
+scored AS (
+  SELECT m.qid::BIGINT AS qid, m.doc_id, sum(l.boost * c.c) AS score
+  FROM matched m
+  JOIN leaves l ON l.qid = m.qid
+  JOIN contrib c ON c.doc_id = m.doc_id AND c.term = l.term
+  GROUP BY 1, 2
+),
+r AS (SELECT s.qid, s.doc_id, s.score, ktab.k,
+      row_number() OVER (PARTITION BY s.qid
+                         ORDER BY round(s.score, 6) DESC, s.doc_id ASC) AS rn
+      FROM scored s JOIN ktab ON ktab.qid = s.qid)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
+       round(score, 6) AS score
+FROM r WHERE rn <= k
 """
 
 
@@ -1253,6 +1339,7 @@ FROM per
         ),
         "bm25_conjunctive": _bm25_oracle(conjunctive=True,
                                          query_set=CONJ_QUERY_SET),
+        "bm25_boolean": _boolean_oracle(),
         "bm25_fielded": _fielded_oracle(),
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
