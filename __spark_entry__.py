@@ -372,6 +372,31 @@ def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out, page=1)
 
 
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per query, the `lang` distribution of ALL matching
+    docs (OR semantics), counted segment-locally from the docs-attribute
+    sidecar — the only shuffle is (qid x facet-value) rows, corpus-size
+    free (operators/facets.facet_counts)."""
+    from jvector_spark.operators.facets import facet_counts
+
+    index_dir = _ensure_index(spark, sf_dir)
+    return facet_counts(spark, index_dir, _qpdf(), "lang")
+
+
+def q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: top-k `source` GROUPS per query, each represented
+    by its best-scoring doc (exact BM25, group-best is max so per-segment
+    one-row-per-group reduction is lossless; ranked round(score,6) desc,
+    docid asc like every search surface)."""
+    from jvector_spark.operators.facets import collapse_topk, rank_collapsed
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = _qpdf(k_mult=1)
+    partial = collapse_topk(spark, index_dir, qpdf, "source")
+    return rank_collapsed(
+        partial, {int(r.qid): int(r.k) for r in qpdf.itertuples()})
+
+
 # phrases present in the driver documents fixtures (whitespace tokens);
 # the last one never matches (exercises the empty-result path)
 PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
@@ -823,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fielded": q_bm25_fielded,
         "bm25_threshold": q_bm25_threshold,
         "bm25_search_after": q_bm25_search_after,
+        "facet_counts": q_facet_counts,
+        "collapse_source": q_collapse_source,
         "phrase_search": q_phrase_search,
         "regex_search": q_regex_search,
         "search_snippets": q_search_snippets,
@@ -962,6 +989,59 @@ r AS (SELECT qid, k, doc_id, score,
 SELECT qid, (rn - 1 - {page} * k)::INT AS rank, doc_id::BIGINT AS docid,
        round(score, 6) AS score
 FROM r WHERE rn > {page} * k AND rn <= ({page} + 1) * k
+"""
+
+
+def _facet_oracle() -> str:
+    """Facet-counts oracle: per query, distinct OR-matched docs joined to
+    their `lang` attribute, counted per (qid, facet)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in BM25_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK},
+q(qid, term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT q.qid, tokf.doc_id FROM q JOIN tokf USING (term))
+SELECT m.qid::BIGINT AS qid, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def _collapse_oracle() -> str:
+    """Field-collapse oracle: exact BM25 per (qid, doc), best doc per
+    `source` group by (round(score,6) desc, doc_id asc), then top-k groups
+    per qid under the same ordering."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {k})" for qid, terms, k in BM25_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK}, {_TF}, {_DL},
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(qid, term, k) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid::BIGINT AS qid, q.k, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf::DOUBLE * (1.2 + 1.0)
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
+           AS contrib
+  FROM q JOIN ts USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored GROUP BY 1,2,3),
+g AS (SELECT agg.qid, agg.k, d.source AS grp, agg.doc_id, agg.score,
+      row_number() OVER (PARTITION BY agg.qid, d.source
+                         ORDER BY round(agg.score, 6) DESC, agg.doc_id ASC)
+        AS grn
+      FROM agg JOIN documents d ON agg.doc_id = d.doc_id),
+r AS (SELECT qid, k, grp, doc_id, score,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM g WHERE grn = 1)
+SELECT qid, (rn - 1)::INT AS rank, grp, doc_id::BIGINT AS docid,
+       round(score, 6) AS score
+FROM r WHERE rn <= k
 """
 
 
@@ -1343,6 +1423,8 @@ FROM per
         "bm25_fielded": _fielded_oracle(),
         "bm25_threshold": _bm25_oracle(score_floor=1.0),
         "bm25_search_after": _bm25_oracle(page=1),
+        "facet_counts": _facet_oracle(),
+        "collapse_source": _collapse_oracle(),
         "phrase_search": _phrase_oracle(),
         "regex_search": _regex_oracle(),
         "search_snippets": _snippets_oracle(),

@@ -1,0 +1,224 @@
+"""Faceted search + field collapsing over the segment index.
+
+The two result-shaping surfaces every fulltext UI needs next to top-k:
+
+  * facet_counts   — per query, the distribution of an attribute column
+                     over ALL matching docs (match = any query term, the
+                     engine's OR semantics). Counts are computed segment-
+                     locally from the docs sidecar (one column read per
+                     (segment, col), cached on the reader) and reduced by
+                     a tiny (qid × facet-value) shuffle — corpus rows
+                     never shuffle, so the plan holds at 10^12 docs.
+  * collapse_topk  — top-k GROUPS: each group (e.g. repo) represented by
+                     its best-scoring doc (score desc, docid asc within
+                     the group). Per-segment partials emit one row per
+                     (query, group) — bounded by the segment's distinct
+                     group count, independent of match count — and the
+                     global merge is two window functions over those
+                     bounded partials. Group-best is max(), so a group's
+                     lower-scoring docs can never change the result:
+                     per-segment reduction is exact, not approximate.
+
+Reference anchors: filtered-search attribute plumbing
+(GraphSearcher.java:202-214 acceptOrds from doc attributes) and the
+multi-index result combine (GraphSearcher.java:368-385); the facet/
+collapse shapes themselves are the text-engine surface (Lucene facets /
+Elasticsearch field collapsing) the survey's §2.11 extension row points
+at.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _matched_docids(reader, terms: list[str], tombstones, accept) -> np.ndarray:
+    parts = [reader.decode_term(t)[0] for t in terms if reader.has_term(t)]
+    if not parts:
+        return np.zeros(0, np.int64)
+    d = np.unique(np.concatenate(parts))
+    if accept is not None:
+        d = d[np.isin(d, accept, assume_unique=True)]
+    if tombstones is not None and len(tombstones):
+        d = d[~np.isin(d, tombstones)]
+    return d
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    facet_col: str,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Per-query facet-value match counts: (qid, facet, n_docs).
+
+    queries: pandas (qid:int, terms:list[str]). A doc counts once per
+    facet value if it contains ANY query term (deleted docs excluded,
+    doc_filter honored — the counts agree with what filtered search
+    would return)."""
+    from jvector_spark.operators.wand import scatter_paths
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    schema = "qid long, facet string, n_docs long"
+    if not seg_paths:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    b_q = sc.broadcast(qterms)
+    b_tomb = sc.broadcast(tomb)
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        qt, tomb_l = b_q.value, b_tomb.value
+        probe = sorted({t for ts in qt.values() for t in ts})
+        for path in paths:
+            bloom = load_term_bloom(path)
+            if bloom is not None and probe and not any(
+                bloom_may_contain(bloom, t) for t in probe
+            ):
+                continue
+            reader = SegmentReader(path)
+            accept = reader.accepted_docids(doc_filter) if doc_filter else None
+            vals = reader.doc_attribute(facet_col)
+            cache: dict = {}
+            for qid, terms in qt.items():
+                key = tuple(terms)
+                if key in cache:
+                    counts = cache[key]
+                else:
+                    d = _matched_docids(reader, terms, tomb_l, accept)
+                    counts = cache[key] = (
+                        pd.Series(vals[d - reader._min_docid]).value_counts()
+                        if len(d) else None
+                    )
+                if counts is not None and len(counts):
+                    yield pd.DataFrame({
+                        "qid": np.int64(qid),
+                        "facet": counts.index.astype(str),
+                        "n_docs": counts.to_numpy(np.int64),
+                    })
+
+    partial = paths_df.mapInPandas(run, schema)
+    # the only shuffle: |queries| x |facet values| rows, corpus-size-free
+    return partial.groupBy("qid", "facet").agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    collapse_col: str,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Top-k groups per query, each represented by its best doc:
+    (qid, group, docid, score) — ranked by the caller (group-best score
+    desc, docid asc).
+
+    queries: pandas (qid:int, terms:list[str], k:int). Matched docs are
+    scored exactly (full BM25 sums, no pruning — every group must see its
+    true best) and reduced to one row per (query, group) inside the
+    segment task; group-best selection uses (round(score, 6) desc, docid
+    asc) so the chosen representative agrees with the SQL oracle even at
+    sub-1e-6 score ties."""
+    from jvector_spark.operators.wand import (
+        global_term_stats, idf_map, scatter_paths, score_query_on_segment,
+    )
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    ks = {int(r.qid): int(r.k) for r in queries.itertuples()}
+    all_t = sorted({t for ts in qterms.values() for t in ts})
+    idfs = idf_map(n_docs, global_term_stats(spark, index_dir, all_t)
+                   if all_t else {})
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    schema = "qid long, grp string, docid long, score double"
+    if not seg_paths:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    b_q = sc.broadcast((qterms, ks))
+    b_idfs = sc.broadcast(idfs)
+    b_tomb = sc.broadcast(tomb)
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        (qt, _), idfs_l, tomb_l = b_q.value, b_idfs.value, b_tomb.value
+        probe = sorted({t for ts in qt.values() for t in ts})
+        for path in paths:
+            bloom = load_term_bloom(path)
+            if bloom is not None and probe and not any(
+                bloom_may_contain(bloom, t) for t in probe
+            ):
+                continue
+            reader = SegmentReader(path)
+            accept = reader.accepted_docids(doc_filter) if doc_filter else None
+            grp = reader.doc_attribute(collapse_col)
+            cache: dict = {}
+            for qid, terms in qt.items():
+                # k=n_docs + theta=0 => exact full scoring of every match
+                d, s = score_query_on_segment(
+                    reader, terms, idfs_l, 1 << 62, 0.0, avgdl, tomb_l,
+                    cache, accept,
+                )
+                if not len(d):
+                    continue
+                g = grp[d - reader._min_docid]
+                # segment-local group-best: rounded-score desc, docid asc
+                order = np.lexsort((d, -np.round(s, 6)))
+                pdf = pd.DataFrame({
+                    "qid": np.int64(qid), "grp": g[order].astype(str),
+                    "docid": d[order], "score": s[order],
+                }).drop_duplicates("grp", keep="first")
+                yield pdf
+
+    return paths_df.mapInPandas(run, schema)
+
+
+def rank_collapsed(partial: DataFrame, ks: dict[int, int]) -> DataFrame:
+    """Global merge of collapse partials: best row per (qid, grp), then
+    top-k groups per qid by (round(score,6) desc, docid asc). Returns
+    (qid, rank, grp, docid, score) with rounded display scores."""
+    from pyspark.sql import Window
+
+    kmap = F.create_map(*[x for qid, k in ks.items()
+                          for x in (F.lit(qid), F.lit(k))])
+    w_g = Window.partitionBy("qid", "grp").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid"))
+    w_q = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 6)), F.asc("docid"))
+    return (
+        partial.withColumn("grn", F.row_number().over(w_g))
+        .where(F.col("grn") == 1)
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= kmap[F.col("qid")])
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            (F.col("rn") - 1).cast("int").alias("rank"),
+            F.col("grp"),
+            F.col("docid").cast("long").alias("docid"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -1136,6 +1136,30 @@ class SegmentReader:
         tbl = dset.to_table(columns=["docid"], filter=expr)
         return np.sort(tbl["docid"].to_numpy())
 
+    def doc_attribute(self, col: str) -> np.ndarray:
+        """Dense per-doc attribute array for a docs-sidecar column:
+        value of `col` for docid d sits at [d - min_docid] (docids are
+        dense within a segment, same layout as the doclen array). Cached
+        per reader — one sidecar column read per (segment, col), shared
+        by facet counting and collapse grouping across queries."""
+        cache = getattr(self, "_attr_cache", None)
+        if cache is None:
+            cache = self._attr_cache = {}
+        if col not in cache:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(self.seg_dir, "docs.parquet"),
+                columns=["docid", col], filesystem=self._fs,
+            )
+            self.sidecar_reads = getattr(self, "sidecar_reads", 0) + 1
+            vals = np.empty(len(self._dl), dtype=object)
+            vals[tbl["docid"].to_numpy() - self._min_docid] = (
+                tbl[col].to_numpy(zero_copy_only=False)
+            )
+            cache[col] = vals
+        return cache[col]
+
     def has_term(self, term: str) -> bool:
         return term in self._term_idx
 

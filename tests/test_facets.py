@@ -1,0 +1,125 @@
+"""Faceted search + field collapsing vs brute-force pandas truth.
+
+Facet counts must equal the per-(query, facet-value) cardinality of the
+OR-match set (deletes/filters honored); collapse must pick each group's
+true best doc and rank groups by the display contract (round(score,6)
+desc, docid asc). The attribute plumbing mirrors the reference's
+doc-attribute acceptOrds surface (GraphSearcher.java:202-214)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.facets import (
+    collapse_topk,
+    facet_counts,
+    rank_collapsed,
+)
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.sources.segment import SegmentReader, build_index, load_manifest
+
+QUERIES = pd.DataFrame({
+    "qid": [0, 1, 2],
+    "terms": [["hash_post50", "scan_post50"], ["if"], ["util_parse60"]],
+    "k": [5, 3, 4],
+})
+
+
+@pytest.fixture(scope="module")
+def findex(spark, corpus_df, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("fidx"))
+    docs = assign_dense_docids(corpus_df)
+    build_index(docs, idx, num_segments=5,
+                key_cols=("repo", "path", "commit", "lang"))
+    return idx
+
+
+@pytest.fixture(scope="module")
+def doc_attrs(corpus_pdf) -> pd.DataFrame:
+    """docid -> (repo, lang): row i of the key-sorted corpus is docid i
+    (same sort assign_dense_docids/BM25Oracle use)."""
+    return (corpus_pdf.sort_values(["repo", "path", "commit"],
+                                   kind="mergesort")
+            .reset_index(drop=True)[["repo", "lang"]])
+
+
+def _expected_counts(oracle, attrs, terms, col, langs=None):
+    parts = [oracle.postings[t][0] for t in terms if t in oracle.postings]
+    if not parts:
+        return {}
+    d = np.unique(np.concatenate(parts))
+    vals = attrs[col].to_numpy()[d]
+    if langs is not None:
+        keep = np.isin(attrs["lang"].to_numpy()[d], langs)
+        vals = vals[keep]
+    return pd.Series(vals).value_counts().to_dict()
+
+
+def test_facet_counts_match_truth(spark, findex, oracle, doc_attrs):
+    got = facet_counts(spark, findex, QUERIES, "lang").toPandas()
+    for qid, terms in zip(QUERIES["qid"], QUERIES["terms"]):
+        exp = _expected_counts(oracle, doc_attrs, terms, "lang")
+        g = got[got["qid"] == qid].set_index("facet")["n_docs"].to_dict()
+        assert g == exp, f"qid={qid}"
+
+
+def test_facet_counts_respect_doc_filter(spark, findex, oracle, doc_attrs):
+    langs = ["python", "go"]
+    got = facet_counts(spark, findex, QUERIES, "repo",
+                       doc_filter={"lang": langs}).toPandas()
+    for qid, terms in zip(QUERIES["qid"], QUERIES["terms"]):
+        exp = _expected_counts(oracle, doc_attrs, terms, "repo", langs=langs)
+        g = got[got["qid"] == qid].set_index("facet")["n_docs"].to_dict()
+        assert g == exp, f"qid={qid}"
+
+
+def _expected_collapse(oracle, attrs, terms, k):
+    docids, scores = oracle.score_query(terms)
+    hit = scores > 0.0
+    d, s = docids[hit], scores[hit]
+    pdf = pd.DataFrame({
+        "grp": attrs["repo"].to_numpy()[d], "docid": d,
+        "score": np.round(s, 6),
+    }).sort_values(["score", "docid"], ascending=[False, True],
+                   kind="mergesort")
+    best = pdf.drop_duplicates("grp", keep="first").head(k)
+    best.insert(0, "rank", np.arange(len(best), dtype=np.int32))
+    return best.reset_index(drop=True)
+
+
+def test_collapse_matches_truth(spark, findex, oracle, doc_attrs):
+    partial = collapse_topk(spark, findex, QUERIES, "repo")
+    ks = {int(r.qid): int(r.k) for r in QUERIES.itertuples()}
+    got = rank_collapsed(partial, ks).toPandas()
+    for qid, terms, k in zip(QUERIES["qid"], QUERIES["terms"], QUERIES["k"]):
+        exp = _expected_collapse(oracle, doc_attrs, terms, int(k))
+        g = (got[got["qid"] == qid].sort_values("rank")
+             .reset_index(drop=True))
+        assert list(g["grp"]) == list(exp["grp"]), f"qid={qid}"
+        assert list(g["docid"]) == list(exp["docid"]), f"qid={qid}"
+        np.testing.assert_allclose(g["score"], exp["score"], atol=1e-6)
+
+
+def test_collapse_partials_bounded_per_segment(spark, findex):
+    """The shuffle contract: at most ONE partial row per
+    (query, group, segment) — bounded by distinct groups, never by match
+    count (the scale property that survives a stop-word-ish query)."""
+    n_segs = len(load_manifest(findex)["segments"])
+    partial = collapse_topk(spark, findex, QUERIES, "repo")
+    per = partial.groupBy("qid", "grp").count().toPandas()
+    assert (per["count"] <= n_segs).all()
+
+
+def test_doc_attribute_memoized(findex):
+    """One docs-sidecar read per (segment, column), shared across queries."""
+    seg = load_manifest(findex)["segments"][0]["path"]
+    r = SegmentReader(seg)
+    a = r.doc_attribute("lang")
+    b = r.doc_attribute("lang")
+    assert a is b
+    r.doc_attribute("repo")
+    assert r.sidecar_reads == 2
+    # dense layout: attribute rows align with the doclen array
+    assert len(a) == len(r._dl)
