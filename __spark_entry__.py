@@ -397,6 +397,37 @@ def q_collapse_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial, {int(r.qid): int(r.k) for r in qpdf.itertuples()})
 
 
+# fuzzy (edit-distance) queries: misspellings whose Levenshtein
+# neighborhoods in the documents vocabulary span 1..6 terms; the OOV
+# neighborhood is empty (strict: no match within dist)
+FUZZY_QUERY_SET: list[tuple[int, str, int, int]] = [
+    (0, "sow", 2, 10),     # -> row, slow, sort
+    (1, "pert", 2, 10),    # -> part, sort
+    (2, "grup", 2, 10),    # -> dup, group
+    (3, "bat", 2, 100),    # -> a, batch, big, data, fast, part
+    (4, "spark", 1, 10),   # exact hit only
+    (5, "zz_oov", 2, 10),  # empty neighborhood
+]
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term search (operators/fuzzy.py): Levenshtein-bounded
+    dictionary expansion over the term_stats hot tier (one vectorized-DP
+    vocabulary scan for all queries), then exact BM25 OR-search over the
+    expanded terms via the same block-max search_index path. Oracle:
+    DuckDB `levenshtein` join against the distinct-term vocabulary."""
+    from jvector_spark.operators.fuzzy import fuzzy_search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, t, d, 2 * k) for qid, t, d, k in FUZZY_QUERY_SET],
+        columns=["qid", "term", "dist", "k"],
+    )
+    out = fuzzy_search_index(spark, index_dir, qpdf)
+    return _rerank_rounded(
+        out, query_set=[(qid, t, k) for qid, t, _, k in FUZZY_QUERY_SET])
+
+
 # phrases present in the driver documents fixtures (whitespace tokens);
 # the last one never matches (exercises the empty-result path)
 PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
@@ -850,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": q_bm25_search_after,
         "facet_counts": q_facet_counts,
         "collapse_source": q_collapse_source,
+        "fuzzy_search": q_fuzzy_search,
         "phrase_search": q_phrase_search,
         "regex_search": q_regex_search,
         "search_snippets": q_search_snippets,
@@ -1040,6 +1072,40 @@ r AS (SELECT qid, k, grp, doc_id, score,
                          ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
       FROM g WHERE grn = 1)
 SELECT qid, (rn - 1)::INT AS rank, grp, doc_id::BIGINT AS docid,
+       round(score, 6) AS score
+FROM r WHERE rn <= k
+"""
+
+
+def _fuzzy_oracle() -> str:
+    """Fuzzy-search oracle: expansion as a `levenshtein(term, qterm) <=
+    dist` join against the distinct-term vocabulary, then the exact BM25
+    template over the expanded (qid, term) pairs."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {d}, {k})" for qid, t, d, k in FUZZY_QUERY_SET
+    )
+    return f"""
+WITH {_TOK}, {_TF}, {_DL},
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q0(qid, qterm, dist, k) AS (VALUES {vals}),
+q AS (SELECT q0.qid, ts.term, q0.k FROM q0 JOIN ts
+      ON levenshtein(ts.term, q0.qterm) <= q0.dist),
+scored AS (
+  SELECT q.qid::BIGINT AS qid, q.k, q.term, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf::DOUBLE * (1.2 + 1.0)
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
+           AS contrib
+  FROM q JOIN ts USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored GROUP BY 1,2,3),
+r AS (SELECT qid, k, doc_id, score,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM agg)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
        round(score, 6) AS score
 FROM r WHERE rn <= k
 """
@@ -1425,6 +1491,7 @@ FROM per
         "bm25_search_after": _bm25_oracle(page=1),
         "facet_counts": _facet_oracle(),
         "collapse_source": _collapse_oracle(),
+        "fuzzy_search": _fuzzy_oracle(),
         "phrase_search": _phrase_oracle(),
         "regex_search": _regex_oracle(),
         "search_snippets": _snippets_oracle(),
