@@ -428,6 +428,29 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, query_set=[(qid, t, k) for qid, t, _, k in FUZZY_QUERY_SET])
 
 
+# more-like-this: qid IS the source doc_id (present at every SF); the
+# source doc is excluded in-search via the per-query exclude mask
+MLT_SOURCE_IDS = [7, 123, 321]
+MLT_K = 10
+MLT_NUM_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document (operators/mlt.py): the source doc's top-tf*idf
+    terms become an OR query and the source excludes ITSELF inside the
+    scorer — the self-exclusion predicate (the reference filters the
+    query's own node out of results, GraphSearcher.java:202-214 Bits)."""
+    from jvector_spark.operators.mlt import more_like_this
+
+    index_dir = _ensure_index(spark, sf_dir)
+    out = more_like_this(
+        spark, index_dir, _docs(spark, sf_dir), MLT_SOURCE_IDS,
+        k=2 * MLT_K, num_terms=MLT_NUM_TERMS,
+    )
+    return _rerank_rounded(
+        out, query_set=[(d, [], MLT_K) for d in MLT_SOURCE_IDS])
+
+
 # phrases present in the driver documents fixtures (whitespace tokens);
 # the last one never matches (exercises the empty-result path)
 PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
@@ -882,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "collapse_source": q_collapse_source,
         "fuzzy_search": q_fuzzy_search,
+        "more_like_this": q_more_like_this,
         "phrase_search": q_phrase_search,
         "regex_search": q_regex_search,
         "search_snippets": q_search_snippets,
@@ -1099,6 +1123,48 @@ scored AS (
            AS contrib
   FROM q JOIN ts USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+),
+agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored GROUP BY 1,2,3),
+r AS (SELECT qid, k, doc_id, score,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+      FROM agg)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
+       round(score, 6) AS score
+FROM r WHERE rn <= k
+"""
+
+
+def _mlt_oracle() -> str:
+    """More-like-this oracle: per source doc, pick the top MLT_NUM_TERMS
+    terms by (round(tf*idf, 6) DESC, term ASC) — identical tie-break to
+    mlt_select_terms — then standard BM25 over those terms with the
+    source doc excluded (doc_id <> qid)."""
+    src_vals = ", ".join(f"({d})" for d in MLT_SOURCE_IDS)
+    return f"""
+WITH {_TOK}, {_TF}, {_DL},
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+src(qid) AS (VALUES {src_vals}),
+tw AS (
+  SELECT src.qid, tf.term,
+         row_number() OVER (PARTITION BY src.qid
+             ORDER BY round(tf.tf::DOUBLE *
+                 ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5)), 6) DESC,
+                 tf.term ASC) AS trn
+  FROM src JOIN tf ON tf.doc_id = src.qid
+  JOIN ts ON ts.term = tf.term CROSS JOIN stats s
+),
+q AS (SELECT qid, term, {MLT_K} AS k FROM tw WHERE trn <= {MLT_NUM_TERMS}),
+scored AS (
+  SELECT q.qid::BIGINT AS qid, q.k, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf::DOUBLE * (1.2 + 1.0)
+         / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / s.avgdl))
+           AS contrib
+  FROM q JOIN ts USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  WHERE tf.doc_id <> q.qid
 ),
 agg AS (SELECT qid, k, doc_id, sum(contrib) AS score FROM scored GROUP BY 1,2,3),
 r AS (SELECT qid, k, doc_id, score,
@@ -1492,6 +1558,7 @@ FROM per
         "facet_counts": _facet_oracle(),
         "collapse_source": _collapse_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
+        "more_like_this": _mlt_oracle(),
         "phrase_search": _phrase_oracle(),
         "regex_search": _regex_oracle(),
         "search_snippets": _snippets_oracle(),

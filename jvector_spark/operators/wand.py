@@ -556,6 +556,7 @@ def search_partition(
     metrics: dict | None = None,
     mode: str = "or",
     pool: "SearcherPool | None" = None,
+    exclude: dict | None = None,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern).
@@ -572,12 +573,31 @@ def search_partition(
                 strictly after the cursor in (score desc, docid asc) order
                 return (the resume()/pagination analog,
                 GraphSearcher.java:503-541).
+    exclude:    {qid: array-of-docids} per-QUERY exclusions — the
+                self-exclusion predicate (the reference's Bits.without /
+                "don't return the query's own node" filter used by
+                more-like-this style searches). Applied by unioning into
+                the tombstone mask per query, i.e. INSIDE the segment
+                scorer before its top-k cut, so an excluded doc can never
+                displace a returned one.
     """
     states = {
         int(q.qid): _TopK(int(q.k)) for q in queries.itertuples()
     }
     qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
     after = after or {}
+    exclude = exclude or {}
+    qtomb: dict[int, np.ndarray] = {}
+    for qid in states:
+        ex = exclude.get(qid)
+        if ex is None or not len(ex):
+            qtomb[qid] = tombstones
+        else:
+            ex = np.asarray(ex, dtype=np.int64)
+            qtomb[qid] = (
+                ex if tombstones is None or not len(tombstones)
+                else np.union1d(tombstones, ex)
+            )
     # terms shared by >=2 queries always decode fully (once, cached) —
     # repeated partial block decodes of the same hot term cost more than
     # one full decode amortized across the batch
@@ -626,13 +646,13 @@ def search_partition(
             qstats = metrics.setdefault(qid, {}) if metrics is not None else None
             if mode == "and":
                 d, s = score_conjunctive_on_segment(
-                    reader, qterms[qid], idfs, st.k, avgdl, tombstones,
+                    reader, qterms[qid], idfs, st.k, avgdl, qtomb[qid],
                     seg_cache, accept,
                 )
             else:
                 d, s = score_query_on_segment(
                     reader, qterms[qid], idfs, st.k,
-                    max(st.theta, min_score), avgdl, tombstones,
+                    max(st.theta, min_score), avgdl, qtomb[qid],
                     seg_cache, accept, qstats,
                 )
             if min_score > 0.0 and len(s):
@@ -668,6 +688,7 @@ def search_index(
     metrics_acc=None,
     merge: str = "spark",
     mode: str = "or",
+    exclude: dict | None = None,
 ) -> DataFrame | pd.DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
@@ -719,6 +740,7 @@ def search_index(
             yield search_partition(
                 paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
                 doc_filter, min_score, after, task_metrics, mode,
+                exclude=exclude,
             )
             if metrics_acc is not None:
                 from pyspark import TaskContext
