@@ -462,6 +462,33 @@ PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
 ]
 
 
+# unordered term sets + window size; qid 4 pairs an OOV term with a real
+# one (conjunctive candidates -> empty result path)
+PROX_QUERY_SET: list[tuple[int, list[str], int, int]] = [
+    (0, ["table", "hash"], 5, 10),
+    (1, ["customer", "join"], 8, 10),
+    (2, ["slow", "batch"], 6, 10),
+    (3, ["merge", "group"], 12, 100),
+    (4, ["zz_oov_term", "window"], 5, 10),
+]
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered within-window proximity over positional postings
+    (operators/proximity.py) — the sloppy-phrase analog; second consumer
+    of the per-posting payload stream."""
+    from jvector_spark.operators.proximity import proximity_search
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        PROX_QUERY_SET, columns=["qid", "terms", "window", "k"])
+    out = proximity_search(spark, index_dir, qpdf)
+    return out.select(
+        F.col("qid").cast("long"), F.col("rank").cast("int"),
+        F.col("docid").cast("long"), F.col("n_matches").cast("long"),
+    )
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase queries over positional postings (per-posting payload
     stream — the Feature-plugin analog): rank by match count."""
@@ -907,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
         "phrase_search": q_phrase_search,
+        "proximity_search": q_proximity_search,
         "regex_search": q_regex_search,
         "search_snippets": q_search_snippets,
         "term_stats": q_term_stats,
@@ -1402,6 +1430,36 @@ FROM r WHERE rn <= k
 """
 
 
+def _proximity_oracle() -> str:
+    """Window-count oracle: for unordered terms {t1..tm} and window W,
+    count window starts i (0-based; at least one, clipped, for docs
+    shorter than W) where the W-token slice contains every term."""
+    parts = []
+    for qid, terms, w, k in PROX_QUERY_SET:
+        uniq = sorted(set(terms))
+        cond = " AND ".join(
+            f"list_contains(list_slice(ts, i + 1, i + {w}), '{t}')"
+            for t in uniq
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, {k} AS k, doc_id, "
+            f"len(list_filter(range(greatest(len(ts) - {w - 1}, 1)), "
+            f"i -> {cond}))::BIGINT AS n_matches FROM tl"
+        )
+    union = "\nUNION ALL ".join(parts)
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents),
+m AS ({union}),
+r AS (SELECT qid, k, doc_id, n_matches,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY n_matches DESC, doc_id ASC) AS rn
+      FROM m WHERE n_matches >= 1)
+SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid, n_matches
+FROM r WHERE rn <= k
+"""
+
+
 def _lsh_verified_ctes() -> str:
     """CTE chain of the LSH->verify pipeline mirror: 16-hash minhash LSH
     banding (8 bands of 2) for candidates, exact n-gram Jaccard in CTE
@@ -1560,6 +1618,7 @@ FROM per
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),
         "phrase_search": _phrase_oracle(),
+        "proximity_search": _proximity_oracle(),
         "regex_search": _regex_oracle(),
         "search_snippets": _snippets_oracle(),
         "term_stats": term_stats_sql,
