@@ -209,9 +209,21 @@ def score_query_on_segment(
     cache: dict | None = None,
     accept: np.ndarray | None = None,
     stats: dict | None = None,
+    prune_epsilon: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, scores) of one query against one segment,
     pruning with block-max bounds against incoming threshold theta.
+
+    `prune_epsilon` > 0 switches to APPROXIMATE aggressive pruning (the
+    relaxed-monotonicity analog, ScoreTracker.java:26-143 — skip
+    expansion earlier than provably safe): every pruning decision
+    (segment skip, MaxScore split, block generation) tests against
+    theta * (1 + prune_epsilon) instead of theta, so borderline blocks
+    whose upper bound clears theta by less than the margin never
+    generate candidates. Scores of SURVIVING candidates stay exact —
+    only recall is traded. Defaults to 0.0 (rank-identical mode), as
+    the reference defaults builders to usePruning(false)
+    (GraphIndexBuilder.java:330-334).
 
     `tombstones` (sorted int64) is the Bits-acceptOrds analog
     (GraphSearcher.search:202-214): excluded docids are dropped from the
@@ -272,7 +284,10 @@ def score_query_on_segment(
 
     blocks_total = int(sum(len(block_ub[t]) for t in terms))
     total_ub = float(term_ub.sum())
-    if total_ub < theta:
+    # pruning threshold only — result membership still uses the true theta
+    # upstream, and surviving candidates score exactly
+    theta_p = theta * (1.0 + prune_epsilon) if prune_epsilon > 0.0 else theta
+    if total_ub < theta_p:
         if stats is not None:
             stats["segments_skipped_ub"] = stats.get("segments_skipped_ub", 0) + 1
             stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + blocks_total
@@ -286,7 +301,7 @@ def score_query_on_segment(
     # for docs already in the candidate set.
     order = np.argsort(term_ub, kind="stable")
     csum = np.cumsum(term_ub[order])
-    n_nonessential = int(np.searchsorted(csum, theta, side="left"))
+    n_nonessential = int(np.searchsorted(csum, theta_p, side="left"))
     nonessential = {terms[i] for i in order[:n_nonessential]}
 
     # candidate generation with per-block skipping (BMW): a block whose
@@ -300,7 +315,7 @@ def score_query_on_segment(
             gen_mask[t] = np.zeros(len(block_ub[t]), dtype=bool)
             continue
         other = total_ub - term_ub[i]
-        mask = block_ub[t] + other >= theta
+        mask = block_ub[t] + other >= theta_p
         gen_mask[t] = mask
         if stats is not None:
             stats["blocks_gen"] = stats.get("blocks_gen", 0) + int(mask.sum())
@@ -557,6 +572,7 @@ def search_partition(
     mode: str = "or",
     pool: "SearcherPool | None" = None,
     exclude: dict | None = None,
+    prune_epsilon: float = 0.0,
 ) -> pd.DataFrame:
     """Score all queries against a list of segments sequentially, θ
     propagating segment-to-segment (the multi-sstable rerankFloor pattern).
@@ -653,7 +669,7 @@ def search_partition(
                 d, s = score_query_on_segment(
                     reader, qterms[qid], idfs, st.k,
                     max(st.theta, min_score), avgdl, qtomb[qid],
-                    seg_cache, accept, qstats,
+                    seg_cache, accept, qstats, prune_epsilon,
                 )
             if min_score > 0.0 and len(s):
                 keep = s >= min_score
@@ -689,6 +705,7 @@ def search_index(
     merge: str = "spark",
     mode: str = "or",
     exclude: dict | None = None,
+    prune_epsilon: float = 0.0,
 ) -> DataFrame | pd.DataFrame:
     """Distributed top-k BM25: scatter segments over tasks, per-task partial
     top-k (bounded k rows per query per task), global TakeOrderedAndProject
@@ -714,6 +731,11 @@ def search_index(
     (small); segments are the parallel dimension — at 10^12 docs this is
     thousands of segments fanned over the cluster, each task streaming its
     segments with θ propagation.
+
+    prune_epsilon > 0 enables opt-in APPROXIMATE aggressive pruning
+    (relaxed-monotonicity analog; see score_query_on_segment) — returned
+    scores stay exact, recall is traded for fewer block decodes. Keep 0.0
+    (default) for rank-identical mode.
     """
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
@@ -740,7 +762,7 @@ def search_index(
             yield search_partition(
                 paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
                 doc_filter, min_score, after, task_metrics, mode,
-                exclude=exclude,
+                exclude=exclude, prune_epsilon=prune_epsilon,
             )
             if metrics_acc is not None:
                 from pyspark import TaskContext
