@@ -102,6 +102,14 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     timed("phrase_search",
           lambda: entry.q_phrase_search(spark, sf_dir).toPandas())
 
+    # 3c. within-window proximity over the same positional stream
+    timed("proximity_search",
+          lambda: entry.q_proximity_search(spark, sf_dir).toPandas())
+
+    # 3d. query-by-document with in-search self-exclusion
+    timed("more_like_this",
+          lambda: entry.q_more_like_this(spark, sf_dir).toPandas())
+
     # 4. dedup pipeline: minhash LSH candidate pairs
     timed("dedup_minhash_lsh",
           lambda: entry.q_minhash_lsh_pairs(spark, sf_dir).toPandas())
