@@ -462,6 +462,31 @@ PHRASE_QUERY_SET: list[tuple[int, str, int]] = [
 ]
 
 
+# attribute-sort query set (OR match, order by doc length desc);
+# the last query is fully OOV (empty result path)
+SORT_QUERY_SET: list[tuple[int, list[str], int]] = [
+    (0, ["spark", "join"], 10),
+    (1, ["window"], 10),
+    (2, ["hash", "scan"], 100),
+    (3, ["zz_oov_term"], 10),
+]
+
+
+def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-attribute search (operators/facets.sorted_search): OR-matched
+    docs ranked by doc length desc (the Lucene Sort / ES sort-by-field
+    analog, with dl standing in for a timestamp column)."""
+    from jvector_spark.operators.facets import sorted_search
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(SORT_QUERY_SET, columns=["qid", "terms", "k"])
+    out = sorted_search(spark, index_dir, qpdf, attr="dl")
+    return out.select(
+        F.col("qid").cast("long"), F.col("rank").cast("int"),
+        F.col("docid").cast("long"), F.col("sort_key").cast("long"),
+    )
+
+
 # unordered term sets + window size; qid 4 pairs an OOV term with a real
 # one (conjunctive candidates -> empty result path)
 PROX_QUERY_SET: list[tuple[int, list[str], int, int]] = [
@@ -931,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after": q_bm25_search_after,
         "facet_counts": q_facet_counts,
         "collapse_source": q_collapse_source,
+        "sorted_search": q_sorted_search,
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
         "phrase_search": q_phrase_search,
@@ -1430,6 +1456,27 @@ FROM r WHERE rn <= k
 """
 
 
+def _sorted_oracle() -> str:
+    """Sort-by-attribute oracle: distinct OR-matched docs ordered by
+    (dl DESC, doc_id ASC), top-k per query."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {k})" for qid, terms, k in SORT_QUERY_SET
+        for t in terms
+    )
+    return f"""
+WITH {_TOK}, {_DL},
+q(qid, term, k) AS (VALUES {vals}),
+m AS (SELECT DISTINCT q.qid, q.k, tokf.doc_id FROM q JOIN tokf USING (term)),
+r AS (SELECT m.qid, m.k, m.doc_id, dl.dl,
+      row_number() OVER (PARTITION BY m.qid
+                         ORDER BY dl.dl DESC, m.doc_id ASC) AS rn
+      FROM m JOIN dl ON m.doc_id = dl.doc_id)
+SELECT qid::BIGINT AS qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
+       dl::BIGINT AS sort_key
+FROM r WHERE rn <= k
+"""
+
+
 def _proximity_oracle() -> str:
     """Window-count oracle: for unordered terms {t1..tm} and window W,
     count window starts i (0-based; at least one, clipped, for docs
@@ -1615,6 +1662,7 @@ FROM per
         "bm25_search_after": _bm25_oracle(page=1),
         "facet_counts": _facet_oracle(),
         "collapse_source": _collapse_oracle(),
+        "sorted_search": _sorted_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),
         "phrase_search": _phrase_oracle(),

@@ -197,6 +197,96 @@ def collapse_topk(
     return paths_df.mapInPandas(run, schema)
 
 
+def sorted_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    attr: str = "dl",
+    ascending: bool = False,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+    merge: str = "spark",
+) -> DataFrame | pd.DataFrame:
+    """Match set ordered by a NUMERIC doc attribute instead of relevance
+    (the Lucene Sort-by-field / ES `sort` surface — think "matching docs,
+    newest first" with a timestamp column): (qid, rank, docid, sort_key),
+    ranked (attr desc|asc, docid asc), top-k per query.
+
+    queries: pandas (qid:int, terms:list[str], k:int); OR match semantics
+    (any query term present), deletes excluded, doc_filter honored. No
+    scores are computed — term postings decode docids only, and the
+    attribute comes from the doclen array (`attr="dl"`) or one cached
+    docs-sidecar column read per (segment, attr). Top-k by attribute is
+    mergeable, so partials are cut to k per (segment, query) before the
+    shuffle — the same bounded-merge scale shape as search_index. (A
+    per-segment attr-max skip bound would need segment-level attribute
+    metadata; unlike BM25's block-max, none exists — documented
+    limitation, every matching segment is visited.)"""
+    from jvector_spark.operators.wand import (
+        empty_topk, merge_topk, scatter_paths)
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    ks = {int(r.qid): int(r.k) for r in queries.itertuples()}
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    if not seg_paths:
+        return empty_topk(spark, "sort_key", merge)
+    sc = spark.sparkContext
+    b_q = sc.broadcast((qterms, ks))
+    b_tomb = sc.broadcast(tomb)
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
+    sign = 1 if ascending else -1  # lexsort ascending on sign*v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        (qt, ks_l), tomb_l = b_q.value, b_tomb.value
+        probe = sorted({t for ts in qt.values() for t in ts})
+        for path in paths:
+            bloom = load_term_bloom(path)
+            if bloom is not None and probe and not any(
+                bloom_may_contain(bloom, t) for t in probe
+            ):
+                continue
+            reader = SegmentReader(path)
+            accept = reader.accepted_docids(doc_filter) if doc_filter else None
+            cache: dict = {}
+            for qid, terms in qt.items():
+                key = tuple(terms)
+                d = cache.get(key)
+                if d is None:
+                    d = cache[key] = _matched_docids(
+                        reader, terms, tomb_l, accept)
+                if not len(d):
+                    continue
+                if attr == "dl":
+                    v = reader.doclen(d).astype(np.int64)
+                else:
+                    v = np.asarray(
+                        reader.doc_attribute(attr)[d - reader._min_docid],
+                        dtype=np.int64,
+                    )
+                top = np.lexsort((d, sign * v))[: ks_l[qid]]
+                yield pd.DataFrame({
+                    "qid": np.int64(qid), "docid": d[top],
+                    "sort_key": v[top]})
+
+    partial = paths_df.mapInPandas(run, "qid long, docid long, sort_key long")
+    if ascending:
+        merged = merge_topk(
+            partial.withColumn("sort_key", -F.col("sort_key")), ks,
+            "sort_key", merge)
+        if merge == "driver":
+            merged["sort_key"] = -merged["sort_key"]
+            return merged
+        return merged.withColumn("sort_key", -F.col("sort_key"))
+    return merge_topk(partial, ks, "sort_key", merge)
+
+
 def rank_collapsed(partial: DataFrame, ks: dict[int, int]) -> DataFrame:
     """Global merge of collapse partials: best row per (qid, grp), then
     top-k groups per qid by (round(score,6) desc, docid asc). Returns

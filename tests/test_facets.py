@@ -123,3 +123,43 @@ def test_doc_attribute_memoized(findex):
     assert r.sidecar_reads == 2
     # dense layout: attribute rows align with the doclen array
     assert len(a) == len(r._dl)
+
+
+def _expected_sorted(oracle, terms, k, ascending=False):
+    parts = [oracle.postings[t][0] for t in terms if t in oracle.postings]
+    if not parts:
+        return [], []
+    d = np.unique(np.concatenate(parts))
+    v = oracle.doclen[d].astype(np.int64)
+    order = np.lexsort((d, v if ascending else -v))[:k]
+    return d[order].tolist(), v[order].tolist()
+
+
+def test_sorted_search_desc_matches_truth(spark, findex, oracle):
+    from jvector_spark.operators.facets import sorted_search
+
+    got = sorted_search(spark, findex, QUERIES, attr="dl").toPandas()
+    for q in QUERIES.itertuples():
+        exp_d, exp_v = _expected_sorted(oracle, q.terms, q.k)
+        g = got[got["qid"] == q.qid].sort_values("rank")
+        assert g["docid"].tolist() == exp_d, f"qid={q.qid}"
+        assert g["sort_key"].tolist() == exp_v
+
+
+def test_sorted_search_ascending(spark, findex, oracle):
+    from jvector_spark.operators.facets import sorted_search
+
+    got = sorted_search(spark, findex, QUERIES, attr="dl",
+                        ascending=True).toPandas()
+    for q in QUERIES.itertuples():
+        exp_d, exp_v = _expected_sorted(oracle, q.terms, q.k, ascending=True)
+        g = got[got["qid"] == q.qid].sort_values("rank")
+        assert g["docid"].tolist() == exp_d, f"qid={q.qid}"
+        assert g["sort_key"].tolist() == exp_v
+
+
+def test_sorted_search_oov_empty(spark, findex):
+    from jvector_spark.operators.facets import sorted_search
+
+    q = pd.DataFrame({"qid": [0], "terms": [["zz_never_a_token"]], "k": [5]})
+    assert sorted_search(spark, findex, q, attr="dl").count() == 0
