@@ -163,3 +163,25 @@ def test_sorted_search_oov_empty(spark, findex):
 
     q = pd.DataFrame({"qid": [0], "terms": [["zz_never_a_token"]], "k": [5]})
     assert sorted_search(spark, findex, q, attr="dl").count() == 0
+
+
+def test_sorted_search_partials_bounded_per_segment(spark, findex,
+                                                   monkeypatch):
+    import jvector_spark.operators.wand as wand_mod
+    from jvector_spark.operators.facets import sorted_search
+    from jvector_spark.sources.segment import load_manifest
+
+    k = 3
+    captured = {}
+    real_merge = wand_mod.merge_topk
+
+    def spy(partial, ks, score_col, merge):
+        captured["n_partial"] = partial.count()
+        return real_merge(partial, ks, score_col, merge)
+
+    monkeypatch.setattr(wand_mod, "merge_topk", spy)
+    q = pd.DataFrame({"qid": [0], "terms": [["if"]], "k": [k]})
+    got = sorted_search(spark, findex, q, attr="dl", merge="driver")
+    assert len(got) == k
+    n_segments = len(load_manifest(findex)["segments"])
+    assert captured["n_partial"] <= k * n_segments
