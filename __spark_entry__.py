@@ -316,6 +316,18 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out)
 
 
+def q_bm25_topk_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-filtered top-k: ES-style numeric range predicate over a
+    sidecar attribute (doc length standing in for the timestamp-range
+    shape), pushed into the docs-parquet scan and applied in-search."""
+    from jvector_spark.operators.wand import search_index
+
+    index_dir = _ensure_index(spark, sf_dir)
+    out = search_index(spark, index_dir, _qpdf(),
+                       doc_filter={"dl": {"gte": 40, "lt": 80}})
+    return _rerank_rounded(out)
+
+
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) top-k: only docs containing EVERY query term,
     scored with the same exact BM25 sums (strict semantics: an OOV term
@@ -949,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_index": q_bm25_topk_index,
         "bm25_topk_index_nvq": q_bm25_topk_index_nvq,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_range": q_bm25_topk_range,
         "bm25_conjunctive": q_bm25_conjunctive,
         "bm25_boolean": q_bm25_boolean,
         "bm25_fielded": q_bm25_fielded,
@@ -1053,10 +1066,13 @@ _MINHASH = (
 
 def _bm25_oracle(accept_where: str = "", score_floor: float | None = None,
                  page: int = 0, conjunctive: bool = False,
-                 query_set=None) -> str:
+                 query_set=None, accept_subquery: str = "") -> str:
     """BM25 top-k oracle; variants share one template:
     accept_where — SQL predicate over `documents d` restricting result
                    docs (NOT the stats — matches engine acceptOrds);
+    accept_subquery — full `SELECT doc_id ...` subquery restricting result
+                   docs (for predicates over DERIVED columns like dl that
+                   aren't on the documents table — the range-filter oracle);
     score_floor  — threshold-query mode;
     page         — search-after page p returns global ranks (p*k, (p+1)*k];
     conjunctive  — AND semantics: docs must match every query term
@@ -1071,6 +1087,8 @@ def _bm25_oracle(accept_where: str = "", score_floor: float | None = None,
         f"AND doc_id IN (SELECT doc_id FROM documents d WHERE {accept_where})"
         if accept_where else ""
     )
+    if accept_subquery:
+        accept += f" AND doc_id IN ({accept_subquery})"
     floor = f"AND score >= {score_floor!r}" if score_floor is not None else ""
     conj = "AND nt = m" if conjunctive else ""
     return f"""
@@ -1653,6 +1671,10 @@ FROM per
         "bm25_topk_index_nvq": bm25,
         "bm25_topk_filtered": _bm25_oracle(
             accept_where="lang IN ('en', 'de')"
+        ),
+        "bm25_topk_range": _bm25_oracle(
+            accept_subquery="SELECT doc_id FROM dl "
+                            "WHERE dl >= 40 AND dl < 80"
         ),
         "bm25_conjunctive": _bm25_oracle(conjunctive=True,
                                          query_set=CONJ_QUERY_SET),

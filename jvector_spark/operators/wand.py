@@ -511,11 +511,16 @@ class _TopK:
 
 def _filter_key(doc_filter: dict) -> tuple:
     """Canonical hashable key for a doc-attribute filter (list/tuple/set
-    values normalize to sorted tuples)."""
-    return tuple(
-        (c, tuple(sorted(v)) if isinstance(v, (list, tuple, set)) else v)
-        for c, v in sorted(doc_filter.items())
-    )
+    values normalize to sorted tuples; range dicts to sorted op items)."""
+
+    def canon(v):
+        if isinstance(v, dict):
+            return ("__range__",) + tuple(sorted(v.items()))
+        if isinstance(v, (list, tuple, set)):
+            return tuple(sorted(v))
+        return v
+
+    return tuple((c, canon(v)) for c, v in sorted(doc_filter.items()))
 
 
 class SearcherPool:

@@ -1107,9 +1107,16 @@ class SegmentReader:
 
     def accepted_docids(self, doc_filter: dict) -> np.ndarray:
         """Sorted docids of this segment's docs matching the attribute
-        filter ({col: value | list-of-values} conjunction) — the Bits
-        acceptOrds bitmap computed from the doc-attributes sidecar
-        (docs.parquet); evaluated with parquet predicate pushdown.
+        filter — the Bits acceptOrds bitmap computed from the
+        doc-attributes sidecar (docs.parquet); evaluated with parquet
+        predicate pushdown. Filter values per column (conjunction across
+        columns):
+          scalar            -> equality
+          list/tuple/set    -> isin
+          dict of ops       -> range, ES-style: any of
+                               {"gte","gt","lte","lt","eq"} (ANDed) —
+                               e.g. {"gte": 40, "lt": 80} for the
+                               timestamp-range shape of filtered search.
         `sidecar_reads` counts invocations (observability for the
         per-(segment, filter) memo in wand.search_partition)."""
         import pyarrow.dataset as ds
@@ -1125,13 +1132,27 @@ class SegmentReader:
                 f"docs sidecar — include them in key_cols at build time "
                 f"(have: {dset.schema.names})"
             )
+        ops = {
+            "gte": lambda f, v: f >= v, "gt": lambda f, v: f > v,
+            "lte": lambda f, v: f <= v, "lt": lambda f, v: f < v,
+            "eq": lambda f, v: f == v,
+        }
         expr = None
         for col, val in doc_filter.items():
-            e = (
-                ds.field(col).isin(list(val))
-                if isinstance(val, (list, tuple, set))
-                else ds.field(col) == val
-            )
+            if isinstance(val, dict):
+                bad = set(val) - set(ops)
+                if bad:
+                    raise ValueError(
+                        f"unknown range ops {sorted(bad)} for column "
+                        f"{col!r} (allowed: {sorted(ops)})")
+                e = None
+                for op, v in sorted(val.items()):
+                    t = ops[op](ds.field(col), v)
+                    e = t if e is None else e & t
+            elif isinstance(val, (list, tuple, set)):
+                e = ds.field(col).isin(list(val))
+            else:
+                e = ds.field(col) == val
             expr = e if expr is None else expr & e
         tbl = dset.to_table(columns=["docid"], filter=expr)
         return np.sort(tbl["docid"].to_numpy())

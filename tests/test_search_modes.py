@@ -109,3 +109,28 @@ def test_conjunctive_search(spark, index, oracle, queries_pdf):
                         "k": [5]})
     assert len(search_index(spark, index, oov, mode="and",
                             merge="driver")) == 0
+
+
+def test_range_filtered_search(spark, index, oracle, corpus_pdf, queries_pdf):
+    """ES-style numeric range over a sidecar attribute (dl): results
+    restricted to docs with 30 <= dl < 70, stats unchanged."""
+    lo, hi = 30, 70
+    accepted = set(np.flatnonzero(
+        (oracle.doclen >= lo) & (oracle.doclen < hi)))
+    res = search_index(
+        spark, index, queries_pdf,
+        doc_filter={"dl": {"gte": lo, "lt": hi}},
+    ).toPandas()
+    for q in queries_pdf.itertuples():
+        d, s = _oracle_full_ranking(oracle, q.terms)
+        keep = np.isin(d, list(accepted))
+        exp_d, exp_s = d[keep][: q.k], s[keep][: q.k]
+        got = res[res["qid"] == q.qid].sort_values("rank")
+        assert got["docid"].tolist() == exp_d.tolist(), f"qid={q.qid}"
+        assert np.allclose(got["score"].to_numpy(), exp_s, rtol=0, atol=0)
+
+
+def test_range_filter_rejects_unknown_op(spark, index, queries_pdf):
+    with pytest.raises(Exception, match="unknown range ops"):
+        search_index(spark, index, queries_pdf,
+                     doc_filter={"dl": {"between": (1, 2)}}).toPandas()
