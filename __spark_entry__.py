@@ -484,6 +484,51 @@ SORT_QUERY_SET: list[tuple[int, list[str], int]] = [
 ]
 
 
+def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric stats aggregation over the match set (ES metrics-agg
+    analog, operators/facets.attr_stats): per query, n/min/max/sum/avg of
+    doc length over OR-matched docs. One partial row per (segment,query);
+    the OOV query (qid 3) correctly yields no row."""
+    from jvector_spark.operators.facets import attr_stats
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, terms) for qid, terms, _ in SORT_QUERY_SET],
+        columns=["qid", "terms"])
+    out = attr_stats(spark, index_dir, qpdf, attr="dl")
+    return out.select(
+        F.col("qid").cast("long"), F.col("n_docs").cast("long"),
+        F.col("min_attr").cast("long"), F.col("max_attr").cast("long"),
+        F.col("sum_attr").cast("long"), F.col("avg_attr"),
+    )
+
+
+# (query term, max edit distance, n suggestions); "scan" is in-vocabulary
+# (its own dist-0 row must rank first)
+SUGGEST_QUERY_SET: list[tuple[int, str, int, int]] = [
+    (0, "spak", 1, 5),
+    (1, "window", 1, 5),
+    (2, "hsah", 2, 5),
+    (3, "scan", 1, 5),
+]
+
+
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion (operators/fuzzy.suggest_terms): top-n dictionary
+    terms per query term ranked (edit distance asc, df desc, term asc) —
+    Lucene DirectSpellChecker over the term_stats hot tier."""
+    from jvector_spark.operators.fuzzy import suggest_terms
+
+    index_dir = _ensure_index(spark, sf_dir)
+    pdf = suggest_terms(
+        index_dir,
+        {qid: (t, d) for qid, t, d, _ in SUGGEST_QUERY_SET},
+        n=SUGGEST_QUERY_SET[0][3],
+    )
+    return spark.createDataFrame(
+        pdf, "qid long, rank int, term string, dist long, df long")
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-by-attribute search (operators/facets.sorted_search): OR-matched
     docs ranked by doc length desc (the Lucene Sort / ES sort-by-field
@@ -970,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "collapse_source": q_collapse_source,
         "sorted_search": q_sorted_search,
+        "match_stats": q_match_stats,
+        "suggest_terms": q_suggest_terms,
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
         "phrase_search": q_phrase_search,
@@ -1474,6 +1521,46 @@ FROM r WHERE rn <= k
 """
 
 
+def _match_stats_oracle() -> str:
+    """Metrics-agg oracle: stats of dl over distinct OR-matched docs.
+    avg spelled as round(sum/count, 6) — exact integer sum then one
+    double division, matching the engine's derived avg exactly."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK}, {_DL},
+q(qid, term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT q.qid, tokf.doc_id FROM q JOIN tokf USING (term))
+SELECT m.qid::BIGINT AS qid, count(*)::BIGINT AS n_docs,
+       min(dl.dl)::BIGINT AS min_attr, max(dl.dl)::BIGINT AS max_attr,
+       sum(dl.dl)::BIGINT AS sum_attr,
+       round(sum(dl.dl)::DOUBLE / count(*), 6) AS avg_attr
+FROM m JOIN dl ON m.doc_id = dl.doc_id
+GROUP BY 1
+"""
+
+
+def _suggest_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {d}, {n})" for qid, t, d, n in SUGGEST_QUERY_SET
+    )
+    return f"""
+WITH {_TOK}, {_TF},
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+q(qid, qterm, maxd, n) AS (VALUES {vals}),
+c AS (SELECT q.qid, q.n, v.term,
+      levenshtein(q.qterm, v.term)::BIGINT AS dist, v.df
+      FROM q JOIN vocab v ON levenshtein(q.qterm, v.term) <= q.maxd),
+r AS (SELECT qid, n, term, dist, df,
+      row_number() OVER (PARTITION BY qid
+                         ORDER BY dist ASC, df DESC, term ASC) AS rn
+      FROM c)
+SELECT qid::BIGINT AS qid, (rn - 1)::INT AS rank, term, dist, df
+FROM r WHERE rn <= n
+"""
+
+
 def _sorted_oracle() -> str:
     """Sort-by-attribute oracle: distinct OR-matched docs ordered by
     (dl DESC, doc_id ASC), top-k per query."""
@@ -1685,6 +1772,8 @@ FROM per
         "facet_counts": _facet_oracle(),
         "collapse_source": _collapse_oracle(),
         "sorted_search": _sorted_oracle(),
+        "match_stats": _match_stats_oracle(),
+        "suggest_terms": _suggest_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),
         "phrase_search": _phrase_oracle(),

@@ -312,3 +312,82 @@ def rank_collapsed(partial: DataFrame, ks: dict[int, int]) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def attr_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    attr: str = "dl",
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Numeric stats aggregation over the match set (the ES metrics-agg
+    surface next to facet_counts' terms-agg): per query,
+    (qid, n_docs, min_attr, max_attr, sum_attr, avg_attr) of a sidecar
+    attribute over all OR-matched docs (deletes excluded, doc_filter
+    honored). Classic partial+final shape: each segment task emits ONE
+    row per query (its local n/min/max/sum); the final reduce is a
+    |queries|-row groupBy — corpus rows never shuffle. avg is derived
+    from (sum, n) after the merge and rounded to 6 for cross-engine
+    display parity."""
+    from jvector_spark.operators.wand import scatter_paths
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    schema = ("qid long, n_docs long, min_attr long, max_attr long, "
+              "sum_attr long")
+    if not seg_paths:
+        partial = spark.createDataFrame([], schema)
+    else:
+        sc = spark.sparkContext
+        b_q = sc.broadcast(qterms)
+        b_tomb = sc.broadcast(tomb)
+        paths_df = scatter_paths(spark, seg_paths, num_tasks)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            paths = [p for pdf in batches for p in pdf["path"].tolist()]
+            qt, tomb_l = b_q.value, b_tomb.value
+            probe = sorted({t for ts in qt.values() for t in ts})
+            for path in paths:
+                bloom = load_term_bloom(path)
+                if bloom is not None and probe and not any(
+                    bloom_may_contain(bloom, t) for t in probe
+                ):
+                    continue
+                reader = SegmentReader(path)
+                accept = (reader.accepted_docids(doc_filter)
+                          if doc_filter else None)
+                for qid, terms in qt.items():
+                    d = _matched_docids(reader, terms, tomb_l, accept)
+                    if not len(d):
+                        continue
+                    if attr == "dl":
+                        v = reader.doclen(d).astype(np.int64)
+                    else:
+                        v = np.asarray(
+                            reader.doc_attribute(attr)[d - reader._min_docid],
+                            dtype=np.int64)
+                    yield pd.DataFrame({
+                        "qid": [np.int64(qid)], "n_docs": [len(d)],
+                        "min_attr": [int(v.min())],
+                        "max_attr": [int(v.max())],
+                        "sum_attr": [int(v.sum())]})
+
+        partial = paths_df.mapInPandas(run, schema)
+    return (
+        partial.groupBy("qid").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.min("min_attr").alias("min_attr"),
+            F.max("max_attr").alias("max_attr"),
+            F.sum("sum_attr").alias("sum_attr"),
+        )
+        .withColumn("avg_attr", F.round(
+            F.col("sum_attr") / F.col("n_docs"), 6))
+    )

@@ -125,3 +125,49 @@ def fuzzy_search_index(
     })
     return search_index(spark, index_dir, qpdf, num_tasks=num_tasks,
                         merge=merge, doc_filter=doc_filter)
+
+
+def suggest_terms(
+    index_dir: str,
+    queries: dict[int, tuple[str, int]],
+    n: int = 5,
+) -> pd.DataFrame:
+    """Spell suggestion ("did you mean"): for each query term, the top-n
+    dictionary terms ranked (edit distance asc, df desc, term asc) —
+    Lucene DirectSpellChecker semantics over the term_stats hot tier.
+
+    Same one-scan shape as expand_fuzzy; the distance of a candidate is
+    the smallest d in [0, max_dist] whose DP mask admits it (max_dist is
+    small — <=2 in practice — so this costs at most 3 vectorized DP
+    passes per query per batch). Returns (qid, rank, term, dist, df)."""
+    path = os.path.join(index_dir, "term_stats.parquet")
+    hits: dict[int, list[tuple[int, int, str]]] = {q: [] for q in queries}
+    for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        dfs = batch.column("df").to_numpy()
+        for qid, (qterm, max_dist) in queries.items():
+            assigned = np.zeros(len(terms), dtype=bool)
+            for d in range(int(max_dist) + 1):
+                m = levenshtein_leq(qterm, terms, d) & ~assigned
+                if m.any():
+                    assigned |= m
+                    hits[qid].extend(
+                        (d, int(df), t)
+                        for df, t in zip(dfs[m].tolist(), terms[m].tolist())
+                    )
+    outs = []
+    for qid in sorted(queries):
+        h = sorted(hits[qid], key=lambda x: (x[0], -x[1], x[2]))[:n]
+        outs.append(pd.DataFrame({
+            "qid": np.int64(qid),
+            "rank": np.arange(len(h), dtype=np.int32),
+            "term": [t for _, _, t in h],
+            "dist": np.array([d for d, _, _ in h], dtype=np.int64),
+            "df": np.array([df for _, df, _ in h], dtype=np.int64),
+        }))
+    return (pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        {"qid": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="int32"),
+         "term": pd.Series([], dtype=object),
+         "dist": pd.Series([], dtype="int64"),
+         "df": pd.Series([], dtype="int64")}))

@@ -185,3 +185,28 @@ def test_sorted_search_partials_bounded_per_segment(spark, findex,
     assert len(got) == k
     n_segments = len(load_manifest(findex)["segments"])
     assert captured["n_partial"] <= k * n_segments
+
+
+def test_attr_stats_matches_truth(spark, findex, oracle):
+    from jvector_spark.operators.facets import attr_stats
+
+    qpdf = QUERIES[["qid", "terms"]]
+    got = attr_stats(spark, findex, qpdf, attr="dl").toPandas()
+    for q in qpdf.itertuples():
+        parts = [oracle.postings[t][0] for t in q.terms
+                 if t in oracle.postings]
+        d = np.unique(np.concatenate(parts))
+        v = oracle.doclen[d].astype(np.int64)
+        g = got[got["qid"] == q.qid]
+        assert len(g) == 1
+        row = g.iloc[0]
+        assert (row["n_docs"], row["min_attr"], row["max_attr"],
+                row["sum_attr"]) == (len(d), v.min(), v.max(), v.sum())
+        assert row["avg_attr"] == round(float(v.sum()) / len(d), 6)
+
+
+def test_attr_stats_oov_yields_no_row(spark, findex):
+    from jvector_spark.operators.facets import attr_stats
+
+    q = pd.DataFrame({"qid": [9], "terms": [["zz_never_a_token"]]})
+    assert attr_stats(spark, findex, q, attr="dl").count() == 0

@@ -102,3 +102,31 @@ def test_fuzzy_search_rank_identical_to_expanded_oracle(
         assert list(g["docid"]) == list(exp["docid"]), f"qid={qid}"
         np.testing.assert_allclose(g["score"], exp["score"], rtol=1e-12)
     assert (got["qid"] != 2).all()  # OOV neighborhood is empty
+
+
+def test_suggest_terms_matches_bruteforce(fzindex, oracle):
+    """Suggestion ranking (dist asc, df desc, term asc) vs an independent
+    scalar-DP brute force over the full vocabulary."""
+    from jvector_spark.operators.fuzzy import suggest_terms
+
+    queries = {0: ("improt", 2), 1: ("return", 1), 2: ("def", 0)}
+    n = 6
+    got = suggest_terms(fzindex, queries, n=n)
+    vocab = sorted(oracle.df)
+    for qid, (qterm, maxd) in queries.items():
+        cand = [(_lev(qterm, t), -oracle.df[t], t)
+                for t in vocab if _lev(qterm, t) <= maxd]
+        cand.sort()
+        exp = [(t, d, -negdf) for d, negdf, t in cand[:n]]
+        g = got[got["qid"] == qid].sort_values("rank")
+        assert list(zip(g["term"], g["dist"], g["df"])) == exp, qid
+
+
+def test_suggest_in_vocab_term_ranks_itself_first(fzindex, oracle):
+    from jvector_spark.operators.fuzzy import suggest_terms
+
+    term = "import"
+    got = suggest_terms(fzindex, {0: (term, 1)}, n=3)
+    top = got[got["rank"] == 0].iloc[0]
+    assert top["term"] == term and top["dist"] == 0
+    assert top["df"] == oracle.df[term]
