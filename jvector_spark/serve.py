@@ -89,14 +89,29 @@ class IndexServer:
             {t: df for t in terms if (df := self._df_memo.get(t, 0)) > 0},
         )
 
+    def suggest(self, queries: dict[int, tuple[str, int]],
+                n: int = 5) -> pd.DataFrame:
+        """Spell suggestion over the warm index (fuzzy.suggest_terms):
+        {qid: (term, max_dist)} -> (qid, rank, term, dist, df). Pure
+        hot-tier work — zero Spark jobs in either serve mode."""
+        from jvector_spark.operators.fuzzy import suggest_terms
+
+        self._refresh_if_stale()
+        self.requests_served += 1
+        return suggest_terms(self.index_dir, queries, n=n)
+
     def search(self, queries: pd.DataFrame, doc_filter: dict | None = None,
-               min_score: float = 0.0, mode: str = "or") -> pd.DataFrame:
+               min_score: float = 0.0, mode: str = "or",
+               exclude: dict | None = None) -> pd.DataFrame:
         """queries(qid, terms, k) -> (qid, rank, docid, score) pandas —
-        rank-identical to wand.search_index on the same index."""
+        rank-identical to wand.search_index on the same index.
+        `exclude` ({qid: [docids]}) is the per-query self-exclusion mask
+        (more-like-this style requests)."""
         self._refresh_if_stale()
         self.requests_served += 1
         if self.mode == "spark":
             return search_index(self.spark, self.index_dir, queries,
+                                exclude=exclude,
                                 doc_filter=doc_filter, min_score=min_score,
                                 merge="driver", mode=mode)
         from jvector_spark.plans.merge import load_tombstones
@@ -108,7 +123,7 @@ class IndexServer:
         out = search_partition(
             seg_paths, queries[["qid", "terms", "k"]], idfs,
             self.manifest["avgdl"], tomb, doc_filter, min_score,
-            mode=mode, pool=self.pool,
+            mode=mode, pool=self.pool, exclude=exclude,
         )
         # search_partition's _TopK output is already globally merged and
         # rank-ordered (score desc, docid asc) per query
@@ -133,14 +148,17 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
 
     Requests (one JSON object per line):
       {"op": "search", "queries": [{"qid": 0, "terms": [...], "k": 10}, ...],
-       "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?}
+       "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?,
+       "exclude": {"0": [docid, ...]}?}
+      {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
       {"op": "quit"}
     Responses: one JSON line each — {"ok": true, "results": [...]} for
-    search (rows as {qid, rank, docid, score}), {"ok": true, ...} for
-    stats/ping, {"ok": false, "error": "..."} on a bad request (the loop
-    keeps serving). Returns the number of requests handled.
+    search (rows as {qid, rank, docid, score}) and suggest (rows as
+    {qid, rank, term, dist, df}), {"ok": true, ...} for stats/ping,
+    {"ok": false, "error": "..."} on a bad request (the loop keeps
+    serving). Returns the number of requests handled.
     """
     handled = 0
     for line in in_stream:
@@ -161,11 +179,23 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 resp = {"ok": True, **server.stats()}
             elif op == "search":
                 qpdf = pd.DataFrame(req["queries"])
+                excl = req.get("exclude")
+                if excl:
+                    excl = {int(q): np.asarray(d, dtype=np.int64)
+                            for q, d in excl.items()}
                 res = server.search(
                     qpdf,
                     doc_filter=req.get("doc_filter"),
                     min_score=float(req.get("min_score", 0.0)),
                     mode=req.get("mode", "or"),
+                    exclude=excl,
+                )
+                resp = {"ok": True, "results": res.to_dict("records")}
+            elif op == "suggest":
+                res = server.suggest(
+                    {int(q): (str(t), int(d))
+                     for q, (t, d) in req["queries"].items()},
+                    n=int(req.get("n", 5)),
                 )
                 resp = {"ok": True, "results": res.to_dict("records")}
             else:

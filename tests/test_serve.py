@@ -156,3 +156,36 @@ def test_serve_loop_protocol(spark, served_index):
     assert not lines[4]["ok"] and "error" in lines[4]
     assert lines[5]["ok"] and lines[5]["requests_served"] == len(QBATCHES)
     assert lines[6]["bye"] is True
+
+
+def test_serve_exclude_and_suggest_ops(spark, served_index, oracle):
+    """Protocol round-trip for the per-query exclusion mask and the
+    suggest op: exclusion removes exactly the named docid with the next
+    doc back-filling; suggest returns the hot-tier ranking."""
+    base = search_index(
+        spark, served_index,
+        pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]}),
+        merge="driver")
+    top = int(base["docid"].iloc[0])
+    reqs = [
+        {"op": "search",
+         "queries": [{"qid": 0, "terms": ["import"], "k": 5}],
+         "exclude": {"0": [top]}},
+        {"op": "suggest", "queries": {"3": ["improt", 2]}, "n": 3},
+        {"op": "quit"},
+    ]
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    out = io.StringIO()
+    serve_loop(IndexServer(spark, served_index, mode="local"), inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    got = pd.DataFrame(lines[0]["results"])
+    assert top not in got["docid"].tolist()
+    assert len(got) == 5  # back-filled to a full k
+    exp = search_index(
+        spark, served_index,
+        pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]}),
+        exclude={0: np.array([top])}, merge="driver")
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    sugg = pd.DataFrame(lines[1]["results"])
+    assert lines[1]["ok"] and sugg["qid"].unique().tolist() == [3]
+    assert sugg.sort_values("rank")["term"].iloc[0] == "import"
