@@ -503,6 +503,21 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram aggregation over the match set (ES date_histogram shape,
+    operators/facets.attr_histogram): doc-length bins of width 10."""
+    from jvector_spark.operators.facets import attr_histogram
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, terms) for qid, terms, _ in SORT_QUERY_SET],
+        columns=["qid", "terms"])
+    out = attr_histogram(spark, index_dir, qpdf, attr="dl", bin_width=10)
+    return out.select(
+        F.col("qid").cast("long"), F.col("bin").cast("long"),
+        F.col("n_docs").cast("long"))
+
+
 # (query term, max edit distance, n suggestions); "scan" is in-vocabulary
 # (its own dist-0 row must rank first)
 SUGGEST_QUERY_SET: list[tuple[int, str, int, int]] = [
@@ -1016,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_source": q_collapse_source,
         "sorted_search": q_sorted_search,
         "match_stats": q_match_stats,
+        "match_histogram": q_match_histogram,
         "suggest_terms": q_suggest_terms,
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
@@ -1541,6 +1557,21 @@ GROUP BY 1
 """
 
 
+def _match_histogram_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK}, {_DL},
+q(qid, term) AS (VALUES {vals}),
+m AS (SELECT DISTINCT q.qid, tokf.doc_id FROM q JOIN tokf USING (term))
+SELECT m.qid::BIGINT AS qid, ((dl.dl // 10) * 10)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN dl ON m.doc_id = dl.doc_id
+GROUP BY 1, 2
+"""
+
+
 def _suggest_oracle() -> str:
     vals = ", ".join(
         f"({qid}, '{t}', {d}, {n})" for qid, t, d, n in SUGGEST_QUERY_SET
@@ -1773,6 +1804,7 @@ FROM per
         "collapse_source": _collapse_oracle(),
         "sorted_search": _sorted_oracle(),
         "match_stats": _match_stats_oracle(),
+        "match_histogram": _match_histogram_oracle(),
         "suggest_terms": _suggest_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),

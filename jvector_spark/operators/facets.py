@@ -391,3 +391,71 @@ def attr_stats(
         .withColumn("avg_attr", F.round(
             F.col("sum_attr") / F.col("n_docs"), 6))
     )
+
+
+def attr_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    attr: str = "dl",
+    bin_width: int = 10,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Histogram aggregation over the match set (the ES date_histogram /
+    histogram-agg shape, with a numeric sidecar attribute standing in for
+    the timestamp): (qid, bin, n_docs) where bin = floor(attr/width)*width.
+    Same scale shape as facet_counts — per-segment binned counts, then a
+    (qid × bins)-row final reduce; corpus rows never shuffle."""
+    from jvector_spark.operators.wand import scatter_paths
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    schema = "qid long, bin long, n_docs long"
+    if not seg_paths:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    b_q = sc.broadcast(qterms)
+    b_tomb = sc.broadcast(tomb)
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
+    w = int(bin_width)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        qt, tomb_l = b_q.value, b_tomb.value
+        probe = sorted({t for ts in qt.values() for t in ts})
+        for path in paths:
+            bloom = load_term_bloom(path)
+            if bloom is not None and probe and not any(
+                bloom_may_contain(bloom, t) for t in probe
+            ):
+                continue
+            reader = SegmentReader(path)
+            accept = (reader.accepted_docids(doc_filter)
+                      if doc_filter else None)
+            for qid, terms in qt.items():
+                d = _matched_docids(reader, terms, tomb_l, accept)
+                if not len(d):
+                    continue
+                if attr == "dl":
+                    v = reader.doclen(d).astype(np.int64)
+                else:
+                    v = np.asarray(
+                        reader.doc_attribute(attr)[d - reader._min_docid],
+                        dtype=np.int64)
+                bins, counts = np.unique((v // w) * w, return_counts=True)
+                yield pd.DataFrame({
+                    "qid": np.int64(qid), "bin": bins,
+                    "n_docs": counts.astype(np.int64)})
+
+    partial = paths_df.mapInPandas(run, schema)
+    return partial.groupBy("qid", "bin").agg(
+        F.sum("n_docs").alias("n_docs"))

@@ -210,3 +210,19 @@ def test_attr_stats_oov_yields_no_row(spark, findex):
 
     q = pd.DataFrame({"qid": [9], "terms": [["zz_never_a_token"]]})
     assert attr_stats(spark, findex, q, attr="dl").count() == 0
+
+
+def test_attr_histogram_matches_truth(spark, findex, oracle):
+    from jvector_spark.operators.facets import attr_histogram
+
+    qpdf = QUERIES[["qid", "terms"]]
+    got = attr_histogram(spark, findex, qpdf, attr="dl",
+                         bin_width=8).toPandas()
+    for q in qpdf.itertuples():
+        parts = [oracle.postings[t][0] for t in q.terms
+                 if t in oracle.postings]
+        d = np.unique(np.concatenate(parts))
+        v = (oracle.doclen[d].astype(np.int64) // 8) * 8
+        exp = pd.Series(v).value_counts().to_dict()
+        g = got[got["qid"] == q.qid].set_index("bin")["n_docs"].to_dict()
+        assert g == exp, f"qid={q.qid}"
