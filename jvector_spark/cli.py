@@ -112,6 +112,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON-lines file: {qid, pattern, k}")
     rx.add_argument("--output", required=True, help="output parquet path")
 
+    px = sub.add_parser("proximity")
+    px.add_argument("--index", required=True)
+    px.add_argument("--queries", required=True,
+                    help="JSON-lines file: {qid, terms, window, k}")
+    px.add_argument("--output", required=True, help="output parquet path")
+
+    ml = sub.add_parser(
+        "mlt", help="more-like-this: query-by-document with in-search "
+                    "self-exclusion")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--docs", required=True,
+                    help="corpus parquet (source of the seed documents)")
+    ml.add_argument("--doc-ids", required=True, help="comma-separated docids")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--num-terms", type=int, default=10)
+    ml.add_argument("--id-col", default="docid")
+    ml.add_argument("--content-col", default="content")
+    ml.add_argument("--output", required=True, help="output parquet path")
+
+    sg = sub.add_parser(
+        "suggest", help="spell suggestion over the term_stats hot tier "
+                        "(no Spark session)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--queries", required=True,
+                    help="JSON-lines file: {qid, term, dist}")
+    sg.add_argument("--n", type=int, default=5)
+
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
     c.add_argument("--output", required=True)
@@ -169,6 +196,21 @@ def main(argv: list[str] | None = None) -> int:
         tomb = mark_deleted(args.index, [int(x) for x in args.docids.split(",")])
         print(json.dumps({"tombstones": len(tomb)}))
         return 0
+    if args.cmd == "suggest":
+        import pandas as pd
+
+        from jvector_spark.operators.fuzzy import suggest_terms
+
+        qpdf = pd.read_json(args.queries, lines=True)
+        res = suggest_terms(
+            args.index,
+            {int(r.qid): (str(r.term), int(r.dist))
+             for r in qpdf.itertuples()},
+            n=args.n,
+        )
+        for row in res.to_dict("records"):
+            print(json.dumps(row))
+        return 0
 
     spark, owns = _get_session(args.master)
     try:
@@ -219,6 +261,27 @@ def main(argv: list[str] | None = None) -> int:
             res = regex_token_topk(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "proximity":
+            import pandas as pd
+
+            from jvector_spark.operators.proximity import proximity_search
+
+            qpdf = pd.read_json(args.queries, lines=True)
+            res = proximity_search(spark, args.index, qpdf)
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "mlt":
+            from jvector_spark.operators.mlt import more_like_this
+
+            docs = spark.read.parquet(args.docs)
+            res = more_like_this(
+                spark, args.index, docs,
+                [int(x) for x in args.doc_ids.split(",")],
+                k=args.k, num_terms=args.num_terms,
+                id_col=args.id_col, content_col=args.content_col,
+            )
+            res.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"queries": len(args.doc_ids.split(","))}))
         elif args.cmd == "fsck":
             from jvector_spark.plans.verify import verify_index
 
