@@ -33,6 +33,26 @@ from jvector_spark.operators.phrase import _positions_by_doc
 from jvector_spark.sources.segment import SegmentReader, load_manifest
 
 
+def window_match_count(
+    plists: list[np.ndarray], dl: int, window: int
+) -> int:
+    """Number of window starts i in [0, max(dl-window, 0)] whose span
+    [i, i+window-1] contains ≥1 position from EVERY list in `plists`
+    (each sorted ascending). Two searchsorted sweeps per term — O(m·dl)
+    vectorized, no per-token Python."""
+    n_starts = max(int(dl) - window + 1, 1)
+    i = np.arange(n_starts, dtype=np.int64)
+    ok = np.ones(n_starts, dtype=bool)
+    for pj in plists:
+        # term present in [i, i+W-1]  <=>  count of pj in [i, i+W) > 0
+        ok &= np.searchsorted(pj, i + window, "left") > np.searchsorted(
+            pj, i, "left"
+        )
+        if not ok.any():
+            return 0
+    return int(ok.sum())
+
+
 def match_window_on_segment(
     reader: SegmentReader,
     terms: list[str],
@@ -77,18 +97,7 @@ def match_window_on_segment(
     dls = reader.doclen(cand).astype(np.int64)
     out_d, out_n = [], []
     for c, dl in zip(cand, dls):
-        plists = pos_by_doc[int(c)]
-        n_starts = max(int(dl) - window + 1, 1)
-        i = np.arange(n_starts, dtype=np.int64)
-        ok = np.ones(n_starts, dtype=bool)
-        for pj in plists:
-            # term present in [i, i+W-1]  <=>  count of pj in [i, i+W) > 0
-            ok &= np.searchsorted(pj, i + window, "left") > np.searchsorted(
-                pj, i, "left"
-            )
-            if not ok.any():
-                break
-        n = int(ok.sum())
+        n = window_match_count(pos_by_doc[int(c)], int(dl), window)
         if n:
             out_d.append(int(c))
             out_n.append(n)

@@ -136,3 +136,31 @@ def test_proximity_partials_bounded_per_segment(spark, pos_index, monkeypatch):
     got = proximity_search(spark, idx, qpdf, merge="driver")
     assert len(got) == k
     assert captured["n_partial"] <= k * len(manifest)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    toks=st.lists(st.sampled_from("abcd"), min_size=1, max_size=60),
+    terms=st.sets(st.sampled_from("abcd"), min_size=1, max_size=3),
+    window=st.integers(1, 12),
+)
+@settings(max_examples=300, deadline=None)
+def test_window_count_property(toks, terms, window):
+    """window_match_count == brute-force sliding containment on random
+    token sequences (incl. docs shorter than the window)."""
+    from jvector_spark.operators.proximity import window_match_count
+
+    plists = [
+        np.array([i for i, t in enumerate(toks) if t == q], dtype=np.int64)
+        for q in sorted(terms)
+    ]
+    got = window_match_count(plists, len(toks), window)
+    n_starts = max(len(toks) - window + 1, 1)
+    exp = sum(
+        1 for i in range(n_starts)
+        if all(q in toks[i:i + window] for q in terms)
+    )
+    assert got == exp
