@@ -503,6 +503,20 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive match export (scroll/scan surface,
+    operators/facets.match_export): every OR-matched (qid, docid), no
+    top-k — shuffle-free (segments partition the docid space)."""
+    from jvector_spark.operators.facets import match_export
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, terms) for qid, terms, _ in SORT_QUERY_SET],
+        columns=["qid", "terms"])
+    out = match_export(spark, index_dir, qpdf)
+    return out.select(F.col("qid").cast("long"), F.col("docid").cast("long"))
+
+
 def q_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram aggregation over the match set (ES date_histogram shape,
     operators/facets.attr_histogram): doc-length bins of width 10."""
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_search": q_sorted_search,
         "match_stats": q_match_stats,
         "match_histogram": q_match_histogram,
+        "match_export": q_match_export,
         "suggest_terms": q_suggest_terms,
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
@@ -1557,6 +1572,18 @@ GROUP BY 1
 """
 
 
+def _match_export_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK},
+q(qid, term) AS (VALUES {vals})
+SELECT DISTINCT q.qid::BIGINT AS qid, tokf.doc_id::BIGINT AS docid
+FROM q JOIN tokf USING (term)
+"""
+
+
 def _match_histogram_oracle() -> str:
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
@@ -1805,6 +1832,7 @@ FROM per
         "sorted_search": _sorted_oracle(),
         "match_stats": _match_stats_oracle(),
         "match_histogram": _match_histogram_oracle(),
+        "match_export": _match_export_oracle(),
         "suggest_terms": _suggest_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),

@@ -459,3 +459,59 @@ def attr_histogram(
     partial = paths_df.mapInPandas(run, schema)
     return partial.groupBy("qid", "bin").agg(
         F.sum("n_docs").alias("n_docs"))
+
+
+def match_export(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Exhaustive match export (the scroll/scan surface, and the corpus-
+    filtering op a training-data pipeline runs: "every doc mentioning X"):
+    (qid, docid) for ALL OR-matched docs — no top-k cut, deliberately.
+
+    queries: pandas (qid:int, terms:list[str]). Output size is the true
+    match cardinality; rows flow segment-task -> sink with NO shuffle at
+    all (each docid belongs to exactly one segment, so no global dedup or
+    merge is needed — the result is already disjoint across tasks). At
+    10^12 docs this is the write-straight-to-parquet shape; bound it
+    upstream with doc_filter if the match set must be narrowed."""
+    from jvector_spark.operators.wand import scatter_paths
+    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
+    )
+
+    manifest = load_manifest(index_dir)
+    seg_paths = [s["path"] for s in manifest["segments"]]
+    qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    schema = "qid long, docid long"
+    if not seg_paths:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    b_q = sc.broadcast(qterms)
+    b_tomb = sc.broadcast(tomb)
+    paths_df = scatter_paths(spark, seg_paths, num_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        paths = [p for pdf in batches for p in pdf["path"].tolist()]
+        qt, tomb_l = b_q.value, b_tomb.value
+        probe = sorted({t for ts in qt.values() for t in ts})
+        for path in paths:
+            bloom = load_term_bloom(path)
+            if bloom is not None and probe and not any(
+                bloom_may_contain(bloom, t) for t in probe
+            ):
+                continue
+            reader = SegmentReader(path)
+            accept = (reader.accepted_docids(doc_filter)
+                      if doc_filter else None)
+            for qid, terms in qt.items():
+                d = _matched_docids(reader, terms, tomb_l, accept)
+                if len(d):
+                    yield pd.DataFrame({"qid": np.int64(qid), "docid": d})
+
+    return paths_df.mapInPandas(run, schema)

@@ -226,3 +226,20 @@ def test_attr_histogram_matches_truth(spark, findex, oracle):
         exp = pd.Series(v).value_counts().to_dict()
         g = got[got["qid"] == q.qid].set_index("bin")["n_docs"].to_dict()
         assert g == exp, f"qid={q.qid}"
+
+
+def test_match_export_matches_truth_and_is_shuffle_free(spark, findex,
+                                                        oracle):
+    from jvector_spark.operators.facets import match_export
+
+    qpdf = QUERIES[["qid", "terms"]]
+    df = match_export(spark, findex, qpdf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # disjoint across segments
+    got = df.toPandas()
+    for q in qpdf.itertuples():
+        parts = [oracle.postings[t][0] for t in q.terms
+                 if t in oracle.postings]
+        exp = sorted(np.unique(np.concatenate(parts)).tolist())
+        g = sorted(got[got["qid"] == q.qid]["docid"].tolist())
+        assert g == exp, f"qid={q.qid}"
