@@ -197,6 +197,101 @@ def collapse_topk(
     return paths_df.mapInPandas(run, schema)
 
 
+def _sidecar_attr_best_signv(seg_path: str, attr: str,
+                             sign: int) -> int | None:
+    """Best achievable sign*attr in a segment, from the docs-parquet
+    row-group STATISTICS (metadata-only — no row reads). None = stats
+    unavailable (remote fs, missing column, no stats) -> caller fails
+    open to a full scan. sign=-1 (desc) wants the max; sign=1 the min."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(
+            os.path.join(seg_path, "docs.parquet")).metadata
+        vals = []
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema == attr:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    vals.append(st.max if sign < 0 else st.min)
+        if not vals:
+            return None
+        return int(sign * (max(vals) if sign < 0 else min(vals)))
+    except Exception:
+        return None
+
+
+def sorted_scan_partition(
+    paths: list[str],
+    qterms: dict[int, list[str]],
+    ks: dict[int, int],
+    tombstones: np.ndarray | None,
+    doc_filter: dict | None,
+    attr: str,
+    sign: int,
+    reader_cls=None,
+) -> Iterator[pd.DataFrame]:
+    """One task's sorted-search scan over its segment list, with θ
+    propagation + stats-based segment skip (see sorted_search). Module-
+    level so the skip behavior is directly testable in-process;
+    `reader_cls` lets tests observe which segments actually open."""
+    from jvector_spark.sources.segment import (
+        SegmentReader, bloom_may_contain, load_term_bloom,
+    )
+
+    if reader_cls is None:
+        reader_cls = SegmentReader
+    probe = sorted({t for ts in qterms.values() for t in ts})
+    # kept sign*v values per query across THIS task's segments (the θ
+    # state); θ_q = worst kept value once k are held
+    kept: dict[int, np.ndarray] = {q: np.zeros(0, np.int64) for q in qterms}
+    for path in paths:
+        best_signv = _sidecar_attr_best_signv(path, attr, sign)
+        if best_signv is not None and all(
+            len(kept[q]) >= ks[q] and best_signv > kept[q][-1]
+            for q in qterms
+        ):
+            continue  # no query can improve: metadata-only skip
+        bloom = load_term_bloom(path)
+        if bloom is not None and probe and not any(
+            bloom_may_contain(bloom, t) for t in probe
+        ):
+            continue
+        reader = reader_cls(path)
+        accept = reader.accepted_docids(doc_filter) if doc_filter else None
+        cache: dict = {}
+        for qid, terms in qterms.items():
+            if (best_signv is not None and len(kept[qid]) >= ks[qid]
+                    and best_signv > kept[qid][-1]):
+                continue  # this query is already beyond the segment
+            key = tuple(terms)
+            d = cache.get(key)
+            if d is None:
+                d = cache[key] = _matched_docids(
+                    reader, terms, tombstones, accept)
+            if not len(d):
+                continue
+            if attr == "dl":
+                v = reader.doclen(d).astype(np.int64)
+            else:
+                v = np.asarray(
+                    reader.doc_attribute(attr)[d - reader._min_docid],
+                    dtype=np.int64,
+                )
+            top = np.lexsort((d, sign * v))[: ks[qid]]
+            kept[qid] = np.sort(
+                np.concatenate((kept[qid], sign * v[top]))
+            )[: ks[qid]]
+            yield pd.DataFrame({
+                "qid": np.int64(qid), "docid": d[top],
+                "sort_key": v[top]})
+
+
 def sorted_search(
     spark: SparkSession,
     index_dir: str,
@@ -218,10 +313,16 @@ def sorted_search(
     attribute comes from the doclen array (`attr="dl"`) or one cached
     docs-sidecar column read per (segment, attr). Top-k by attribute is
     mergeable, so partials are cut to k per (segment, query) before the
-    shuffle — the same bounded-merge scale shape as search_index. (A
-    per-segment attr-max skip bound would need segment-level attribute
-    metadata; unlike BM25's block-max, none exists — documented
-    limitation, every matching segment is visited.)"""
+    shuffle — the same bounded-merge scale shape as search_index.
+
+    Segment-skip pruning (the attribute-sort analog of BM25's block-max +
+    θ propagation): each task carries its kept top-k values per query
+    across its segments; a segment whose attribute RANGE — read from the
+    docs-parquet row-group statistics, a metadata-only read, no rows —
+    cannot strictly beat every query's current k-th kept value is never
+    opened (no postings decode, no sidecar row read). Ties process the
+    segment (a tied value with a smaller docid can still win), so the
+    result stays exact. Stats-less sidecars fail open to the full scan."""
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)
     from jvector_spark.plans.merge import load_tombstones
@@ -245,35 +346,8 @@ def sorted_search(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
         (qt, ks_l), tomb_l = b_q.value, b_tomb.value
-        probe = sorted({t for ts in qt.values() for t in ts})
-        for path in paths:
-            bloom = load_term_bloom(path)
-            if bloom is not None and probe and not any(
-                bloom_may_contain(bloom, t) for t in probe
-            ):
-                continue
-            reader = SegmentReader(path)
-            accept = reader.accepted_docids(doc_filter) if doc_filter else None
-            cache: dict = {}
-            for qid, terms in qt.items():
-                key = tuple(terms)
-                d = cache.get(key)
-                if d is None:
-                    d = cache[key] = _matched_docids(
-                        reader, terms, tomb_l, accept)
-                if not len(d):
-                    continue
-                if attr == "dl":
-                    v = reader.doclen(d).astype(np.int64)
-                else:
-                    v = np.asarray(
-                        reader.doc_attribute(attr)[d - reader._min_docid],
-                        dtype=np.int64,
-                    )
-                top = np.lexsort((d, sign * v))[: ks_l[qid]]
-                yield pd.DataFrame({
-                    "qid": np.int64(qid), "docid": d[top],
-                    "sort_key": v[top]})
+        yield from sorted_scan_partition(
+            paths, qt, ks_l, tomb_l, doc_filter, attr, sign)
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, sort_key long")
     if ascending:

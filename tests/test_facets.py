@@ -243,3 +243,50 @@ def test_match_export_matches_truth_and_is_shuffle_free(spark, findex,
         exp = sorted(np.unique(np.concatenate(parts)).tolist())
         g = sorted(got[got["qid"] == q.qid]["docid"].tolist())
         assert g == exp, f"qid={q.qid}"
+
+
+def test_sorted_search_skips_dominated_segments(spark, tmp_path_factory):
+    """θ propagation + parquet-stats range skip: with a descending-dl
+    segment layout, later segments (whose max dl cannot strictly beat the
+    kept top-k) are never OPENED — metadata-only skip; result exact."""
+    import numpy as np
+
+    from jvector_spark.operators.facets import (
+        sorted_scan_partition,
+        sorted_search,
+    )
+    from jvector_spark.sources.segment import SegmentReader, load_manifest
+
+    rows = []
+    for i in range(30):
+        n_tok = 100 - 3 * i  # strictly decreasing doc length with docid
+        rows.append({"repo": "r", "path": f"{i:04d}", "commit": "c",
+                     "lang": "python",
+                     "content": " ".join(["tok"] * n_tok)})
+    pdf = pd.DataFrame(rows)
+    docs = assign_dense_docids(spark.createDataFrame(pdf), num_partitions=3)
+    idx = str(tmp_path_factory.mktemp("idx_sortskip"))
+    build_index(docs, idx, num_segments=3, assume_partitioned=True)
+    paths = [s["path"] for s in load_manifest(idx)["segments"]]
+    assert len(paths) == 3
+
+    opened = []
+
+    class SpyReader(SegmentReader):
+        def __init__(self, path, *a, **kw):
+            opened.append(path)
+            super().__init__(path, *a, **kw)
+
+    out = list(sorted_scan_partition(
+        paths, {0: ["tok"]}, {0: 5}, None, None, "dl", -1,
+        reader_cls=SpyReader))
+    got = pd.concat(out, ignore_index=True)
+    # exactness: the 5 longest docs are docids 0..4 (all in segment 0)
+    assert sorted(got["docid"].tolist()) == [0, 1, 2, 3, 4]
+    assert len(opened) == 1, opened  # segments 1, 2 skipped on stats
+
+    # distributed path stays exact with the skip active
+    q = pd.DataFrame({"qid": [0], "terms": [["tok"]], "k": [5]})
+    dist = sorted_search(spark, idx, q, attr="dl", num_tasks=1,
+                         merge="driver")
+    assert dist["docid"].tolist() == [0, 1, 2, 3, 4]
