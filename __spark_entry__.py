@@ -517,6 +517,19 @@ def q_match_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("qid").cast("long"), F.col("docid").cast("long"))
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits count per query (ES _count endpoint,
+    operators/facets.match_count)."""
+    from jvector_spark.operators.facets import match_count
+
+    index_dir = _ensure_index(spark, sf_dir)
+    qpdf = pd.DataFrame(
+        [(qid, terms) for qid, terms, _ in SORT_QUERY_SET],
+        columns=["qid", "terms"])
+    out = match_count(spark, index_dir, qpdf)
+    return out.select(F.col("qid").cast("long"), F.col("n_docs").cast("long"))
+
+
 def q_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram aggregation over the match set (ES date_histogram shape,
     operators/facets.attr_histogram): doc-length bins of width 10."""
@@ -1047,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stats": q_match_stats,
         "match_histogram": q_match_histogram,
         "match_export": q_match_export,
+        "match_count": q_match_count,
         "suggest_terms": q_suggest_terms,
         "fuzzy_search": q_fuzzy_search,
         "more_like_this": q_more_like_this,
@@ -1584,6 +1598,20 @@ FROM q JOIN tokf USING (term)
 """
 
 
+def _match_count_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
+    )
+    return f"""
+WITH {_TOK},
+q(qid, term) AS (VALUES {vals})
+SELECT q.qid::BIGINT AS qid,
+       count(DISTINCT tokf.doc_id)::BIGINT AS n_docs
+FROM q JOIN tokf USING (term)
+GROUP BY 1
+"""
+
+
 def _match_histogram_oracle() -> str:
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in SORT_QUERY_SET for t in terms
@@ -1833,6 +1861,7 @@ FROM per
         "match_stats": _match_stats_oracle(),
         "match_histogram": _match_histogram_oracle(),
         "match_export": _match_export_oracle(),
+        "match_count": _match_count_oracle(),
         "suggest_terms": _suggest_oracle(),
         "fuzzy_search": _fuzzy_oracle(),
         "more_like_this": _mlt_oracle(),

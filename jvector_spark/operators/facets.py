@@ -589,3 +589,20 @@ def match_export(
                     yield pd.DataFrame({"qid": np.int64(qid), "docid": d})
 
     return paths_df.mapInPandas(run, schema)
+
+
+def match_count(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    num_tasks: int | None = None,
+    doc_filter: dict | None = None,
+) -> DataFrame:
+    """Total-hits count per query (the ES `_count` endpoint): (qid,
+    n_docs) over the OR-match set. Rides match_export's shuffle-free
+    scatter; the count is a Catalyst partial+final aggregate, so the only
+    shuffled rows are |tasks| x |queries| partial counts."""
+    return (
+        match_export(spark, index_dir, queries, num_tasks, doc_filter)
+        .groupBy("qid").agg(F.count("*").alias("n_docs"))
+    )

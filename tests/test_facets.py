@@ -290,3 +290,15 @@ def test_sorted_search_skips_dominated_segments(spark, tmp_path_factory):
     dist = sorted_search(spark, idx, q, attr="dl", num_tasks=1,
                          merge="driver")
     assert dist["docid"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_match_count_matches_truth(spark, findex, oracle):
+    from jvector_spark.operators.facets import match_count
+
+    qpdf = QUERIES[["qid", "terms"]]
+    got = match_count(spark, findex, qpdf).toPandas()
+    for q in qpdf.itertuples():
+        parts = [oracle.postings[t][0] for t in q.terms
+                 if t in oracle.postings]
+        exp = len(np.unique(np.concatenate(parts)))
+        assert got[got["qid"] == q.qid]["n_docs"].iloc[0] == exp
