@@ -89,6 +89,55 @@ class IndexServer:
             {t: df for t in terms if (df := self._df_memo.get(t, 0)) > 0},
         )
 
+    def phrase(self, queries: pd.DataFrame) -> pd.DataFrame:
+        """Exact phrase queries over the warm index: queries(qid,
+        phrase:str, k) -> (qid, rank, docid, n_matches). Local mode runs
+        match_phrase_on_segment over the POOLED readers (block-selective
+        position decode, zero Spark jobs); spark mode delegates to
+        phrase_search(merge="driver")."""
+        import numpy as np
+
+        from jvector_spark.functions.tokenizer import tokenize_series
+        from jvector_spark.operators.phrase import (
+            match_phrase_on_segment, phrase_search)
+        from jvector_spark.plans.merge import load_tombstones
+
+        self._refresh_if_stale()
+        self.requests_served += 1
+        if not self.manifest.get("has_positions"):
+            raise ValueError("index lacks positional payloads "
+                             "(build with positions=True)")
+        if self.mode == "spark":
+            return phrase_search(self.spark, self.index_dir, queries,
+                                 merge="driver")
+        tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
+        mode = self.manifest["tokenizer_mode"]
+        qp = queries.copy()
+        qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
+        outs = []
+        for q in qp.itertuples():
+            ds, ns = [], []
+            for seg in self.manifest["segments"]:
+                reader = self.pool.reader(seg["path"])
+                d, n = match_phrase_on_segment(reader, list(q.terms), tomb)
+                if len(d):
+                    ds.append(d)
+                    ns.append(n)
+            if not ds:
+                continue
+            d = np.concatenate(ds)
+            n = np.concatenate(ns)
+            top = np.lexsort((d, -n))[: int(q.k)]
+            outs.append(pd.DataFrame({
+                "qid": np.int64(q.qid),
+                "rank": np.arange(len(top), dtype=np.int32),
+                "docid": d[top], "n_matches": n[top]}))
+        return (pd.concat(outs, ignore_index=True) if outs else
+                pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                              "rank": pd.Series([], dtype="int32"),
+                              "docid": pd.Series([], dtype="int64"),
+                              "n_matches": pd.Series([], dtype="int64")}))
+
     def suggest(self, queries: dict[int, tuple[str, int]],
                 n: int = 5) -> pd.DataFrame:
         """Spell suggestion over the warm index (fuzzy.suggest_terms):
@@ -150,6 +199,7 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
       {"op": "search", "queries": [{"qid": 0, "terms": [...], "k": 10}, ...],
        "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?,
        "exclude": {"0": [docid, ...]}?}
+      {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
       {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
@@ -190,6 +240,9 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                     mode=req.get("mode", "or"),
                     exclude=excl,
                 )
+                resp = {"ok": True, "results": res.to_dict("records")}
+            elif op == "phrase":
+                res = server.phrase(pd.DataFrame(req["queries"]))
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "suggest":
                 res = server.suggest(

@@ -189,3 +189,27 @@ def test_serve_exclude_and_suggest_ops(spark, served_index, oracle):
     sugg = pd.DataFrame(lines[1]["results"])
     assert lines[1]["ok"] and sugg["qid"].unique().tolist() == [3]
     assert sugg.sort_values("rank")["term"].iloc[0] == "import"
+
+
+def test_serve_phrase_matches_batch(spark, corpus_df, tmp_path_factory):
+    """Warm phrase op (pooled readers, zero Spark jobs in local mode)
+    is rank/count-identical to the batch phrase_search path, in both
+    serve modes, and errors cleanly on a positions-less index."""
+    from jvector_spark.operators.phrase import phrase_search
+
+    idx = str(tmp_path_factory.mktemp("idx_srv_pos"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=4,
+                positions=True)
+    q = pd.DataFrame({"qid": [0, 1], "phrase": ["import os", "def main"],
+                      "k": [8, 8]})
+    exp = phrase_search(spark, idx, q, merge="driver")
+    for mode in ("local", "spark"):
+        got = IndexServer(spark, idx, mode=mode).phrase(q)
+        assert got["docid"].tolist() == exp["docid"].tolist(), mode
+        assert got["n_matches"].tolist() == exp["n_matches"].tolist()
+
+
+def test_serve_phrase_requires_positions(spark, served_index):
+    q = pd.DataFrame({"qid": [0], "phrase": ["import os"], "k": [5]})
+    with pytest.raises(ValueError, match="positional"):
+        IndexServer(spark, served_index, mode="local").phrase(q)
