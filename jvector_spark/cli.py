@@ -176,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--mode", default="local", choices=["local", "spark"],
                     help="local = driver-side pooled segment scoring (zero "
                          "Spark jobs/request); spark = distributed per batch")
+    sv.add_argument("--vectors", default=None,
+                    help="embeddings parquet (vec_id, embedding) to serve "
+                         "warm kNN requests against")
 
     args = p.parse_args(argv)
 
@@ -304,7 +307,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "serve":
             from jvector_spark.serve import IndexServer, serve_loop
 
-            server = IndexServer(spark, args.index, mode=args.mode)
+            server = IndexServer(spark, args.index, mode=args.mode,
+                                 vectors=args.vectors)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)
         elif args.cmd == "compact":

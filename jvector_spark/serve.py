@@ -48,20 +48,67 @@ from jvector_spark.operators.wand import (
 from jvector_spark.sources.segment import load_manifest
 
 
+class VectorPool:
+    """Resident embedding matrix for warm kNN serving — the reference's
+    OWN serving workload (IPCService SEARCH against an in-memory/mmap
+    vector index, IPCService.java:80-87). Loaded once per session; each
+    request is one BLAS matmul + a bounded argpartition. Scores match the
+    Spark brute path's display contract: round(cosine, 6), ties broken by
+    vec_id asc."""
+
+    def __init__(self, parquet_path: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+        import pyarrow.parquet as pq_mod
+
+        tbl = pq_mod.read_table(parquet_path, columns=[id_col, vec_col])
+        self.ids = tbl[id_col].to_numpy().astype(np.int64)
+        mat = np.vstack(
+            tbl[vec_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        order = np.argsort(self.ids, kind="stable")  # id-asc tie-break
+        self.ids, self.mat = self.ids[order], mat[order]
+        self.norms = np.sqrt((self.mat * self.mat).sum(axis=1))
+        self.n, self.dim = self.mat.shape
+
+    def knn(self, qvecs: np.ndarray, k: int) -> pd.DataFrame:
+        """(n_queries, dim) -> (qid, rank, vec_id, score), qid = row
+        index of the query batch."""
+        q = np.asarray(qvecs, dtype=np.float64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        sims = np.round((q @ self.mat.T) / np.outer(qn, self.norms), 6)
+        outs = []
+        for qid in range(len(q)):
+            top = np.lexsort((self.ids, -sims[qid]))[:k]
+            outs.append(pd.DataFrame({
+                "qid": np.int64(qid),
+                "rank": np.arange(len(top), dtype=np.int32),
+                "vec_id": self.ids[top], "score": sims[qid][top]}))
+        return pd.concat(outs, ignore_index=True)
+
+
 class IndexServer:
-    """One warm serving session over one index directory."""
+    """One warm serving session over one index directory (optionally with
+    a resident vector table for kNN requests)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 mode: str = "local") -> None:
+                 mode: str = "local", vectors: str | None = None) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
         self.pool = SearcherPool()
+        self.vectors = VectorPool(vectors) if vectors else None
         self._df_memo: dict[str, int] = {}
         self._load_manifest()
         self.requests_served = 0
+
+    def knn(self, qvecs, k: int = 10) -> pd.DataFrame:
+        if self.vectors is None:
+            raise ValueError(
+                "server started without a vector table (vectors=...)")
+        self.requests_served += 1
+        return self.vectors.knn(np.asarray(qvecs, dtype=np.float64), k)
 
     def _load_manifest(self) -> None:
         self.manifest = load_manifest(self.index_dir)
@@ -200,6 +247,7 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
        "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?,
        "exclude": {"0": [docid, ...]}?}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
+      {"op": "knn", "queries": [[...vec...], ...], "k": 10?}
       {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
@@ -243,6 +291,9 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "phrase":
                 res = server.phrase(pd.DataFrame(req["queries"]))
+                resp = {"ok": True, "results": res.to_dict("records")}
+            elif op == "knn":
+                res = server.knn(req["queries"], k=int(req.get("k", 10)))
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "suggest":
                 res = server.suggest(

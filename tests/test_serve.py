@@ -213,3 +213,34 @@ def test_serve_phrase_requires_positions(spark, served_index):
     q = pd.DataFrame({"qid": [0], "phrase": ["import os"], "k": [5]})
     with pytest.raises(ValueError, match="positional"):
         IndexServer(spark, served_index, mode="local").phrase(q)
+
+
+def test_serve_knn_matches_spark_brute(spark, served_index):
+    """Warm resident-matrix kNN == the Spark brute-force cosine path
+    (round-6 scores, vec_id tie-break) on the driver embeddings table —
+    the reference's own serving workload (vector SEARCH, IPCService)."""
+    from jvector_spark.operators.ann import brute_force_topk
+    from jvector_spark.serve import VectorPool
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    qpdf = emb.orderBy("vec_id").limit(3).toPandas()
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": range(3), "qvec": list(qpdf["embedding"])}))
+    exp = (brute_force_topk(emb, queries, k=8)
+           .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+
+    pool = VectorPool(emb_path)
+    got = pool.knn(np.vstack(qpdf["embedding"].to_numpy()), k=8)
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert np.allclose(got["score"], exp["score"], rtol=0, atol=1e-9)
+
+    server = IndexServer(spark, served_index, mode="local",
+                         vectors=emb_path)
+    via_server = server.knn([list(qpdf["embedding"].iloc[0])], k=8)
+    assert via_server["vec_id"].tolist() == exp[exp["qid"] == 0]["vec_id"].tolist()
+
+
+def test_serve_knn_requires_vectors(spark, served_index):
+    with pytest.raises(ValueError, match="vector table"):
+        IndexServer(spark, served_index, mode="local").knn([[0.0] * 4], 3)
