@@ -179,6 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--vectors", default=None,
                     help="embeddings parquet (vec_id, embedding) to serve "
                          "warm kNN requests against")
+    sv.add_argument("--vector-clusters", type=int, default=None,
+                    help="train an IVF tier over --vectors at load; knn "
+                         "requests may then pass nprobe")
 
     args = p.parse_args(argv)
 
@@ -308,7 +311,8 @@ def main(argv: list[str] | None = None) -> int:
             from jvector_spark.serve import IndexServer, serve_loop
 
             server = IndexServer(spark, args.index, mode=args.mode,
-                                 vectors=args.vectors)
+                                 vectors=args.vectors,
+                                 vector_clusters=args.vector_clusters)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)
         elif args.cmd == "compact":

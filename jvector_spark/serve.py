@@ -57,7 +57,8 @@ class VectorPool:
     vec_id asc."""
 
     def __init__(self, parquet_path: str, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> None:
+                 vec_col: str = "embedding",
+                 n_clusters: int | None = None, seed: int = 42) -> None:
         import pyarrow.parquet as pq_mod
 
         tbl = pq_mod.read_table(parquet_path, columns=[id_col, vec_col])
@@ -69,20 +70,59 @@ class VectorPool:
         self.ids, self.mat = self.ids[order], mat[order]
         self.norms = np.sqrt((self.mat * self.mat).sum(axis=1))
         self.n, self.dim = self.mat.shape
+        # optional IVF tier (the reference's approximate-then-exact core:
+        # probe nearest centroid cells, exact-rerank their members) — at
+        # shard scale the matmul touches nprobe/n_clusters of the matrix
+        self.centroids = self.assign = None
+        if n_clusters and n_clusters > 1:
+            self._train_ivf(min(n_clusters, self.n), seed)
 
-    def knn(self, qvecs: np.ndarray, k: int) -> pd.DataFrame:
+    def _train_ivf(self, n_clusters: int, seed: int,
+                   iters: int = 8) -> None:
+        """Seeded numpy Lloyd on the resident (L2-normalized) matrix —
+        spherical k-means, matching ann.train_centroids' geometry."""
+        rng = np.random.default_rng(seed)
+        unit = self.mat / np.maximum(self.norms[:, None], 1e-12)
+        c = unit[rng.choice(self.n, n_clusters, replace=False)]
+        for _ in range(iters):
+            assign = (unit @ c.T).argmax(axis=1)
+            for j in range(n_clusters):
+                m = assign == j
+                if m.any():
+                    v = unit[m].mean(axis=0)
+                    c[j] = v / max(np.linalg.norm(v), 1e-12)
+        self.centroids = c
+        self.assign = (unit @ c.T).argmax(axis=1)
+        self.cells = [np.flatnonzero(self.assign == j)
+                      for j in range(n_clusters)]
+
+    def knn(self, qvecs: np.ndarray, k: int,
+            nprobe: int | None = None) -> pd.DataFrame:
         """(n_queries, dim) -> (qid, rank, vec_id, score), qid = row
-        index of the query batch."""
+        index of the query batch. nprobe (with an IVF-enabled pool)
+        limits the exact scoring to the members of the nprobe nearest
+        centroid cells — approximate (probe misses possible), scores of
+        returned rows stay exact; nprobe=None or no IVF = exact brute."""
         q = np.asarray(qvecs, dtype=np.float64)
-        qn = np.sqrt((q * q).sum(axis=1))
-        sims = np.round((q @ self.mat.T) / np.outer(qn, self.norms), 6)
+        qn = np.maximum(np.sqrt((q * q).sum(axis=1)), 1e-12)
         outs = []
         for qid in range(len(q)):
-            top = np.lexsort((self.ids, -sims[qid]))[:k]
+            if nprobe is not None and self.centroids is not None:
+                cq = (q[qid] / qn[qid]) @ self.centroids.T
+                probe = np.argsort(-cq, kind="stable")[:nprobe]
+                cand = np.concatenate([self.cells[j] for j in probe])
+                cand.sort()
+            else:
+                cand = slice(None)
+            sub = self.mat[cand]
+            sims = np.round(
+                (sub @ q[qid]) / (qn[qid] * self.norms[cand]), 6)
+            ids = self.ids[cand]
+            top = np.lexsort((ids, -sims))[:k]
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid),
                 "rank": np.arange(len(top), dtype=np.int32),
-                "vec_id": self.ids[top], "score": sims[qid][top]}))
+                "vec_id": ids[top], "score": sims[top]}))
         return pd.concat(outs, ignore_index=True)
 
 
@@ -91,24 +131,29 @@ class IndexServer:
     a resident vector table for kNN requests)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 mode: str = "local", vectors: str | None = None) -> None:
+                 mode: str = "local", vectors: str | None = None,
+                 vector_clusters: int | None = None) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
         self.index_dir = index_dir
         self.mode = mode
         self.pool = SearcherPool()
-        self.vectors = VectorPool(vectors) if vectors else None
+        self.vectors = (
+            VectorPool(vectors, n_clusters=vector_clusters)
+            if vectors else None)
         self._df_memo: dict[str, int] = {}
         self._load_manifest()
         self.requests_served = 0
 
-    def knn(self, qvecs, k: int = 10) -> pd.DataFrame:
+    def knn(self, qvecs, k: int = 10,
+            nprobe: int | None = None) -> pd.DataFrame:
         if self.vectors is None:
             raise ValueError(
                 "server started without a vector table (vectors=...)")
         self.requests_served += 1
-        return self.vectors.knn(np.asarray(qvecs, dtype=np.float64), k)
+        return self.vectors.knn(
+            np.asarray(qvecs, dtype=np.float64), k, nprobe=nprobe)
 
     def _load_manifest(self) -> None:
         self.manifest = load_manifest(self.index_dir)
@@ -247,7 +292,7 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
        "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?,
        "exclude": {"0": [docid, ...]}?}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
-      {"op": "knn", "queries": [[...vec...], ...], "k": 10?}
+      {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?}
       {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
@@ -293,7 +338,9 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 res = server.phrase(pd.DataFrame(req["queries"]))
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "knn":
-                res = server.knn(req["queries"], k=int(req.get("k", 10)))
+                npb = req.get("nprobe")
+                res = server.knn(req["queries"], k=int(req.get("k", 10)),
+                                 nprobe=int(npb) if npb else None)
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "suggest":
                 res = server.suggest(

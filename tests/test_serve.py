@@ -244,3 +244,34 @@ def test_serve_knn_matches_spark_brute(spark, served_index):
 def test_serve_knn_requires_vectors(spark, served_index):
     with pytest.raises(ValueError, match="vector table"):
         IndexServer(spark, served_index, mode="local").knn([[0.0] * 4], 3)
+
+
+def test_vector_pool_ivf_recall_and_full_probe_exactness():
+    """IVF-probed warm kNN: nprobe = n_clusters reproduces the exact
+    brute result EXACTLY (every cell probed); a partial probe keeps
+    recall@10 high on the driver embeddings."""
+    from jvector_spark.serve import VectorPool
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    pool = VectorPool(emb_path, n_clusters=16)
+    rng = np.random.RandomState(5)
+    q = pool.mat[rng.randint(0, pool.n, 20)]
+    exact = pool.knn(q, 10)
+    full_probe = pool.knn(q, 10, nprobe=16)
+    assert full_probe.equals(exact)
+    # the driver embeddings are unstructured (near-random 64-dim), the
+    # hardest case for IVF — measured curve: nprobe 2/4/8/12 -> recall
+    # .38/.59/.80/.96; clustered real data (SIFT, bench --grid) sits at
+    # 0.99+. Pin the half-probe point with slack for seed drift.
+    approx = pool.knn(q, 10, nprobe=8)
+    hits = total = 0
+    for qid in range(20):
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(approx[approx["qid"] == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.7, hits / total
+    # returned scores are exact cosines even under partial probe
+    merged = approx.merge(exact, on=["qid", "vec_id"], how="inner",
+                          suffixes=("", "_e"))
+    assert np.allclose(merged["score"], merged["score_e"], rtol=0, atol=0)
