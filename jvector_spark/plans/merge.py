@@ -573,3 +573,53 @@ def optimize_index(
         spark, index_dir, target_bytes=target_bytes, block_size=block_size,
         vacuum_min_age_sec=vacuum_min_age_sec,
     )
+
+
+def replace_docs(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    mode: str = "code",
+    content_col: str = "content",
+    positions: bool = False,
+) -> dict:
+    """Document UPDATE as the reference's 2-phase delete+insert cycle
+    (GraphIndexBuilder.markNodeDeleted -> addGraphNode, §2.9): tombstone
+    every LIVE doc whose key matches an incoming row, then append the new
+    versions as a micro segment. Old versions become invisible the moment
+    the tombstone file lands; space reclaims at the next compaction.
+
+    At-least-once safe: a retry after any crash point re-tombstones
+    whatever live copy exists (old or the just-appended new one) and
+    re-appends — the index converges to exactly ONE live copy per key.
+    Returns {"replaced": n_tombstoned, "appended": bool}.
+    """
+    from pyspark.sql import functions as F
+
+    from jvector_spark.sources.segment import load_manifest
+    from jvector_spark.streaming.micro_segments import append_micro_segment
+
+    manifest = load_manifest(index_dir)
+    n_replaced = 0
+    if manifest["segments"]:
+        existing = spark.read.parquet(
+            *[os.path.join(s["path"], "docs.parquet")
+              for s in manifest["segments"]]
+        ).select("docid", *key_cols)
+        tomb = set(load_tombstones(index_dir))
+        hits = (
+            existing.join(new_docs.select(*key_cols).distinct(),
+                          on=list(key_cols), how="inner")
+            .select("docid").collect()
+        )
+        doomed = [int(r["docid"]) for r in hits
+                  if int(r["docid"]) not in tomb]
+        if doomed:
+            mark_deleted(index_dir, doomed)
+            n_replaced = len(doomed)
+    append_micro_segment(
+        new_docs, batch_id=-1, index_dir=index_dir, mode=mode,
+        content_col=content_col, key_cols=key_cols, positions=positions,
+    )
+    return {"replaced": n_replaced, "appended": True}

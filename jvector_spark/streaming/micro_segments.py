@@ -135,12 +135,22 @@ def _append_micro_segment_locked(
                 if bloom is None or key_bloom_any(bloom, bh):
                     candidates.append(s)
             if candidates:
+                # LIVE keys only: a tombstoned doc's key must be
+                # re-indexable, or the reference's delete+reinsert /
+                # replace cycle can never re-add a document
+                from jvector_spark.plans.merge import load_tombstones
+
                 existing = spark.read.parquet(
                     *[os.path.join(s["path"], "docs.parquet")
                       for s in candidates]
-                ).select(*key_cols)
-                batch_df = batch_df.join(existing, on=list(key_cols),
-                                         how="left_anti")
+                ).select("docid", *key_cols)
+                tomb = load_tombstones(index_dir)
+                if tomb:
+                    existing = existing.where(
+                        ~F.col("docid").isin([int(t) for t in tomb]))
+                batch_df = batch_df.join(
+                    existing.select(*key_cols), on=list(key_cols),
+                    how="left_anti")
                 if batch_df.rdd.isEmpty():
                     return
 

@@ -1,0 +1,92 @@
+"""Document update as the 2-phase delete+insert cycle (markNodeDeleted ->
+addGraphNode, SURVEY §2.9) — plans.merge.replace_docs — plus the
+regression this work uncovered: the append dedup must consult LIVE keys
+only, or a deleted doc's key can never be re-indexed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.ids import assign_dense_docids
+from jvector_spark.operators.wand import search_index
+from jvector_spark.plans.merge import load_tombstones, mark_deleted, replace_docs
+from jvector_spark.sources.segment import build_index, load_manifest
+from jvector_spark.streaming.micro_segments import append_micro_segment
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _base_rows(n=20):
+    return [
+        {"repo": "r", "path": f"{i:03d}", "commit": "c0", "lang": "python",
+         "content": f"alpha token{i} shared"}
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_replace"))
+    docs = assign_dense_docids(_mk(spark, _base_rows()).repartition(2))
+    build_index(docs, d, num_segments=2)
+    return d
+
+
+def _live_count(spark, idx, term):
+    res = search_index(
+        spark, idx,
+        pd.DataFrame({"qid": [0], "terms": [[term]], "k": [100]}),
+        merge="driver")
+    return len(res)
+
+
+def test_deleted_key_is_reindexable(spark, idx):
+    """Regression: delete doc -> append a batch containing the same key
+    -> the doc must come back (dedup ignores tombstoned copies)."""
+    assert _live_count(spark, idx, "token5") == 1
+    mark_deleted(idx, [5])
+    assert _live_count(spark, idx, "token5") == 0
+    batch = _mk(spark, [r for r in _base_rows() if r["path"] == "005"])
+    append_micro_segment(batch, batch_id=1, index_dir=idx)
+    assert _live_count(spark, idx, "token5") == 1
+
+
+def test_replace_updates_content(spark, idx):
+    """replace_docs: old version invisible, new content searchable,
+    exactly one live copy of the key."""
+    new = _mk(spark, [{
+        "repo": "r", "path": "003", "commit": "c0", "lang": "python",
+        "content": "alpha zz_updated_token shared",
+    }])
+    out = replace_docs(spark, idx, new)
+    assert out["replaced"] == 1
+    assert _live_count(spark, idx, "token3") == 0       # old gone
+    assert _live_count(spark, idx, "zz_updated_token") == 1  # new live
+    assert _live_count(spark, idx, "alpha") == 20       # still one per key
+
+
+def test_replace_is_idempotent(spark, idx):
+    new = _mk(spark, [{
+        "repo": "r", "path": "007", "commit": "c0", "lang": "python",
+        "content": "alpha zz_v2 shared",
+    }])
+    replace_docs(spark, idx, new)
+    replace_docs(spark, idx, new)  # at-least-once retry
+    assert _live_count(spark, idx, "zz_v2") == 1
+    assert _live_count(spark, idx, "token7") == 0
+    assert _live_count(spark, idx, "alpha") == 20
+
+
+def test_replace_new_key_is_plain_insert(spark, idx):
+    new = _mk(spark, [{
+        "repo": "r", "path": "999", "commit": "c0", "lang": "python",
+        "content": "alpha zz_brand_new shared",
+    }])
+    out = replace_docs(spark, idx, new)
+    assert out["replaced"] == 0
+    assert _live_count(spark, idx, "zz_brand_new") == 1
+    assert _live_count(spark, idx, "alpha") == 21
