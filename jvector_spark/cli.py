@@ -156,6 +156,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--docids", required=True, help="comma-separated docids")
 
+    rp = sub.add_parser(
+        "replace", help="upsert: tombstone live docs matching the input's "
+                        "keys, append the new versions (2-phase update)")
+    rp.add_argument("--index", required=True)
+    rp.add_argument("--input", required=True, help="parquet of new versions")
+    rp.add_argument("--mode", default="code", choices=["code", "simple"])
+    rp.add_argument("--content-col", default="content")
+    rp.add_argument("--key-cols", default="repo,path,commit")
+    rp.add_argument("--positions", action="store_true")
+
     m = sub.add_parser("metrics")
     m.add_argument("--index", required=True)
 
@@ -276,6 +286,15 @@ def main(argv: list[str] | None = None) -> int:
             res = proximity_search(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
+        elif args.cmd == "replace":
+            from jvector_spark.plans.merge import replace_docs
+
+            out = replace_docs(
+                spark, args.index, spark.read.parquet(args.input),
+                key_cols=tuple(args.key_cols.split(",")), mode=args.mode,
+                content_col=args.content_col, positions=args.positions,
+            )
+            print(json.dumps(out))
         elif args.cmd == "mlt":
             from jvector_spark.operators.mlt import more_like_this
 
