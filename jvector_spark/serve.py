@@ -230,6 +230,28 @@ class IndexServer:
                               "docid": pd.Series([], dtype="int64"),
                               "n_matches": pd.Series([], dtype="int64")}))
 
+    def delete(self, docids: list[int]) -> dict:
+        """Phase-1 delete through the warm session (tombstones visible to
+        the very next request — the loop re-reads them per search)."""
+        from jvector_spark.plans.merge import mark_deleted
+
+        self.requests_served += 1
+        tomb = mark_deleted(self.index_dir, [int(d) for d in docids])
+        return {"tombstones": len(tomb)}
+
+    def replace(self, docs: list[dict], **kw) -> dict:
+        """2-phase upsert through the warm session (plans.merge
+        .replace_docs); the manifest bump triggers the pool refresh on
+        the next request, so new segments serve immediately."""
+        from jvector_spark.plans.merge import replace_docs
+
+        self.requests_served += 1
+        out = replace_docs(
+            self.spark, self.index_dir,
+            self.spark.createDataFrame(pd.DataFrame(docs)), **kw)
+        self._refresh_if_stale()
+        return out
+
     def suggest(self, queries: dict[int, tuple[str, int]],
                 n: int = 5) -> pd.DataFrame:
         """Spell suggestion over the warm index (fuzzy.suggest_terms):
@@ -293,6 +315,8 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
        "exclude": {"0": [docid, ...]}?}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
       {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?}
+      {"op": "delete", "docids": [3, 17, ...]}
+      {"op": "replace", "docs": [{...row...}, ...]}   # 2-phase upsert
       {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
@@ -342,6 +366,10 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 res = server.knn(req["queries"], k=int(req.get("k", 10)),
                                  nprobe=int(npb) if npb else None)
                 resp = {"ok": True, "results": res.to_dict("records")}
+            elif op == "delete":
+                resp = {"ok": True, **server.delete(req["docids"])}
+            elif op == "replace":
+                resp = {"ok": True, **server.replace(req["docs"])}
             elif op == "suggest":
                 res = server.suggest(
                     {int(q): (str(t), int(d))

@@ -275,3 +275,37 @@ def test_vector_pool_ivf_recall_and_full_probe_exactness():
     merged = approx.merge(exact, on=["qid", "vec_id"], how="inner",
                           suffixes=("", "_e"))
     assert np.allclose(merged["score"], merged["score_e"], rtol=0, atol=0)
+
+
+def test_serve_crud_ops(spark, corpus_df, corpus_pdf, tmp_path_factory):
+    """CRUD through one warm session (IPCService WRITE/DELETE analog):
+    delete is visible to the next search; replace swaps the doc's content
+    in place, and the pool refreshes on the manifest bump."""
+    idx = str(tmp_path_factory.mktemp("idx_srv_crud"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    server = IndexServer(spark, idx, mode="local")
+    keyed = corpus_pdf.sort_values(
+        ["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
+    term = keyed.loc[4, "content"].split()[0]
+
+    def hits(t):
+        return len(server.search(pd.DataFrame(
+            {"qid": [0], "terms": [[t]], "k": [500]})))
+
+    before = hits(term)
+    reqs = [
+        {"op": "delete", "docids": [4]},
+        {"op": "replace", "docs": [{
+            "repo": keyed.loc[7, "repo"], "path": keyed.loc[7, "path"],
+            "commit": keyed.loc[7, "commit"], "lang": keyed.loc[7, "lang"],
+            "content": "zz_srv_replaced marker"}]},
+        {"op": "quit"},
+    ]
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    out = io.StringIO()
+    serve_loop(server, inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert lines[0]["ok"] and lines[0]["tombstones"] >= 1
+    assert lines[1]["ok"] and lines[1]["replaced"] == 1
+    assert hits("zz_srv_replaced") == 1       # new version serves warm
+    assert hits(term) <= before - (1 if term in keyed.loc[4, "content"] else 0)
