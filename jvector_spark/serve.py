@@ -48,6 +48,12 @@ from jvector_spark.operators.wand import (
 from jvector_spark.sources.segment import load_manifest
 
 
+def _filter_cache_key(doc_filter: dict | None):
+    from jvector_spark.operators.wand import _filter_key
+
+    return _filter_key(doc_filter) if doc_filter else None
+
+
 class VectorPool:
     """Resident embedding matrix for warm kNN serving — the reference's
     OWN serving workload (IPCService SEARCH against an in-memory/mmap
@@ -143,6 +149,16 @@ class IndexServer:
             VectorPool(vectors, n_clusters=vector_clusters)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
+        # bounded result cache, GENERATION-scoped: identical (queries,
+        # filter, floor, mode, exclude) requests within one manifest
+        # generation return the memoized frame; any append/compaction/
+        # delete invalidates it wholesale via _refresh_if_stale. Deletes
+        # bump no manifest, so delete() clears it explicitly.
+        from collections import OrderedDict
+
+        self._result_cache: "OrderedDict[tuple, pd.DataFrame]" = OrderedDict()
+        self.result_cache_cap = 1024
+        self.cache_hits = 0
         self._load_manifest()
         self.requests_served = 0
 
@@ -168,6 +184,19 @@ class IndexServer:
             self._load_manifest()
             self.pool.reset()
             self._df_memo.clear()
+            self._result_cache.clear()
+
+    def _tomb_stamp(self) -> float:
+        """Tombstone-file mtime — part of every result-cache key, so a
+        delete issued by ANY process (not just this server) invalidates
+        cached results without a manifest bump."""
+        from jvector_spark.plans.merge import TOMBSTONES_FILE
+
+        try:
+            return os.path.getmtime(
+                os.path.join(self.index_dir, TOMBSTONES_FILE))
+        except OSError:
+            return 0.0
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         missing = [t for t in terms if t not in self._df_memo]
@@ -269,29 +298,51 @@ class IndexServer:
         """queries(qid, terms, k) -> (qid, rank, docid, score) pandas —
         rank-identical to wand.search_index on the same index.
         `exclude` ({qid: [docids]}) is the per-query self-exclusion mask
-        (more-like-this style requests)."""
+        (more-like-this style requests). Results memoize in a bounded
+        generation-scoped LRU (repeat requests are free; any index
+        mutation — manifest bump or tombstone write, from ANY process —
+        invalidates)."""
         self._refresh_if_stale()
         self.requests_served += 1
-        if self.mode == "spark":
-            return search_index(self.spark, self.index_dir, queries,
-                                exclude=exclude,
-                                doc_filter=doc_filter, min_score=min_score,
-                                merge="driver", mode=mode)
-        from jvector_spark.plans.merge import load_tombstones
-
-        seg_paths = [s["path"] for s in self.manifest["segments"]]
-        all_terms = sorted({t for ts in queries["terms"] for t in ts})
-        idfs = self._idfs(all_terms)
-        tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
-        out = search_partition(
-            seg_paths, queries[["qid", "terms", "k"]], idfs,
-            self.manifest["avgdl"], tomb, doc_filter, min_score,
-            mode=mode, pool=self.pool, exclude=exclude,
+        key = (
+            tuple((int(q.qid), tuple(q.terms), int(q.k))
+                  for q in queries.itertuples()),
+            _filter_cache_key(doc_filter), float(min_score), mode,
+            tuple(sorted((int(q), tuple(int(x) for x in np.asarray(d)))
+                         for q, d in (exclude or {}).items())),
+            self._tomb_stamp(),
         )
-        # search_partition's _TopK output is already globally merged and
-        # rank-ordered (score desc, docid asc) per query
-        out["rank"] = out.groupby("qid").cumcount().astype("int32")
-        return out[["qid", "rank", "docid", "score"]]
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            self.cache_hits += 1
+            return hit.copy()
+        if self.mode == "spark":
+            out = search_index(self.spark, self.index_dir, queries,
+                               exclude=exclude,
+                               doc_filter=doc_filter, min_score=min_score,
+                               merge="driver", mode=mode)
+        else:
+            from jvector_spark.plans.merge import load_tombstones
+
+            seg_paths = [s["path"] for s in self.manifest["segments"]]
+            all_terms = sorted({t for ts in queries["terms"] for t in ts})
+            idfs = self._idfs(all_terms)
+            tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
+            out = search_partition(
+                seg_paths, queries[["qid", "terms", "k"]], idfs,
+                self.manifest["avgdl"], tomb, doc_filter, min_score,
+                mode=mode, pool=self.pool, exclude=exclude,
+            )
+            # search_partition's _TopK output is already globally merged
+            # and rank-ordered (score desc, docid asc) per query
+            out["rank"] = out.groupby("qid").cumcount().astype("int32")
+            out = out[["qid", "rank", "docid", "score"]]
+        self._result_cache[key] = out
+        self._result_cache.move_to_end(key)
+        while len(self._result_cache) > self.result_cache_cap:
+            self._result_cache.popitem(last=False)
+        return out.copy()
 
     def stats(self) -> dict:
         return {
@@ -302,6 +353,8 @@ class IndexServer:
             "docid_epoch": int(self.manifest.get("docid_epoch", 0)),
             "pooled_readers": len(self.pool.readers),
             "requests_served": self.requests_served,
+            "result_cache_entries": len(self._result_cache),
+            "result_cache_hits": self.cache_hits,
         }
 
 

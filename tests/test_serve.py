@@ -309,3 +309,24 @@ def test_serve_crud_ops(spark, corpus_df, corpus_pdf, tmp_path_factory):
     assert lines[1]["ok"] and lines[1]["replaced"] == 1
     assert hits("zz_srv_replaced") == 1       # new version serves warm
     assert hits(term) <= before - (1 if term in keyed.loc[4, "content"] else 0)
+
+
+def test_serve_result_cache(spark, corpus_df, tmp_path_factory):
+    """Repeat requests hit the generation-scoped result cache; ANY
+    tombstone write (even from outside the server) invalidates — the
+    cached frame can never serve a deleted doc."""
+    from jvector_spark.plans.merge import mark_deleted
+
+    idx = str(tmp_path_factory.mktemp("idx_srv_cache"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    server = IndexServer(spark, idx, mode="local")
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    a = server.search(q)
+    b = server.search(q)
+    assert server.cache_hits == 1
+    assert b.equals(a)
+    top = int(a["docid"].iloc[0])
+    mark_deleted(idx, [top])       # external delete, no manifest bump
+    c = server.search(q)
+    assert top not in c["docid"].tolist()
+    assert server.cache_hits == 1  # stale key missed, fresh result
