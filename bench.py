@@ -123,6 +123,24 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
         entry.q_quality_score(spark, sf_dir).toPandas(),
         entry.q_doc_fingerprint(spark, sf_dir).toPandas()))
 
+    # 7. warm serving throughput (pooled searchers, zero Spark jobs per
+    # request — the user-reachable `cli serve` path). Derived metric
+    # only; not part of the suite total.
+    from jvector_spark.serve import IndexServer
+
+    server = IndexServer(spark, index_dir, mode="local")
+    batch = queries.head(4).copy()
+    server.search(batch)  # warm pool
+    server._result_cache.clear()
+    t0 = time.time()
+    n_batches = 25
+    for i in range(n_batches):
+        b = batch.copy()
+        b["qid"] = b["qid"] + i * 100  # distinct keys: no result-cache hits
+        server.search(b)
+    dt = time.time() - t0
+    times["_serve_warm_qps"] = round(4 * n_batches / dt, 1)
+
     return times
 
 
