@@ -783,3 +783,57 @@ def search_index(
     partial = paths_df.mapInPandas(run, "qid long, docid long, score double")
     ks = {int(q.qid): int(q.k) for q in queries.itertuples()}
     return merge_topk(partial, ks, "score", merge)
+
+
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    docid: int,
+) -> dict:
+    """Score EXPLAIN for one (query, doc) — the Lucene Explanation API
+    analog: per-term (tf, df, idf, tf_norm, contribution) plus the exact
+    float64 total, summed in the engine's canonical sorted-term order so
+    `total` is bit-identical to the score search_index returns for the
+    same doc. Serving-sized driver work: one segment lookup by docid
+    range, block-selective postings decode per term."""
+    from jvector_spark.plans.merge import load_tombstones
+
+    manifest = load_manifest(index_dir)
+    docid = int(docid)
+    if docid in set(load_tombstones(index_dir)):
+        return {"docid": docid, "deleted": True, "terms": {}, "total": 0.0}
+    seg = next(
+        (s for s in manifest["segments"]
+         if s["min_docid"] <= docid <= s["max_docid"]), None)
+    if seg is None:
+        raise KeyError(f"docid {docid} not in any segment of {index_dir}")
+    reader = SegmentReader(seg["path"])
+    uniq = sorted({t for t in terms})
+    dfm = global_term_stats(spark, index_dir, uniq)
+    idfs = idf_map(manifest["n_docs"], dfm)
+    dl = float(reader.doclen(np.array([docid], dtype=np.int64))[0])
+    out: dict = {"docid": docid, "deleted": False, "dl": dl,
+                 "avgdl": manifest["avgdl"], "terms": {}}
+    total = 0.0
+    for t in uniq:  # canonical order = exact summation-order parity
+        if t not in idfs or not reader.has_term(t):
+            out["terms"][t] = {"tf": 0, "df": dfm.get(t, 0),
+                               "contribution": 0.0}
+            continue
+        d, tf = reader.decode_term(t)
+        pos = np.searchsorted(d, docid)
+        if pos >= len(d) or d[pos] != docid:
+            out["terms"][t] = {"tf": 0, "df": dfm[t], "contribution": 0.0}
+            continue
+        tfv = float(tf[pos])
+        norm = float(_tf_norm(np.array([tfv]), np.array([dl]),
+                              manifest["avgdl"])[0])
+        contrib = idfs[t] * norm
+        out["terms"][t] = {
+            "tf": int(tfv), "df": int(dfm[t]),
+            "idf": idfs[t], "tf_norm": norm, "contribution": contrib,
+        }
+        total += contrib
+    out["total"] = total
+    return out

@@ -328,3 +328,31 @@ def test_bloom_prefilter_skips_segments(spark, corpus_pdf, tmp_path_factory):
     m = read_metrics(acc)[0]
     assert m.get("segments_bloom_skipped", 0) >= 4, m
     assert m.get("segments_visited", 0) <= 2, m
+
+
+def test_explain_score_matches_search(spark, index, oracle, queries_pdf):
+    """Explain totals are BIT-identical to searched scores (same sorted-
+    term summation order); OOV terms contribute exactly 0."""
+    from jvector_spark.operators.wand import explain_score, search_index
+
+    idx, _ = index
+    qpdf = queries_pdf.head(5)
+    res = search_index(spark, idx, qpdf, merge="driver")
+    checked = 0
+    for q in qpdf.itertuples():
+        got = res[res["qid"] == q.qid].head(3)
+        for row in got.itertuples():
+            ex = explain_score(spark, idx, list(q.terms), row.docid)
+            assert ex["total"] == row.score, (q.qid, row.docid)
+            assert not ex["deleted"]
+            contrib_sum = 0.0
+            for t in sorted(set(q.terms)):
+                contrib_sum += ex["terms"][t]["contribution"]
+            assert contrib_sum == ex["total"]
+            checked += 1
+    assert checked >= 5
+    # OOV term explains to zero contribution, total unchanged
+    q0 = qpdf.iloc[0]
+    d0 = int(res[res["qid"] == q0.qid]["docid"].iloc[0])
+    ex = explain_score(spark, idx, list(q0.terms) + ["zz_oov"], d0)
+    assert ex["terms"]["zz_oov"]["contribution"] == 0.0
