@@ -38,29 +38,128 @@ from pyspark.sql import functions as F
 from jvector_spark.sources.segment import SegmentReader, load_manifest
 
 
+#: above this many term_stats.parquet bytes the driver stops scanning the
+#: vocabulary itself and expands patterns as a Spark job (collect bounded
+#: by Q * max_terms rows, never the vocabulary)
+DRIVER_VOCAB_BUDGET_BYTES = 256 << 20
+
+
+def _select_expansions(
+    hits: dict[int, tuple[list[np.ndarray], list[np.ndarray]]],
+    max_terms: int,
+) -> dict[int, list[str]]:
+    """(df chunks, term chunks) per key -> capped, sorted term lists.
+    Cap keeps the highest-df terms (tie-break: term asc) — vectorized
+    lexsort, no per-term Python."""
+    out: dict[int, list[str]] = {}
+    for key, (dfs, terms) in hits.items():
+        if not terms:
+            out[key] = []
+            continue
+        t = np.concatenate(terms)
+        if len(t) > max_terms:
+            d = np.concatenate(dfs)
+            keep = np.lexsort((t, -d))[:max_terms]
+            t = t[keep]
+        t.sort()
+        out[key] = t.tolist()
+    return out
+
+
 def expand_patterns(
-    index_dir: str, patterns: dict[int, str], max_terms: int = 10000
+    index_dir: str,
+    patterns: dict[int, str],
+    max_terms: int = 10000,
+    spark: SparkSession | None = None,
+    driver_budget_bytes: int = DRIVER_VOCAB_BUDGET_BYTES,
 ) -> dict[int, list[str]]:
     """{key: pattern} -> {key: matching dictionary terms} in ONE scan of
-    term_stats.parquet: every pattern compiles up front and each Arrow
-    batch is matched against all of them, so Q queries cost one vocabulary
-    pass, not Q. Expansions exceeding max_terms keep the highest-df terms
-    (deterministic tie-break on the term string)."""
+    term_stats.parquet: each Arrow batch is matched against all patterns,
+    so Q queries cost one vocabulary pass, not Q. Matching runs in
+    Arrow's RE2 kernel (`pc.match_substring_regex`, a C++ loop over the
+    whole batch — no per-term Python), falling back to python `re` per
+    batch only for non-RE2 constructs (backrefs/lookaround). Expansions
+    exceeding max_terms keep the highest-df terms (deterministic
+    tie-break on the term string).
+
+    Above `driver_budget_bytes` of vocabulary (and given a `spark`
+    session), expansion runs DISTRIBUTED instead: parquet scan + `rlike`
+    filter + per-pattern bounded top-(max_terms) — the driver never
+    materializes the dictionary, only the capped expansions (the
+    hierarchy-descent hot tier at 10^8+ distinct terms)."""
     path = os.path.join(index_dir, "term_stats.parquet")
+    if spark is not None and os.path.getsize(path) > driver_budget_bytes:
+        return _expand_patterns_distributed(spark, path, patterns, max_terms)
+    import pyarrow.compute as pc
+
+    # pre-compile python twins once: they validate the pattern up front
+    # and serve as the non-RE2 fallback
     rxs = {key: re.compile(p) for key, p in patterns.items()}
-    hits: dict[int, list[tuple[int, str]]] = {key: [] for key in patterns}
+    hits: dict[int, tuple[list, list]] = {k: ([], []) for k in patterns}
+    re2_ok: dict[int, bool] = {k: True for k in patterns}
     for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
-        terms = batch.column("term").to_pylist()
-        dfs = batch.column("df").to_pylist()
-        for key, rx in rxs.items():
-            hits[key].extend(
-                (d, t) for t, d in zip(terms, dfs) if rx.search(t))
-    out: dict[int, list[str]] = {}
-    for key, h in hits.items():
-        if len(h) > max_terms:
-            h.sort(key=lambda x: (-x[0], x[1]))
-            h = h[:max_terms]
-        out[key] = sorted(t for _, t in h)
+        terms = batch.column("term")
+        np_terms = np_dfs = None  # lazy: only built on the fallback path
+        for key, pat in patterns.items():
+            mask = None
+            if re2_ok[key]:
+                try:
+                    mask = pc.match_substring_regex(terms, pat)
+                except Exception:
+                    re2_ok[key] = False  # non-RE2 syntax: python per batch
+            if mask is not None:
+                if not pc.any(mask).as_py():
+                    continue
+                sel_t = pc.filter(terms, mask).to_numpy(zero_copy_only=False)
+                sel_d = pc.filter(batch.column("df"), mask).to_numpy(
+                    zero_copy_only=False)
+            else:
+                if np_terms is None:
+                    np_terms = terms.to_numpy(zero_copy_only=False)
+                    np_dfs = batch.column("df").to_numpy(
+                        zero_copy_only=False)
+                rx = rxs[key]
+                m = np.fromiter((rx.search(t) is not None
+                                 for t in np_terms),
+                                dtype=bool, count=len(np_terms))
+                if not m.any():
+                    continue
+                sel_t, sel_d = np_terms[m], np_dfs[m]
+            hits[key][0].append(sel_d)
+            hits[key][1].append(sel_t)
+    return _select_expansions(hits, max_terms)
+
+
+def _expand_patterns_distributed(
+    spark: SparkSession, stats_path: str,
+    patterns: dict[int, str], max_terms: int,
+) -> dict[int, list[str]]:
+    """Vocabulary-scale expansion as one Spark job: every pattern filters
+    the same parquet scan (`rlike` = Java regex, unanchored find — same
+    search semantics as re.search / RE2), a per-pattern window keeps the
+    top max_terms by (df desc, term asc), and only the capped result is
+    collected."""
+    from functools import reduce
+
+    vocab = spark.read.parquet(stats_path).select("term", "df")
+    parts = [
+        vocab.where(F.col("term").rlike(pat))
+             .select(F.lit(int(key)).alias("key"), "term", "df")
+        for key, pat in patterns.items()
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("key").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_terms)
+        .select("key", "term")
+        .collect()
+    )
+    out: dict[int, list[str]] = {key: [] for key in patterns}
+    for r in rows:
+        out[r["key"]].append(r["term"])
+    for key in out:
+        out[key].sort()
     return out
 
 
@@ -90,6 +189,7 @@ def regex_token_topk(
         index_dir,
         {int(q.qid): str(q.pattern) for q in queries.itertuples()},
         max_terms,
+        spark=spark,
     )
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)

@@ -116,6 +116,39 @@ def _manifest_epoch(index_dir: str) -> int:
         return 0
 
 
+class _tombstone_lock:
+    """Serializes ALL writers of tombstones.json within and across
+    processes on one host (fcntl.flock on a sibling lock file). Without
+    it, compact_in_place's late-delete carry-over (read snapshot ->
+    translate -> os.replace) races a concurrent mark_deleted: a delete
+    acked between the re-read and the replace is clobbered, silently
+    resurrecting the doc. Reads stay lock-free (os.replace is atomic)."""
+
+    def __init__(self, index_dir: str) -> None:
+        self._path = os.path.join(index_dir, TOMBSTONES_FILE + ".lock")
+        self._f = None
+
+    def __enter__(self):
+        self._f = open(self._path, "a")
+        try:
+            import fcntl
+
+            fcntl.flock(self._f, fcntl.LOCK_EX)
+        except ImportError:  # non-posix: single-writer discipline applies
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            import fcntl
+
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+        except ImportError:
+            pass
+        self._f.close()
+        return False
+
+
 def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
     """Phase-1 delete: record tombstones in the index manifest dir
     (markNodeDeleted analog). Queries must exclude these immediately;
@@ -129,13 +162,14 @@ def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
     between the flip and the tombstone-file removal leaves stale-epoch
     tombstones that every reader ignores."""
     path = os.path.join(index_dir, TOMBSTONES_FILE)
-    cur: set[int] = set(load_tombstones(index_dir))
-    cur.update(int(d) for d in docids)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"docid_epoch": _manifest_epoch(index_dir),
-                   "docids": sorted(cur)}, f)
-    os.replace(tmp, path)
+    with _tombstone_lock(index_dir):
+        cur: set[int] = set(load_tombstones(index_dir))
+        cur.update(int(d) for d in docids)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"docid_epoch": _manifest_epoch(index_dir),
+                       "docids": sorted(cur)}, f)
+        os.replace(tmp, path)
     return sorted(cur)
 
 
@@ -337,42 +371,51 @@ def compact_in_place(
         release_lease(lease)
         raise
     mode = load_manifest(gen)["tokenizer_mode"]
-    # flip the PARENT manifest to the new generation's segments (paths are
-    # absolute). The epoch bump makes the flip atomic w.r.t. deletes: the
-    # old tombstones carry the old epoch and every reader ignores them the
-    # instant the new manifest lands (no wrong-results window at any crash
-    # point).
-    write_index_manifest(index_dir, manifest, mode,
-                         docid_epoch=old_epoch + 1)
-    # Late-delete carry-over: diff the file against the snapshot and
-    # translate survivors through the compaction's docid_map into the new
-    # epoch, instead of unconditionally removing the file.
-    cur_epoch, cur = _read_raw_tombstones(index_dir)
+    # The tombstone lock covers the manifest flip AND the late-delete
+    # carry-over as one critical section against concurrent mark_deleted
+    # (user-reachable via the warm serve 'delete' op). Without it, (a) a
+    # delete acked between the carry-over's re-read and its os.replace is
+    # clobbered, and (b) a post-flip delete that wins the race rewrites
+    # the file under the NEW epoch before pre-flip late deletes are
+    # translated, dropping them — either way silently resurrecting docs.
     tomb = os.path.join(index_dir, TOMBSTONES_FILE)
-    if cur_epoch == old_epoch:
-        late_old = cur - snap if snap_epoch == old_epoch else cur
-        if late_old:
-            import glob as _glob
+    with _tombstone_lock(index_dir):
+        # flip the PARENT manifest to the new generation's segments (paths
+        # are absolute). The epoch bump makes the flip atomic w.r.t.
+        # deletes: the old tombstones carry the old epoch and every reader
+        # ignores them the instant the new manifest lands (no
+        # wrong-results window at any crash point).
+        write_index_manifest(index_dir, manifest, mode,
+                             docid_epoch=old_epoch + 1)
+        # Late-delete carry-over: diff the file against the snapshot and
+        # translate survivors through the compaction's docid_map into the
+        # new epoch, instead of unconditionally removing the file.
+        cur_epoch, cur = _read_raw_tombstones(index_dir)
+        if cur_epoch == old_epoch:
+            late_old = cur - snap if snap_epoch == old_epoch else cur
+            if late_old:
+                import glob as _glob
 
-            maps = sorted(
-                _glob.glob(os.path.join(gen, "docid_map", "*.parquet")))
-            remap: dict[int, int] = {}
-            for mp in maps:
-                t = pq.read_table(mp, columns=["old_docid", "new_docid"])
-                remap.update(zip(t["old_docid"].to_pylist(),
-                                 t["new_docid"].to_pylist()))
-            translated = sorted(remap[d] for d in late_old if d in remap)
-            tmp = tomb + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"docid_epoch": old_epoch + 1,
-                           "docids": translated}, f)
-            os.replace(tmp, tomb)
+                maps = sorted(
+                    _glob.glob(os.path.join(gen, "docid_map", "*.parquet")))
+                remap: dict[int, int] = {}
+                for mp in maps:
+                    t = pq.read_table(mp, columns=["old_docid", "new_docid"])
+                    remap.update(zip(t["old_docid"].to_pylist(),
+                                     t["new_docid"].to_pylist()))
+                translated = sorted(
+                    remap[d] for d in late_old if d in remap)
+                tmp = tomb + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"docid_epoch": old_epoch + 1,
+                               "docids": translated}, f)
+                os.replace(tmp, tomb)
+            elif os.path.exists(tomb):
+                os.remove(tomb)  # fully-purged snapshot: pure GC
+        elif cur_epoch == old_epoch + 1:
+            pass  # a post-flip mark already rewrote it under the new epoch
         elif os.path.exists(tomb):
-            os.remove(tomb)  # fully-purged snapshot: pure GC
-    elif cur_epoch == old_epoch + 1:
-        pass  # a post-flip mark already rewrote the file under the new epoch
-    elif os.path.exists(tomb):
-        os.remove(tomb)  # stale older-epoch leftovers: GC
+            os.remove(tomb)  # stale older-epoch leftovers: GC
     release_lease(lease)  # manifest flipped: the gen dir is now live
     if vacuum_after:
         vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
@@ -558,9 +601,13 @@ def optimize_index(
       * tombstones, if any, are purged as a side effect (it IS a
         compaction underneath — same atomic generation-flip machinery).
 
-    Results are rank- and score-identical before/after: the pass changes
-    bytes, not semantics (the refine-must-not-change-ranks contract the
-    reference's rank-identical mode imposes on refinement).
+    Results are rank- and score-identical before/after ON AN INDEX WITH
+    NO PENDING TOMBSTONES: the pass then changes bytes, not semantics
+    (the refine-must-not-change-ranks contract the reference's
+    rank-identical mode imposes on refinement). When tombstones exist
+    they are purged as a side effect — purging shrinks n_docs/avgdl,
+    hence idf and every BM25 score, so scores (not the deleted-excluded
+    RESULT SET) legitimately shift exactly as a compaction's would.
     """
     manifest = load_manifest(index_dir)
     if target_bytes is None:
@@ -575,14 +622,42 @@ def optimize_index(
     )
 
 
+def index_config(index_dir: str) -> dict:
+    """The live index's build configuration, read from the manifest plus
+    the first segment's meta.json: {tokenizer_mode, has_positions,
+    key_cols}. Mutating operations (replace/append through the serve
+    protocol) MUST default to this — tokenizing new docs with a different
+    analyzer, or appending a position-less segment to a positional index,
+    silently corrupts subsequent search/phrase results (the manifest's
+    has_positions is ANDed over segment metas)."""
+    from jvector_spark.sources.segment import load_manifest
+
+    manifest = load_manifest(index_dir)
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    for s in manifest["segments"]:
+        try:
+            with open(os.path.join(s["path"], "meta.json")) as f:
+                kc = json.load(f).get("key_cols")
+            if kc:
+                key_cols = tuple(kc)
+                break
+        except (OSError, ValueError):
+            continue
+    return {
+        "tokenizer_mode": manifest.get("tokenizer_mode", "code"),
+        "has_positions": bool(manifest.get("has_positions", False)),
+        "key_cols": key_cols,
+    }
+
+
 def replace_docs(
     spark: SparkSession,
     index_dir: str,
     new_docs,
-    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
-    mode: str = "code",
+    key_cols: tuple[str, ...] | None = None,
+    mode: str | None = None,
     content_col: str = "content",
-    positions: bool = False,
+    positions: bool | None = None,
 ) -> dict:
     """Document UPDATE as the reference's 2-phase delete+insert cycle
     (GraphIndexBuilder.markNodeDeleted -> addGraphNode, §2.9): tombstone
@@ -590,15 +665,28 @@ def replace_docs(
     versions as a micro segment. Old versions become invisible the moment
     the tombstone file lands; space reclaims at the next compaction.
 
+    mode / positions / key_cols default to the LIVE index's own config
+    (index_config) — never to fixed constants: replacing into a
+    mode='simple' or positions=True index with hardcoded 'code'/False
+    would tokenize the new docs with the wrong analyzer and flip the
+    manifest's has_positions, corrupting search and disabling warm
+    phrase serving. Explicit arguments still override.
+
     At-least-once safe: a retry after any crash point re-tombstones
     whatever live copy exists (old or the just-appended new one) and
     re-appends — the index converges to exactly ONE live copy per key.
     Returns {"replaced": n_tombstoned, "appended": bool}.
     """
-    from pyspark.sql import functions as F
-
-    from jvector_spark.sources.segment import load_manifest
     from jvector_spark.streaming.micro_segments import append_micro_segment
+
+    cfg = index_config(index_dir)
+    if mode is None:
+        mode = cfg["tokenizer_mode"]
+    if positions is None:
+        positions = cfg["has_positions"]
+    if key_cols is None:
+        key_cols = cfg["key_cols"]
+    from jvector_spark.sources.segment import load_manifest
 
     manifest = load_manifest(index_dir)
     n_replaced = 0
@@ -608,9 +696,16 @@ def replace_docs(
               for s in manifest["segments"]]
         ).select("docid", *key_cols)
         tomb = set(load_tombstones(index_dir))
+        # null-safe, NaN-canonical key equality: a null/NaN key column
+        # must still match its committed copy (plain = never matches
+        # null, leaving the old version live next to the replacement)
+        from jvector_spark.sources.segment import key_join_cond
+
+        incoming = new_docs.select(*key_cols).distinct()
         hits = (
-            existing.join(new_docs.select(*key_cols).distinct(),
-                          on=list(key_cols), how="inner")
+            existing.join(incoming,
+                          on=key_join_cond(existing, incoming, key_cols),
+                          how="left_semi")
             .select("docid").collect()
         )
         doomed = [int(r["docid"]) for r in hits

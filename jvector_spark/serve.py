@@ -266,6 +266,11 @@ class IndexServer:
 
         self.requests_served += 1
         tomb = mark_deleted(self.index_dir, [int(d) for d in docids])
+        # explicit invalidation, as documented at __init__: the tombstone
+        # mtime in the cache key is only a defense against EXTERNAL
+        # writers — on coarse-mtime filesystems a delete + repeat search
+        # within one tick would otherwise serve the deleted doc
+        self._result_cache.clear()
         return {"tombstones": len(tomb)}
 
     def replace(self, docs: list[dict], **kw) -> dict:

@@ -517,17 +517,77 @@ def load_term_bloom(seg_dir: str) -> np.ndarray | None:
 
 KEY_BLOOM_BITS = 1 << 20  # 128 KiB per segment: ~10 bits/key at 100k docs
 KEY_BLOOM_K = 3
-KEY_SEP = "\x1f"  # concat_ws separator for key tuples (matches append path)
+KEY_SEP = "\x1f"  # separator for key tuples (write AND probe side)
+KEY_NULL = "\x00\x1fNULL"  # null sentinel — cannot collide with str values
+
+
+def _canon_key(v) -> str:
+    """Canonical string rendering of one key value. Both the bloom WRITE
+    side (segment build, pandas from Arrow batches) and the PROBE side
+    (append dedup, toPandas of the same batch) funnel through this, so
+    null/bool/numeric keys hash identically on both — a rendering
+    mismatch would be a bloom FALSE NEGATIVE, i.e. a dropped dedup and a
+    duplicate doc on redelivery (the one failure the exactness contract
+    forbids; an fp only costs an extra join)."""
+    if v is None:
+        return KEY_NULL
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, float) and v != v:  # nan (covers np.float64)
+        return KEY_NULL
+    try:
+        if pd.isna(v):  # pd.NA / NaT
+            return KEY_NULL
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _canon_key_series(s: pd.Series) -> pd.Series:
+    if s.dtype == bool:
+        return s.map({True: "true", False: "false"})
+    if s.dtype.kind in "iu":  # non-null integers: fast vectorized path
+        return s.astype(str)
+    return s.map(_canon_key)
+
+
+def key_join_cond(left, right, key_cols) -> "object":
+    """Null-safe, NaN-canonical equality condition over key columns for
+    the exact dedup/replace joins. Two invariants:
+      * null keys match null keys (plain `=` never matches null — the
+        committed copy would be invisible to the join and the doc
+        re-indexed as a duplicate);
+      * float NaN ≡ null: the docs sidecar is written via Arrow
+        from_pandas, which stores float NaN as PARQUET NULL, while a live
+        batch carries a real NaN — eqNullSafe(NaN, null) is false, so
+        both sides canonicalize NaN -> null first (mirroring _canon_key,
+        which hashes both to the same sentinel)."""
+    from pyspark.sql import functions as F
+
+    def canon(df, c):
+        dt = dict(df.dtypes).get(c)
+        col = df[c]
+        if dt in ("double", "float"):
+            return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+        return col
+
+    cond = None
+    for c in key_cols:
+        eq = canon(left, c).eqNullSafe(canon(right, c))
+        cond = eq if cond is None else (cond & eq)
+    return cond
 
 
 def _key_hash60(parts: pd.DataFrame) -> np.ndarray:
-    """60-bit md5 hash of each row's KEY_SEP-joined string columns —
-    value-identical to dedup.md5_hash60(F.concat_ws(KEY_SEP, *key_cols))
-    so the write side (here, pandas) and the probe side (Spark expression)
-    agree bit-for-bit."""
-    joined = parts.iloc[:, 0].astype(str)
+    """60-bit md5 hash of each row's KEY_SEP-joined CANONICAL key strings.
+    The probe side (streaming/micro_segments append dedup) computes the
+    same function over `batch_df.select(*key_cols).toPandas()` — both
+    sides share this exact code path, so parity holds for null, bool,
+    and numeric key columns by construction (not by matching two
+    renderers)."""
+    joined = _canon_key_series(parts.iloc[:, 0])
     for c in parts.columns[1:]:
-        joined = joined + KEY_SEP + parts[c].astype(str)
+        joined = joined + KEY_SEP + _canon_key_series(parts[c])
     digests = b"".join(
         hashlib.md5(s.encode()).digest()[:8] for s in joined
     )

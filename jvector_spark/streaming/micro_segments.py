@@ -102,6 +102,17 @@ def _append_micro_segment_locked(
     old = None
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         old = load_manifest(index_dir)
+        # an append must NEVER rewrite the index's tokenizer mode: the
+        # merged-manifest write below records `mode`, and a mismatched
+        # analyzer makes every subsequent search score the old and new
+        # docs inconsistently (callers wanting the index's own mode pass
+        # it explicitly — plans/merge.index_config reads it)
+        old_mode = old.get("tokenizer_mode")
+        if old_mode is not None and old_mode != mode:
+            raise ValueError(
+                f"append with tokenizer mode {mode!r} into an index built "
+                f"with {old_mode!r} — pass mode={old_mode!r} (see "
+                f"plans.merge.index_config)")
         if old["segments"]:
             base = max(s["max_docid"] for s in old["segments"]) + 1
             # Doc-granular dedup against the committed index, bloom-
@@ -114,21 +125,18 @@ def _append_micro_segment_locked(
             # cannot rule out (plus legacy bloom-less ones) enter the
             # exact anti-join, which keeps the dedup exact: a bloom fp
             # costs one extra join, never a dropped doc.
-            import numpy as np
-
-            from jvector_spark.operators.dedup import md5_hash60
             from jvector_spark.sources.segment import (
-                KEY_SEP,
+                _key_hash60,
                 key_bloom_any,
                 load_key_bloom,
             )
 
-            hcol = md5_hash60(
-                F.concat_ws(KEY_SEP, *[F.col(c).cast("string")
-                                       for c in key_cols]))
-            bh = np.array(
-                [r[0] for r in batch_df.select(hcol.alias("h")).collect()],
-                dtype=np.uint64)
+            # probe hashes computed by the SAME pandas code path that
+            # built each segment's key bloom (_key_hash60) — write/probe
+            # parity for null/bool/numeric keys holds by construction; a
+            # renderer mismatch here would be a bloom false NEGATIVE,
+            # silently re-indexing a committed doc on redelivery
+            bh = _key_hash60(batch_df.select(*key_cols).toPandas())
             candidates = []
             for s in old["segments"]:
                 bloom = load_key_bloom(s["path"])
@@ -148,8 +156,14 @@ def _append_micro_segment_locked(
                 if tomb:
                     existing = existing.where(
                         ~F.col("docid").isin([int(t) for t in tomb]))
+                # null-safe, NaN-canonical key equality: a null (or NaN)
+                # key column must still match its committed copy, or the
+                # doc is re-indexed as a duplicate (see key_join_cond)
+                from jvector_spark.sources.segment import key_join_cond
+
+                ex = existing.select(*key_cols)
                 batch_df = batch_df.join(
-                    existing.select(*key_cols), on=list(key_cols),
+                    ex, on=key_join_cond(batch_df, ex, key_cols),
                     how="left_anti")
                 if batch_df.rdd.isEmpty():
                     return

@@ -523,3 +523,64 @@ def test_optimize_refine_pass_upgrades_codec(spark, corpus_df, oracle,
         got = after[after["qid"] == q.qid].sort_values("rank")
         exp = oracle.topk(list(q.terms), int(q.k))
         assert got["docid"].tolist() == exp["docid"].tolist(), f"qid={q.qid}"
+
+
+def test_optimize_with_tombstones_purges_and_rescores(
+        spark, corpus_df, corpus_pdf, tmp_path_factory):
+    """ADVICE r3 (low): the rank-identical contract only holds on a
+    tombstone-free index — with pending deletes, optimize purges them
+    (n_docs/avgdl shrink, scores shift like a compaction's would) and the
+    deleted docs stay excluded; result DOCIDS (post-remap) match the
+    delete-filtered oracle."""
+    from jvector_spark.oracle import BM25Oracle
+    from jvector_spark.plans.merge import mark_deleted, optimize_index
+
+    idx = str(tmp_path_factory.mktemp("idx_opt_tomb"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=3)
+    doomed = [1, 5, 9]
+    mark_deleted(idx, doomed)
+    man = optimize_index(spark, idx, vacuum_min_age_sec=0)
+    assert int(man["n_docs"].sum()) == len(corpus_pdf) - len(doomed)
+    assert load_tombstones(idx) == []  # physically purged
+    # scores now match an oracle over exactly the SURVIVING docs (stats
+    # shrink with the purge): same reduced-corpus construction the
+    # compaction tests use — key-sorted corpus minus the doomed rows
+    keyed = corpus_pdf.sort_values(
+        ["repo", "path", "commit"]).reset_index(drop=True)
+    live = keyed[~keyed.index.isin(doomed)].reset_index(drop=True)
+    orc = BM25Oracle(live)
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [10]})
+    got = search_index(spark, idx, q, merge="driver").sort_values("rank")
+    exp = orc.topk(["import"], 10)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+    assert np.allclose(got["score"], exp["score"], atol=1e-9)
+
+
+def test_tombstone_writers_serialized(spark, corpus_df, tmp_path_factory):
+    """ADVICE r3 (medium): tombstones.json writers are mutually exclusive
+    — a mark_deleted issued while another writer holds the lock blocks
+    until release and its delete is never clobbered."""
+    import threading
+    import time as _t
+
+    from jvector_spark.plans.merge import _tombstone_lock, mark_deleted
+
+    idx = str(tmp_path_factory.mktemp("idx_lock"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    started = threading.Event()
+    done = threading.Event()
+
+    def racer():
+        started.set()
+        mark_deleted(idx, [7])  # blocks on the flock until we release
+        done.set()
+
+    with _tombstone_lock(idx):
+        t = threading.Thread(target=racer)
+        t.start()
+        started.wait(5)
+        _t.sleep(0.2)
+        assert not done.is_set()  # writer is genuinely blocked
+    t.join(5)
+    assert done.is_set()
+    assert 7 in load_tombstones(idx)

@@ -76,3 +76,35 @@ def test_regex_spark_merge_equals_driver(spark, rx_index):
         .sort_values("rank").reset_index(drop=True)
     assert a[["docid", "n_occ"]].values.tolist() == \
         b[["docid", "n_occ"]].values.tolist()
+
+
+def test_expand_distributed_matches_driver(spark, rx_index):
+    """Vocabulary-scale path: with a zero driver budget, expansion runs as
+    a Spark job (rlike + bounded per-pattern top-k) and must return the
+    exact same term lists as the in-driver Arrow/RE2 scan — incl. the
+    (df desc, term asc) cap tie-break."""
+    from jvector_spark.operators.regex import expand_patterns
+
+    idx, _ = rx_index
+    pats = {0: "^run_", 1: "get", 2: ".", 3: "^zzz_nothing$"}
+    local = expand_patterns(idx, pats, max_terms=7)
+    dist = expand_patterns(idx, pats, max_terms=7, spark=spark,
+                           driver_budget_bytes=0)
+    assert local == dist
+
+
+def test_expand_python_fallback_non_re2(rx_index, corpus_pdf):
+    """Backreferences aren't RE2: the Arrow kernel refuses them and the
+    python-per-batch fallback must take over with identical semantics."""
+    from jvector_spark.functions.tokenizer import tokenize_series
+    from jvector_spark.operators.regex import expand_patterns
+
+    idx, _ = rx_index
+    pat = r"(\w)\1"  # any doubled word-char: needs a backreference
+    got = expand_patterns(idx, {0: pat}, max_terms=10**9)[0]
+    rx = re.compile(pat)
+    vocab = set()
+    for ts in tokenize_series(corpus_pdf["content"], "code"):
+        vocab.update(ts)
+    exp = sorted(t for t in vocab if rx.search(t))
+    assert got == exp and len(got) > 0

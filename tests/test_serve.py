@@ -330,3 +330,22 @@ def test_serve_result_cache(spark, corpus_df, tmp_path_factory):
     c = server.search(q)
     assert top not in c["docid"].tolist()
     assert server.cache_hits == 1  # stale key missed, fresh result
+
+
+def test_serve_delete_clears_result_cache(spark, corpus_df,
+                                          tmp_path_factory):
+    """Regression (ADVICE r3, low): server.delete() must clear the result
+    cache EXPLICITLY — the tombstone mtime in the cache key is only a
+    defense against external writers, and on coarse-mtime filesystems a
+    delete + repeat search within one tick would serve the deleted doc."""
+    idx = str(tmp_path_factory.mktemp("idx_srv_delinv"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    server = IndexServer(spark, idx, mode="local")
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    a = server.search(q)
+    assert len(server._result_cache) > 0
+    top = int(a["docid"].iloc[0])
+    server.delete([top])
+    assert len(server._result_cache) == 0  # documented contract
+    c = server.search(q)
+    assert top not in c["docid"].tolist()
