@@ -343,7 +343,7 @@ def boolean_search_index(
         _TopK, _filter_key, empty_topk, global_term_stats, idf_map,
         merge_topk, scatter_paths,
     )
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -358,7 +358,7 @@ def boolean_search_index(
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     idfs = idf_map(n_docs, global_term_stats(spark, index_dir, pos_terms)
                    if pos_terms else {})
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     if not seg_paths:
         return empty_topk(spark, "score", merge)
 
@@ -366,14 +366,13 @@ def boolean_search_index(
     b_asts = sc.broadcast(asts)
     b_ks = sc.broadcast(ks)
     b_idfs = sc.broadcast(idfs)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
         if not paths:
             return
-        asts_l, idfs_l, tomb_l = b_asts.value, b_idfs.value, b_tomb.value
+        asts_l, idfs_l = b_asts.value, b_idfs.value
         states = {qid: _TopK(b_ks.value[qid]) for qid in asts_l}
         # positive terms drive the bloom skip: every match has >=1
         # positive term, so a segment whose bloom rejects ALL of them
@@ -387,6 +386,7 @@ def boolean_search_index(
             ):
                 continue
             reader = SegmentReader(path)
+            tomb_l = tomb_view.for_segment(path)
             seg_cache: dict = {}
             accept = None
             if doc_filter:

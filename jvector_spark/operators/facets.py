@@ -64,7 +64,7 @@ def facet_counts(
     doc_filter honored — the counts agree with what filtered search
     would return)."""
     from jvector_spark.operators.wand import scatter_paths
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -72,18 +72,17 @@ def facet_counts(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     schema = "qid long, facet string, n_docs long"
     if not seg_paths:
         return spark.createDataFrame([], schema)
     sc = spark.sparkContext
     b_q = sc.broadcast(qterms)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
-        qt, tomb_l = b_q.value, b_tomb.value
+        qt = b_q.value
         probe = sorted({t for ts in qt.values() for t in ts})
         for path in paths:
             bloom = load_term_bloom(path)
@@ -92,6 +91,7 @@ def facet_counts(
             ):
                 continue
             reader = SegmentReader(path)
+            tomb_l = tomb_view.for_segment(path)
             accept = reader.accepted_docids(doc_filter) if doc_filter else None
             vals = reader.doc_attribute(facet_col)
             cache: dict = {}
@@ -140,7 +140,7 @@ def collapse_topk(
     from jvector_spark.operators.wand import (
         global_term_stats, idf_map, scatter_paths, score_query_on_segment,
     )
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -153,19 +153,18 @@ def collapse_topk(
     all_t = sorted({t for ts in qterms.values() for t in ts})
     idfs = idf_map(n_docs, global_term_stats(spark, index_dir, all_t)
                    if all_t else {})
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     schema = "qid long, grp string, docid long, score double"
     if not seg_paths:
         return spark.createDataFrame([], schema)
     sc = spark.sparkContext
     b_q = sc.broadcast((qterms, ks))
     b_idfs = sc.broadcast(idfs)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
-        (qt, _), idfs_l, tomb_l = b_q.value, b_idfs.value, b_tomb.value
+        (qt, _), idfs_l = b_q.value, b_idfs.value
         probe = sorted({t for ts in qt.values() for t in ts})
         for path in paths:
             bloom = load_term_bloom(path)
@@ -174,6 +173,7 @@ def collapse_topk(
             ):
                 continue
             reader = SegmentReader(path)
+            tomb_l = tomb_view.for_segment(path)
             accept = reader.accepted_docids(doc_filter) if doc_filter else None
             grp = reader.doc_attribute(collapse_col)
             cache: dict = {}
@@ -230,7 +230,7 @@ def sorted_scan_partition(
     paths: list[str],
     qterms: dict[int, list[str]],
     ks: dict[int, int],
-    tombstones: np.ndarray | None,
+    tombstones,  # np.ndarray | plans.merge.TombstoneView | None
     doc_filter: dict | None,
     attr: str,
     sign: int,
@@ -263,6 +263,8 @@ def sorted_scan_partition(
         ):
             continue
         reader = reader_cls(path)
+        seg_tomb = (tombstones.for_segment(path)
+                    if hasattr(tombstones, "for_segment") else tombstones)
         accept = reader.accepted_docids(doc_filter) if doc_filter else None
         cache: dict = {}
         for qid, terms in qterms.items():
@@ -273,7 +275,7 @@ def sorted_scan_partition(
             d = cache.get(key)
             if d is None:
                 d = cache[key] = _matched_docids(
-                    reader, terms, tombstones, accept)
+                    reader, terms, seg_tomb, accept)
             if not len(d):
                 continue
             if attr == "dl":
@@ -325,7 +327,7 @@ def sorted_search(
     result stays exact. Stats-less sidecars fail open to the full scan."""
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -334,20 +336,19 @@ def sorted_search(
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
     ks = {int(r.qid): int(r.k) for r in queries.itertuples()}
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     if not seg_paths:
         return empty_topk(spark, "sort_key", merge)
     sc = spark.sparkContext
     b_q = sc.broadcast((qterms, ks))
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
     sign = 1 if ascending else -1  # lexsort ascending on sign*v
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
-        (qt, ks_l), tomb_l = b_q.value, b_tomb.value
+        (qt, ks_l) = b_q.value
         yield from sorted_scan_partition(
-            paths, qt, ks_l, tomb_l, doc_filter, attr, sign)
+            paths, qt, ks_l, tomb_view, doc_filter, attr, sign)
 
     partial = paths_df.mapInPandas(run, "qid long, docid long, sort_key long")
     if ascending:
@@ -406,7 +407,7 @@ def attr_stats(
     from (sum, n) after the merge and rounded to 6 for cross-engine
     display parity."""
     from jvector_spark.operators.wand import scatter_paths
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -414,7 +415,7 @@ def attr_stats(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     schema = ("qid long, n_docs long, min_attr long, max_attr long, "
               "sum_attr long")
     if not seg_paths:
@@ -422,12 +423,11 @@ def attr_stats(
     else:
         sc = spark.sparkContext
         b_q = sc.broadcast(qterms)
-        b_tomb = sc.broadcast(tomb)
         paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             paths = [p for pdf in batches for p in pdf["path"].tolist()]
-            qt, tomb_l = b_q.value, b_tomb.value
+            qt = b_q.value
             probe = sorted({t for ts in qt.values() for t in ts})
             for path in paths:
                 bloom = load_term_bloom(path)
@@ -436,6 +436,7 @@ def attr_stats(
                 ):
                     continue
                 reader = SegmentReader(path)
+                tomb_l = tomb_view.for_segment(path)
                 accept = (reader.accepted_docids(doc_filter)
                           if doc_filter else None)
                 for qid, terms in qt.items():
@@ -482,7 +483,7 @@ def attr_histogram(
     Same scale shape as facet_counts — per-segment binned counts, then a
     (qid × bins)-row final reduce; corpus rows never shuffle."""
     from jvector_spark.operators.wand import scatter_paths
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -492,19 +493,18 @@ def attr_histogram(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     schema = "qid long, bin long, n_docs long"
     if not seg_paths:
         return spark.createDataFrame([], schema)
     sc = spark.sparkContext
     b_q = sc.broadcast(qterms)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
     w = int(bin_width)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
-        qt, tomb_l = b_q.value, b_tomb.value
+        qt = b_q.value
         probe = sorted({t for ts in qt.values() for t in ts})
         for path in paths:
             bloom = load_term_bloom(path)
@@ -513,6 +513,7 @@ def attr_histogram(
             ):
                 continue
             reader = SegmentReader(path)
+            tomb_l = tomb_view.for_segment(path)
             accept = (reader.accepted_docids(doc_filter)
                       if doc_filter else None)
             for qid, terms in qt.items():
@@ -553,7 +554,7 @@ def match_export(
     10^12 docs this is the write-straight-to-parquet shape; bound it
     upstream with doc_filter if the match set must be narrowed."""
     from jvector_spark.operators.wand import scatter_paths
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
     from jvector_spark.sources.segment import (
         SegmentReader, bloom_may_contain, load_manifest, load_term_bloom,
     )
@@ -561,18 +562,17 @@ def match_export(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     schema = "qid long, docid long"
     if not seg_paths:
         return spark.createDataFrame([], schema)
     sc = spark.sparkContext
     b_q = sc.broadcast(qterms)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         paths = [p for pdf in batches for p in pdf["path"].tolist()]
-        qt, tomb_l = b_q.value, b_tomb.value
+        qt = b_q.value
         probe = sorted({t for ts in qt.values() for t in ts})
         for path in paths:
             bloom = load_term_bloom(path)
@@ -581,6 +581,7 @@ def match_export(
             ):
                 continue
             reader = SegmentReader(path)
+            tomb_l = tomb_view.for_segment(path)
             accept = (reader.accepted_docids(doc_filter)
                       if doc_filter else None)
             for qid, terms in qt.items():

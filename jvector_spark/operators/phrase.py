@@ -122,7 +122,7 @@ def phrase_search(
     seg_paths = [s["path"] for s in manifest["segments"]]
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
 
     if not seg_paths:  # valid empty index (nothing can match any phrase)
         return empty_topk(spark, "n_matches", merge)
@@ -133,10 +133,9 @@ def phrase_search(
     mode = manifest["tokenizer_mode"]
     qp = queries.copy()
     qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     sc = spark.sparkContext
     b_q = sc.broadcast(qp[["qid", "terms", "k"]])
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,9 +145,10 @@ def phrase_search(
             reader = SegmentReader(path)
             if not reader.has_positions:
                 continue
+            tomb_l = tomb_view.for_segment(path)
             for q in b_q.value.itertuples():
                 d, n = match_phrase_on_segment(
-                    reader, list(q.terms), b_tomb.value)
+                    reader, list(q.terms), tomb_l)
                 if len(d):
                     # Bound the shuffle: per-(segment, query) top-k cut in
                     # rank order (n_matches desc, docid asc) — top-k is

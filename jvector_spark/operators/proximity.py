@@ -120,7 +120,7 @@ def proximity_search(
     seg_paths = [s["path"] for s in manifest["segments"]]
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
 
     if not seg_paths:
         return empty_topk(spark, "n_matches", merge)
@@ -128,10 +128,9 @@ def proximity_search(
         raise ValueError(
             "index was built without positions=True — proximity queries "
             "need the positional payload stream")
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     sc = spark.sparkContext
     b_q = sc.broadcast(queries[["qid", "terms", "window", "k"]])
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,9 +140,10 @@ def proximity_search(
             reader = SegmentReader(path)
             if not reader.has_positions:
                 continue
+            tomb_l = tomb_view.for_segment(path)
             for q in b_q.value.itertuples():
                 d, n = match_window_on_segment(
-                    reader, list(q.terms), int(q.window), b_tomb.value)
+                    reader, list(q.terms), int(q.window), tomb_l)
                 if len(d):
                     top = np.lexsort((d, -n))[: int(q.k)]
                     out.append(pd.DataFrame({

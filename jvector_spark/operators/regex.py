@@ -193,17 +193,16 @@ def regex_token_topk(
     )
     from jvector_spark.operators.wand import (
         empty_topk, merge_topk, scatter_paths)
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
 
     if not seg_paths:  # valid empty index
         return empty_topk(spark, "n_occ", merge)
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    tomb_view = tombstone_view(index_dir)
     sc = spark.sparkContext
     b_q = sc.broadcast(
         [(int(q.qid), expansions[int(q.qid)], int(q.k))
          for q in queries.itertuples()]
     )
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -211,6 +210,7 @@ def regex_token_topk(
         out = []
         for path in paths:
             reader = SegmentReader(path)
+            tombs = tomb_view.for_segment(path)
             for qid, terms, k in b_q.value:
                 present = [t for t in terms if reader.has_term(t)]
                 if not present:
@@ -226,7 +226,6 @@ def regex_token_topk(
                 uniq, inv = np.unique(d, return_inverse=True)
                 occ = np.zeros(len(uniq), dtype=np.int64)
                 np.add.at(occ, inv, n)
-                tombs = b_tomb.value
                 if len(tombs):
                     live = ~np.isin(uniq, tombs)
                     uniq, occ = uniq[live], occ[live]

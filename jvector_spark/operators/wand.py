@@ -569,7 +569,7 @@ def search_partition(
     queries: pd.DataFrame,
     idfs: dict[str, float],
     avgdl: float,
-    tombstones: np.ndarray | None = None,
+    tombstones=None,  # np.ndarray | plans.merge.TombstoneView | None
     doc_filter: dict | None = None,
     min_score: float = 0.0,
     after: dict | None = None,
@@ -608,17 +608,29 @@ def search_partition(
     qterms = {int(q.qid): list(q.terms) for q in queries.itertuples()}
     after = after or {}
     exclude = exclude or {}
-    qtomb: dict[int, np.ndarray] = {}
-    for qid in states:
-        ex = exclude.get(qid)
-        if ex is None or not len(ex):
-            qtomb[qid] = tombstones
-        else:
-            ex = np.asarray(ex, dtype=np.int64)
-            qtomb[qid] = (
-                ex if tombstones is None or not len(tombstones)
-                else np.union1d(tombstones, ex)
-            )
+    qex = {qid: np.asarray(exclude[qid], dtype=np.int64)
+           for qid in states
+           if exclude.get(qid) is not None and len(exclude[qid])}
+
+    # tombstones may be a flat array (serving pool / tests) or a
+    # TombstoneView resolving PER SEGMENT (the scale path: each task reads
+    # only its segments' shards, never the global delete list)
+    per_segment_tomb = hasattr(tombstones, "for_segment")
+
+    def _qtomb(seg_tomb: np.ndarray | None) -> dict[int, np.ndarray | None]:
+        out: dict[int, np.ndarray | None] = {}
+        for qid in states:
+            ex = qex.get(qid)
+            if ex is None:
+                out[qid] = seg_tomb
+            elif seg_tomb is None or not len(seg_tomb):
+                out[qid] = ex
+            else:
+                out[qid] = np.union1d(seg_tomb, ex)
+        return out
+
+    if not per_segment_tomb:
+        qtomb = _qtomb(tombstones)
     # terms shared by >=2 queries always decode fully (once, cached) —
     # repeated partial block decodes of the same hot term cost more than
     # one full decode amortized across the batch
@@ -653,6 +665,11 @@ def search_partition(
         else:
             reader = SegmentReader(path)
             seg_cache = {"_hot": hot}  # shared across this segment's queries
+        if per_segment_tomb:
+            # shard read bounded by THIS segment's deletes (one small
+            # parquet, or the inline array when the index's delete list
+            # is small enough to ship in the closure)
+            qtomb = _qtomb(tombstones.for_segment(path))
         accept = None
         if doc_filter:
             # memo per (segment, filter): ONE docs-sidecar read per
@@ -748,16 +765,18 @@ def search_index(
     all_terms = sorted({t for ts in queries["terms"] for t in ts})
     dfm = global_term_stats(spark, index_dir, all_terms) if all_terms else {}
     idfs = idf_map(n_docs, dfm)
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
 
-    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    # per-segment tombstone resolution: small delete lists ship inline in
+    # the view; large ones resolve segment-side from parquet shards — the
+    # driver never materializes (nor broadcasts) an unbounded delete list
+    tomb = tombstone_view(index_dir)
 
     if not seg_paths:  # zero-segment index (everything-compacted) is valid
         return empty_topk(spark, "score", merge)
     sc = spark.sparkContext
     b_q = sc.broadcast(queries[["qid", "terms", "k"]])
     b_idfs = sc.broadcast(idfs)
-    b_tomb = sc.broadcast(tomb)
     paths_df = scatter_paths(spark, seg_paths, num_tasks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -765,7 +784,7 @@ def search_index(
         if paths:
             task_metrics: dict | None = {} if metrics_acc is not None else None
             yield search_partition(
-                paths, b_q.value, b_idfs.value, avgdl, b_tomb.value,
+                paths, b_q.value, b_idfs.value, avgdl, tomb,
                 doc_filter, min_score, after, task_metrics, mode,
                 exclude=exclude, prune_epsilon=prune_epsilon,
             )
@@ -797,17 +816,18 @@ def explain_score(
     `total` is bit-identical to the score search_index returns for the
     same doc. Serving-sized driver work: one segment lookup by docid
     range, block-selective postings decode per term."""
-    from jvector_spark.plans.merge import load_tombstones
+    from jvector_spark.plans.merge import tombstone_view
 
     manifest = load_manifest(index_dir)
     docid = int(docid)
-    if docid in set(load_tombstones(index_dir)):
-        return {"docid": docid, "deleted": True, "terms": {}, "total": 0.0}
     seg = next(
         (s for s in manifest["segments"]
          if s["min_docid"] <= docid <= s["max_docid"]), None)
     if seg is None:
         raise KeyError(f"docid {docid} not in any segment of {index_dir}")
+    # one segment's shard, not the global delete list
+    if docid in tombstone_view(index_dir).for_segment(seg["path"]):
+        return {"docid": docid, "deleted": True, "terms": {}, "total": 0.0}
     reader = SegmentReader(seg["path"])
     uniq = sorted({t for t in terms})
     dfm = global_term_stats(spark, index_dir, uniq)

@@ -170,6 +170,7 @@ def mark_deleted(index_dir: str, docids: Sequence[int]) -> list[int]:
             json.dump({"docid_epoch": _manifest_epoch(index_dir),
                        "docids": sorted(cur)}, f)
         os.replace(tmp, path)
+        sync_tombstone_shards(index_dir)
     return sorted(cur)
 
 
@@ -191,6 +192,181 @@ def load_tombstones(index_dir: str) -> list[int]:
     if epoch != _manifest_epoch(index_dir):
         return []  # stale epoch: docids renumbered since these were marked
     return sorted(docids)
+
+
+# --------------------------------------------------------------------------
+# segment-side tombstone shards
+#
+# tombstones.json is the MARK-PHASE JOURNAL (commit point, epoch scope,
+# carry-over diffing). For the READ path it is the wrong shape at scale:
+# a high-churn 10^12-doc corpus accumulates an unbounded delete list
+# between compactions, and broadcasting it to every search task is
+# unbounded driver memory + broadcast bytes. So every journal write also
+# projects the list into PER-SEGMENT parquet shards
+# (tombstones.d/epoch=<E>/<md5(seg_path)>.parquet, sorted docid column):
+# a search task scoring segment S reads only S's shard — bytes bounded by
+# S's own deletes, never the global list (the per-segment liveNodes bitmap
+# the reference keeps per index view, ImmutableGraphIndex.java:157).
+# --------------------------------------------------------------------------
+
+TOMBSTONE_SHARD_ROOT = "tombstones.d"
+#: journal bytes at/below which searches ship the delete list inline in the
+#: task closure (one driver read, zero per-task IO) — above it, only
+#: (index_dir, epoch) ships and tasks read their segment's shard
+TOMBSTONE_INLINE_MAX_BYTES = 1 << 20
+
+_EMPTY_TOMB = np.array([], dtype=np.int64)
+
+
+def _shard_dir(index_dir: str, epoch: int) -> str:
+    return os.path.join(index_dir, TOMBSTONE_SHARD_ROOT, f"epoch={epoch}")
+
+
+def _shard_name(seg_path: str) -> str:
+    """Shard file for one segment, keyed by a digest of the manifest's
+    path string (basenames collide across generations — gen-A/seg-00003
+    vs seg-00003 — so the full normalized path is the identity)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.normpath(seg_path).encode()).hexdigest()[:20]
+    return f"{h}.parquet"
+
+
+def _journal_stamp(index_dir: str) -> tuple[int, int] | None:
+    """(size, mtime_ns) of the journal, or None if absent — the cheap
+    consistency token binding a shard tree to the journal state it was
+    projected from."""
+    path = os.path.join(index_dir, TOMBSTONES_FILE)
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        return None
+    return (int(st.st_size), int(st.st_mtime_ns))
+
+
+def sync_tombstone_shards(index_dir: str) -> None:
+    """Project the CURRENT journal into the current epoch's shard tree.
+    Idempotent; call under _tombstone_lock after any journal write.
+
+    Update discipline is per-FILE atomic (tmp + os.replace), never a
+    whole-dir swap: within an epoch a segment's tombstone set only GROWS,
+    so a lock-free reader racing an update sees either the old shard or
+    the new superset — more deletes early is safe, a transiently missing
+    shard (a dir swap's window) would silently resurrect docs. Old epoch
+    dirs are left for vacuum_index (an in-flight search over the
+    pre-flip manifest may still be reading them). `_META.json` is written
+    LAST and records the journal stamp: readers seeing a stale stamp
+    (crash between journal write and this sync) fall back to parsing the
+    journal — correct, just not cheap."""
+    import pyarrow as pa
+
+    epoch = _manifest_epoch(index_dir)
+    sdir = _shard_dir(index_dir, epoch)
+    tomb = np.array(load_tombstones(index_dir), dtype=np.int64)
+    if not len(tomb):
+        import shutil
+
+        shutil.rmtree(sdir, ignore_errors=True)
+        return
+    os.makedirs(sdir, exist_ok=True)
+    keep: set[str] = set()
+    manifest = load_manifest(index_dir)
+    for s in manifest["segments"]:
+        lo = int(np.searchsorted(tomb, int(s["min_docid"]), side="left"))
+        hi = int(np.searchsorted(tomb, int(s["max_docid"]), side="right"))
+        if hi <= lo:
+            continue
+        name = _shard_name(s["path"])
+        keep.add(name)
+        dst = os.path.join(sdir, name)
+        tmpf = dst + ".tmp"
+        pq.write_table(pa.table({"docid": tomb[lo:hi]}), tmpf)
+        os.replace(tmpf, dst)
+    for name in os.listdir(sdir):  # shards of merged-away segments
+        if name.endswith(".parquet") and name not in keep:
+            try:
+                os.remove(os.path.join(sdir, name))
+            except FileNotFoundError:
+                pass
+    meta = os.path.join(sdir, "_META.json")
+    with open(meta + ".tmp", "w") as f:
+        json.dump({"journal_stamp": _journal_stamp(index_dir),
+                   "docid_epoch": epoch, "n": int(len(tomb))}, f)
+    os.replace(meta + ".tmp", meta)
+
+
+def load_segment_tombstones(
+    index_dir: str, epoch: int, seg_path: str
+) -> np.ndarray:
+    """Executor-side: this segment's tombstoned docids (sorted int64).
+    Missing shard file = no deletes in this segment."""
+    path = os.path.join(_shard_dir(index_dir, epoch), _shard_name(seg_path))
+    if not os.path.exists(path):
+        return _EMPTY_TOMB
+    return pq.read_table(path, columns=["docid"])["docid"].to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+
+
+class TombstoneView:
+    """Per-segment tombstone resolver shipped into search tasks.
+
+    Two regimes (chosen by tombstone_view from the journal's SIZE, without
+    parsing it): small delete lists travel inline (`inline` array — one
+    driver read, no per-task IO); large ones ship only (index_dir, epoch)
+    and each task resolves its segment's shard. Pickles to a few hundred
+    bytes in the sharded regime regardless of delete count."""
+
+    __slots__ = ("index_dir", "epoch", "inline")
+
+    def __init__(self, index_dir: str, epoch: int,
+                 inline: np.ndarray | None) -> None:
+        self.index_dir = index_dir
+        self.epoch = epoch
+        self.inline = inline
+
+    def for_segment(self, seg_path: str) -> np.ndarray:
+        if self.inline is not None:
+            return self.inline
+        return load_segment_tombstones(self.index_dir, self.epoch, seg_path)
+
+    def __len__(self) -> int:  # truthiness: "are there ANY deletes"
+        return len(self.inline) if self.inline is not None else 1
+
+
+def tombstone_view(
+    index_dir: str,
+    inline_max_bytes: int | None = None,
+) -> TombstoneView:
+    """Build the read-path view WITHOUT materializing a large journal on
+    the driver: journals at/below `inline_max_bytes` parse and ship
+    inline; larger ones ship as shard references after a stamp check
+    (journal size+mtime recorded at the last shard sync). A stamp
+    mismatch — possible only in the crash window between a journal write
+    and its shard sync — falls back to parsing the journal, trading
+    driver memory for correctness."""
+    if inline_max_bytes is None:  # late bind: tests monkeypatch the module
+        inline_max_bytes = TOMBSTONE_INLINE_MAX_BYTES
+    epoch = _manifest_epoch(index_dir)
+    stamp = _journal_stamp(index_dir)
+    if stamp is None or stamp[0] <= inline_max_bytes:
+        return TombstoneView(
+            index_dir, epoch,
+            np.array(load_tombstones(index_dir), dtype=np.int64))
+    meta_path = os.path.join(_shard_dir(index_dir, epoch), "_META.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        ok = (tuple(meta.get("journal_stamp") or ()) == stamp
+              and int(meta.get("docid_epoch", -1)) == epoch)
+    except (OSError, ValueError):
+        ok = False
+    if not ok:
+        # shards stale for this exact journal state (crash window, or a
+        # pre-shard index with a huge journal): correctness over memory
+        return TombstoneView(
+            index_dir, epoch,
+            np.array(load_tombstones(index_dir), dtype=np.int64))
+    return TombstoneView(index_dir, epoch, None)
 
 
 def _merge_group(
@@ -416,6 +592,9 @@ def compact_in_place(
             pass  # a post-flip mark already rewrote it under the new epoch
         elif os.path.exists(tomb):
             os.remove(tomb)  # stale older-epoch leftovers: GC
+        # project carried-over deletes into the NEW epoch's shard tree
+        # (old epoch dirs stay for in-flight pre-flip readers; vacuum GCs)
+        sync_tombstone_shards(index_dir)
     release_lease(lease)  # manifest flipped: the gen dir is now live
     if vacuum_after:
         vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
@@ -470,6 +649,25 @@ def vacuum_index(index_dir: str, dry_run: bool = False,
                 removed.append(full)
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
+    # stale-epoch tombstone shard dirs (same age/lease guards as above:
+    # an in-flight search over a pre-flip manifest snapshot may still be
+    # reading its epoch's shards)
+    root = os.path.join(index_dir, TOMBSTONE_SHARD_ROOT)
+    cur = f"epoch={int(manifest.get('docid_epoch', 0))}"
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            full = os.path.join(root, name)
+            if name == cur or not os.path.isdir(full):
+                continue
+            try:
+                mtime = os.path.getmtime(full)
+                if now - mtime < min_age_sec or mtime >= lease_floor:
+                    continue
+            except OSError:
+                continue
+            removed.append(full)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
     return removed
 
 

@@ -221,7 +221,7 @@ class IndexServer:
         from jvector_spark.functions.tokenizer import tokenize_series
         from jvector_spark.operators.phrase import (
             match_phrase_on_segment, phrase_search)
-        from jvector_spark.plans.merge import load_tombstones
+        from jvector_spark.plans.merge import tombstone_view
 
         self._refresh_if_stale()
         self.requests_served += 1
@@ -231,7 +231,7 @@ class IndexServer:
         if self.mode == "spark":
             return phrase_search(self.spark, self.index_dir, queries,
                                  merge="driver")
-        tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
+        tomb_view = tombstone_view(self.index_dir)
         mode = self.manifest["tokenizer_mode"]
         qp = queries.copy()
         qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
@@ -240,7 +240,9 @@ class IndexServer:
             ds, ns = [], []
             for seg in self.manifest["segments"]:
                 reader = self.pool.reader(seg["path"])
-                d, n = match_phrase_on_segment(reader, list(q.terms), tomb)
+                d, n = match_phrase_on_segment(
+                    reader, list(q.terms),
+                    tomb_view.for_segment(seg["path"]))
                 if len(d):
                     ds.append(d)
                     ns.append(n)
@@ -328,12 +330,12 @@ class IndexServer:
                                doc_filter=doc_filter, min_score=min_score,
                                merge="driver", mode=mode)
         else:
-            from jvector_spark.plans.merge import load_tombstones
+            from jvector_spark.plans.merge import tombstone_view
 
             seg_paths = [s["path"] for s in self.manifest["segments"]]
             all_terms = sorted({t for ts in queries["terms"] for t in ts})
             idfs = self._idfs(all_terms)
-            tomb = np.array(load_tombstones(self.index_dir), dtype=np.int64)
+            tomb = tombstone_view(self.index_dir)
             out = search_partition(
                 seg_paths, queries[["qid", "terms", "k"]], idfs,
                 self.manifest["avgdl"], tomb, doc_filter, min_score,
