@@ -118,10 +118,10 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     timed("ann_brute_topk",
           lambda: entry.q_ann_brute_topk(spark, sf_dir).toPandas())
 
-    # 6. text analysis sweep (quality + langid + fingerprint in one pass)
+    # 6. text analysis sweep (quality + langid + signature family)
     timed("text_analysis", lambda: (
-        entry.q_quality_score(spark, sf_dir).toPandas(),
-        entry.q_doc_fingerprint(spark, sf_dir).toPandas()))
+        entry.q_quality_lang(spark, sf_dir).toPandas(),
+        entry.q_doc_signatures(spark, sf_dir).toPandas()))
 
     # 7. warm serving throughput (pooled searchers, zero Spark jobs per
     # request — the user-reachable `cli serve` path). Derived metric

@@ -1,0 +1,327 @@
+"""Graph-structured ANN: a Vamana-style small-world graph per IVF cluster.
+
+This is the reference's core algorithm re-expressed for Spark's execution
+model (GraphIndexBuilder.java:441-453,594-665 construction;
+GraphSearcher.java:387-451 beam search). We do NOT port the single-JVM
+concurrent builder: on Spark the unit of graph locality is the IVF cluster
+partition — each cluster's vectors fit one task, so construction is an
+`applyInPandas` over cluster groups (numpy/BLAS inside), and the index is
+a parquet layout partitioned by cluster whose files carry
+(vec_id, embedding, neighbors). Search routes each query to its `nprobe`
+nearest clusters (same routing as IVF) and runs an ef-bounded best-first
+beam INSIDE each probed cluster from the cluster's medoid — visiting
+O(ef·degree) vectors instead of the cluster's full scan.
+
+Why this shape scales: clusters bound task memory (the graph never has to
+fit one machine), the parquet partition filter prunes unprobed clusters'
+IO entirely (same PartitionFilters contract as ivf_topk_partitioned), and
+the beam's partial results merge with the standard bounded top-k shuffle.
+
+Construction per cluster = exact blocked kNN candidates + the Vamana
+diversity prune (VamanaDiversityProvider.retainDiverse:45-79): a candidate
+is dropped when an already-kept closer neighbor c dominates it
+(alpha * d(c, c') <= d(p, c')), which is what gives the graph its
+long-range "highway" edges. Reverse edges are unioned in and capped so
+every node is reachable from the expansion frontier (the builder's
+backlink pass, GraphIndexBuilder.java:594-665).
+
+Exactness contract: beam search is approximate by construction; the gated
+entry query therefore ends in an exact-cosine RERANK over the candidate
+union computed with the SAME JVM expression as brute_force_topk (the
+rerankK >= topK contract, GraphSearcher.search:209) — pytest asserts the
+candidate set covers the true top-k on the fixtures, making the
+brute-force SQL oracle applicable (tests/test_graph_ann.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jvector_spark.operators.ann import (
+    assign_clusters,
+    assign_probes,
+    cosine_expr,
+)
+
+GRAPH_META = "_GRAPH_META.json"
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return V / n
+
+
+def _robust_prune(cand_idx: np.ndarray, d_p: np.ndarray,
+                  D_cc: np.ndarray, R: int, alpha: float) -> list[int]:
+    """Vamana diversity prune over candidates sorted by d(p, ·) asc:
+    keep the closest, drop every candidate it alpha-dominates, repeat.
+    cand_idx: candidate positions; d_p: d(p, cand); D_cc: pairwise
+    candidate distances (|C| x |C|)."""
+    alive = np.ones(len(cand_idx), dtype=bool)
+    keep: list[int] = []
+    for i in range(len(cand_idx)):
+        if not alive[i]:
+            continue
+        keep.append(int(cand_idx[i]))
+        if len(keep) >= R:
+            break
+        # occlusion rule: c' is dominated when alpha*d(c, c') <= d(p, c')
+        alive &= ~(alpha * D_cc[i] <= d_p)
+        alive[i] = False
+    return keep
+
+
+def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
+                         block: int = 2048) -> tuple[list[list[int]], int]:
+    """(adjacency lists, medoid position) for one cluster's normalized
+    vectors. Candidates = exact top-(3R) cosine neighbors via blocked
+    BLAS (deterministic — no iterative refinement to seed), then the
+    diversity prune, then reverse-edge union capped at 2R."""
+    n = len(V)
+    M = min(n - 1, 3 * R)
+    sums = np.zeros(n, dtype=np.float64)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    if n == 1:
+        return adj, 0
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        S = V[lo:hi] @ V.T  # (b, n) cosine (unit vectors)
+        sums[lo:hi] = S.sum(axis=1)
+        for r in range(hi - lo):
+            i = lo + r
+            s = S[r].copy()
+            s[i] = -np.inf  # no self loop
+            cand = np.argpartition(-s, min(M, n - 1) - 1)[:M]
+            cand = cand[np.argsort(-s[cand], kind="stable")]
+            # stable tie-break on index for determinism
+            order = np.lexsort((cand, -s[cand]))
+            cand = cand[order]
+            d_p = np.sqrt(np.maximum(2.0 - 2.0 * s[cand], 0.0))
+            Vc = V[cand]
+            Scc = Vc @ Vc.T
+            D_cc = np.sqrt(np.maximum(2.0 - 2.0 * Scc, 0.0))
+            adj[i] = _robust_prune(cand, d_p, D_cc, R, alpha)
+    # reverse-edge union (backlink pass), cap 2R by similarity
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for i, nbrs in enumerate(adj):
+        for j in nbrs:
+            radj[j].append(i)
+    cap = 2 * R
+    for i in range(n):
+        merged = list(dict.fromkeys(adj[i] + radj[i]))
+        if len(merged) > cap:
+            sims = V[merged] @ V[i]
+            order = np.lexsort((np.asarray(merged), -sims))[:cap]
+            merged = [merged[o] for o in order]
+        adj[i] = merged
+    medoid = int(np.argmax(sums))  # most central = best entry point
+    _repair_connectivity(adj, V, medoid)
+    return adj, medoid
+
+
+def _repair_connectivity(adj: list[list[int]], V: np.ndarray,
+                         medoid: int) -> None:
+    """Make every node reachable from the medoid (in place). A one-shot
+    kNN graph can fragment on clustered data — Vamana avoids this because
+    each inserted node keeps edges along its search path from the entry
+    point (GraphIndexBuilder.java:441-453); here we repair after the
+    fact: per unreached component, bridge the highest-similarity
+    (reached, unreached) pair with a bidirectional edge (appended past
+    the cap — a handful of bridges, not a degree blowup), then re-walk.
+    Iterations = number of components, each a blocked matmul."""
+    n = len(V)
+    while True:
+        reached = np.zeros(n, dtype=bool)
+        stack = [medoid]
+        reached[medoid] = True
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if not reached[w]:
+                    reached[w] = True
+                    stack.append(w)
+        if reached.all():
+            return
+        rn = np.flatnonzero(reached)
+        un = np.flatnonzero(~reached)
+        S = V[rn] @ V[un].T  # (reached, unreached) similarity
+        flat = int(np.argmax(S))
+        a = int(rn[flat // len(un)])
+        b = int(un[flat % len(un)])
+        adj[a].append(b)
+        adj[b].append(a)
+
+
+def build_graph_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    R: int = 16,
+    alpha: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Write the cluster-partitioned graph layout:
+    path/cluster=N/*.parquet with (vec_id, embedding, neighbors:
+    array<long> of vec_ids) + _GRAPH_META.json {cluster: medoid vec_id}.
+    Returns the meta dict."""
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    out_schema = (f"{id_col} long, {vec_col} array<float>, "
+                  "neighbors array<long>, is_medoid boolean, cluster int")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        adj, medoid = _build_cluster_graph(V, R, alpha)
+        ids = pdf[id_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            vec_col: pdf[vec_col],
+            "neighbors": [ids[nbrs].tolist() for nbrs in adj],
+            "is_medoid": np.arange(len(ids)) == medoid,
+            "cluster": pdf["cluster"].to_numpy(np.int32),
+        })
+
+    (assigned.groupBy("cluster").applyInPandas(build, out_schema)
+     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    spark = vectors.sparkSession
+    rows = (spark.read.parquet(path).where(F.col("is_medoid"))
+            .select("cluster", id_col).collect())
+    meta = {"medoids": {int(r["cluster"]): int(r[id_col]) for r in rows},
+            "R": R, "alpha": alpha, "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(path, GRAPH_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_graph_meta(path: str) -> dict:
+    with open(os.path.join(path, GRAPH_META)) as f:
+        meta = json.load(f)
+    meta["medoids"] = {int(k): v for k, v in meta["medoids"].items()}
+    return meta
+
+
+def beam_search_cluster(
+    ids: np.ndarray, V: np.ndarray, nbrs: list[np.ndarray],
+    medoid_pos: int, q: np.ndarray, ef: int,
+) -> tuple[np.ndarray, int]:
+    """ef-bounded best-first search (GraphSearcher.java:387-451): expand
+    the best unexpanded candidate, stop when it cannot beat the worst of
+    the ef results held. Returns (positions of the ef best found, number
+    of score evaluations) — scores are cosine on unit vectors, evaluated
+    BLAS-batched per expansion."""
+    n = len(V)
+    visited = np.zeros(n, dtype=bool)
+    visited[medoid_pos] = True
+    cand_pos = [medoid_pos]
+    cand_score = [float(V[medoid_pos] @ q)]
+    expanded = np.zeros(n, dtype=bool)
+    n_evals = 1
+    while True:
+        # best unexpanded candidate
+        best = -1
+        best_s = -np.inf
+        for i, p in enumerate(cand_pos):
+            if not expanded[p] and cand_score[i] > best_s:
+                best, best_s = p, cand_score[i]
+        if best < 0:
+            break
+        if len(cand_pos) >= ef:
+            kth = np.partition(np.asarray(cand_score), -ef)[-ef]
+            if best_s < kth:
+                break  # cannot improve the ef held results
+        expanded[best] = True
+        new = nbrs[best][~visited[nbrs[best]]]
+        if len(new):
+            visited[new] = True
+            s = V[new] @ q
+            n_evals += len(new)
+            cand_pos.extend(int(p) for p in new)
+            cand_score.extend(s.tolist())
+    cand_pos_a = np.asarray(cand_pos)
+    cand_score_a = np.asarray(cand_score)
+    top = np.lexsort((ids[cand_pos_a], -cand_score_a))[:ef]
+    return cand_pos_a[top], n_evals
+
+
+def graph_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    ef: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Beam-searched top-k over the graph layout: per probed cluster, an
+    in-task beam from the medoid emits <=ef candidates per query; the
+    final exact top-k reranks the candidate union with the SAME cosine
+    expression as brute_force_topk (so with covering ef the result is
+    rank-identical to brute force and the SQL oracle applies)."""
+    meta = load_graph_meta(path)
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qc = assign_probes(queries, centroids, nprobe, qvec_col)
+    probe_rows = qc.select(qid_col, "probes").collect()
+    cluster_qids: dict[int, list[int]] = {}
+    for r in probe_rows:
+        for c in r["probes"]:
+            cluster_qids.setdefault(int(c), []).append(int(r[qid_col]))
+    probed = sorted(cluster_qids)
+    qvecs = {
+        int(row[qid_col]): _normalize(
+            np.asarray(row[qvec_col], dtype=np.float64)[None, :])[0]
+        for _, row in qpdf.iterrows()}
+    medoids = meta["medoids"]
+
+    corpus = spark.read.parquet(path).where(F.col("cluster").isin(probed))
+    out_schema = f"qid long, {id_col} long, {vec_col} array<float>"
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        qids = cluster_qids.get(cluster, [])
+        if not qids:
+            return pd.DataFrame(columns=["qid", id_col, vec_col])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(np.int64)
+        V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        pos = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
+                           dtype=np.int64)
+                for row in pdf["neighbors"]]
+        medoid_pos = pos[int(medoids[cluster])]
+        outs = []
+        for qid in qids:
+            found, _ = beam_search_cluster(
+                ids, V, nbrs, medoid_pos, qvecs[qid], ef)
+            outs.append(pd.DataFrame({
+                "qid": np.int64(qid),
+                id_col: ids[found],
+                vec_col: pdf[vec_col].iloc[found].to_numpy(),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    cands = corpus.groupBy("cluster").applyInPandas(search, out_schema)
+    qdf = queries.select(F.col(qid_col).alias("qid"), qvec_col)
+    scored = cands.join(F.broadcast(qdf), "qid").select(
+        "qid", F.col(id_col),
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6)
+        .alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
+                id_col, "score")
+    )

@@ -340,10 +340,15 @@ def encode_postings_frame(
     within_blk = np.arange(n, dtype=np.int64) - b_start[blk_of_val]
     full_blk = blk_n == block_size
     full_val = full_blk[blk_of_val]
-    bitarr = None
+
+    # full-block packing works in bounded SLABS (<=2 MiB of bit matrix at
+    # a time): the (n_vals, w) uint8 broadcast temp is what inflates the
+    # memory bus under 16 concurrent build workers — slabbing keeps each
+    # worker's temp cache-resident instead of streaming hundreds of MB
+    # (round-3 scaling table: packbits +40% CPU at 16 workers)
+    SLAB_BITS = 2 << 20
 
     def _pack_stream(vals, for_val, w_term_val, base_byte_off):
-        nonlocal bitarr
         # full FOR blocks, grouped by width
         fmask = for_val & full_val
         if fmask.any():
@@ -357,41 +362,54 @@ def encode_postings_frame(
                     continue
                 sel = wv == w
                 v_w = v_f[sel]
-                shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
-                bits = ((v_w[:, None] >> shifts[None, :])
-                        & np.uint64(1)).astype(np.uint8)
-                packed = np.packbits(bits.ravel())
                 # target bytes: value i's w bits start at byte boundary
                 # pattern off + within*w/8; full blocks are contiguous 16w-
                 # byte runs, so per-value byte positions tile exactly
                 first_of_blk = within_f[sel] == 0
                 blk_offs = off_f[sel][first_of_blk]
-                out[_scatter_positions(
-                    blk_offs, np.full(len(blk_offs), 16 * w, np.int64)
-                )] = packed
-        # partial FOR blocks: bit-scatter fallback (small)
+                dst = _scatter_positions(
+                    blk_offs, np.full(len(blk_offs), 16 * w, np.int64))
+                shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+                step = max(block_size, (SLAB_BITS // max(w, 1))
+                           // block_size * block_size)
+                for lo in range(0, len(v_w), step):
+                    chunk = v_w[lo:lo + step]
+                    bits = ((chunk[:, None] >> shifts[None, :])
+                            & np.uint64(1)).astype(np.uint8)
+                    packed = np.packbits(bits.ravel())
+                    byte_lo = lo * w // 8
+                    out[dst[byte_lo:byte_lo + len(packed)]] = packed
+        # partial FOR blocks (<=1 per term): pack into a COMPACT local bit
+        # array covering only the partial blocks' byte ranges, then OR the
+        # packed bytes into place — never a bit image of the whole blob
+        # (which is 8x blob bytes of zeros plus a full-blob packbits pass)
         pmask = for_val & ~full_val
         if pmask.any():
-            v = vals[pmask]
             w = w_term_val[pmask]
             if int(w.sum()):
-                if bitarr is None:
-                    bitarr = np.zeros(total_bytes * 8, np.uint8)
-                base_bit = (base_byte_off[blk_of_val[pmask]] * 8
-                            + within_blk[pmask] * w)
+                v = vals[pmask]
+                pblk = blk_of_val[pmask]
+                blks, inv = np.unique(pblk, return_inverse=True)
+                nb = np.bincount(inv)
+                wb = np.zeros(len(blks), dtype=np.int64)
+                wb[inv] = w  # width is per-term, constant within a block
+                bytes_b = (nb * wb + 7) // 8
+                lbase = np.concatenate(([0], np.cumsum(bytes_b[:-1]))) * 8
+                base_bit = lbase[inv] + within_blk[pmask] * w
                 starts = np.concatenate(([0], np.cumsum(w)[:-1]))
                 tot = int(w.sum())
                 t = np.arange(tot, dtype=np.int64) - np.repeat(starts, w)
                 v_rep = np.repeat(v, w)
                 w_rep = np.repeat(w, w)
-                bits = ((v_rep >> (w_rep - 1 - t).astype(np.uint64))
-                        & np.uint64(1)).astype(np.uint8)
-                bitarr[np.repeat(base_bit, w) + t] = bits
+                bits_flat = ((v_rep >> (w_rep - 1 - t).astype(np.uint64))
+                             & np.uint64(1)).astype(np.uint8)
+                loc = np.zeros(int(bytes_b.sum()) * 8, np.uint8)
+                loc[np.repeat(base_bit, w) + t] = bits_flat
+                dst = _scatter_positions(base_byte_off[blks], bytes_b)
+                out[dst] |= np.packbits(loc)
 
     _pack_stream(v_gap, gap_for_val, w_gap_t[b_term][blk_of_val], blk_doc_off)
     _pack_stream(tf_u, tf_for_val, w_tf_t[b_term][blk_of_val], blk_tf_off)
-    if bitarr is not None:
-        out |= np.packbits(bitarr)
     blob = out.tobytes()
 
     blk_max_tf = np.maximum.reduceat(p_tf, b_start)
@@ -746,11 +764,22 @@ def _build_segment_stream(
     c_docs: list[np.ndarray] = []
     c_tfs: list[np.ndarray] = []
     c_pos: list[np.ndarray] = []
+    # stream_sorted: docids non-decreasing within AND across chunks. When
+    # it holds (build_index sorts within partitions), the final pass can
+    # sort by term rank alone (stable) instead of a composite key.
+    stream_sorted = True
+    last_docid = -1
     for pdf in batches:
         if not len(pdf):
             continue
         ts = time.time()
         docids = pdf["docid"].to_numpy(np.int64)
+        if stream_sorted:
+            if docids[0] <= last_docid or (
+                    len(docids) > 1 and (np.diff(docids) <= 0).any()):
+                stream_sorted = False
+            else:
+                last_docid = int(docids[-1])
         shas = pdf[content_col].map(
             lambda s: hashlib.sha256(s.encode()).hexdigest()
         )
@@ -827,11 +856,24 @@ def _build_segment_stream(
         all_tf = np.concatenate(c_tfs)
         codes, uniq = pd.factorize(all_t, sort=False)
         term_order = np.argsort(uniq, kind="stable")
-        rank = np.empty(len(uniq), dtype=np.int64)
-        rank[term_order] = np.arange(len(uniq))
+        rank = np.empty(len(uniq), dtype=np.int32)
+        rank[term_order] = np.arange(len(uniq), dtype=np.int32)
         seg_span = int(docids[-1] - docids[0] + 1)
-        order = np.argsort(rank[codes] * seg_span + (all_d - docids[0]),
-                           kind="stable")
+        if stream_sorted:
+            # sort by TERM RANK ONLY, int32 keys, stable: the stream is
+            # docid-ascending (verified above), so within a term the
+            # postings already ascend by docid and stability alone yields
+            # the full (term, docid) order — no composite int64 key to
+            # materialize. Halves the sort's memory traffic, which is
+            # exactly what inflates at 16 concurrent build workers (the
+            # round-3 scaling table pinned +89% CPU to this sort).
+            order = np.argsort(rank[codes], kind="stable")
+        else:
+            # unsorted caller (assume_partitioned with arbitrary row
+            # order): fall back to the composite (term, docid) key
+            order = np.argsort(
+                rank[codes].astype(np.int64) * seg_span
+                + (all_d - docids[0]), kind="stable")
         p_term, p_doc, p_tf = all_t[order], all_d[order], all_tf[order]
         dl_arr = np.zeros(seg_span, dtype=np.int64)
         dl_arr[docids - docids[0]] = docs_pdf["dl"].to_numpy(np.int64)
@@ -926,7 +968,13 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     part = docs_with_ids.select("docid", content_col, *key_cols)
     if not assume_partitioned:
-        part = part.repartitionByRange(num_segments, "docid")
+        # sortWithinPartitions: a JVM/Tungsten pointer sort that makes the
+        # Arrow stream docid-ascending, which lets the python builder
+        # replace its composite (term, docid) argsort with a stable
+        # rank-only int32 sort (see _build_segment_stream) — the cheapest
+        # place to buy the ordering is the engine's own sort
+        part = (part.repartitionByRange(num_segments, "docid")
+                    .sortWithinPartitions("docid"))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         row = _build_segment_stream(batches, index_dir, mode, content_col,

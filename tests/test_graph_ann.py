@@ -1,0 +1,158 @@
+"""Graph-structured ANN (per-cluster Vamana-style graph + beam search).
+
+Mirrors the reference's graph tests: construction invariants
+(GraphIndexBuilder.java), recall vs exact ground truth
+(SiftSmall.testRecall / GraphIndexTestCase randomized top-k), and the
+rerank-covers-top-k contract that lets the driver's brute-force oracle
+gate the entry query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jvector_spark.operators.ann import brute_force_topk, train_centroids
+from jvector_spark.operators.graph import (
+    _build_cluster_graph,
+    _normalize,
+    beam_search_cluster,
+    build_graph_index,
+    graph_topk,
+    load_graph_meta,
+)
+
+N, DIM, NC = 400, 16, 6
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(1234)
+    # clustered UNIT vectors: on the sphere L2 routing and cosine scoring
+    # agree, so nprobe-routing recall is meaningful (real embedding
+    # pipelines normalize; unnormalized gaussians make L2 k-means clusters
+    # orthogonal to cosine neighborhoods)
+    centers = rng.normal(size=(NC, DIM))
+    X = (centers[rng.integers(0, NC, N)]
+         + 0.3 * rng.normal(size=(N, DIM)))
+    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64),
+                        "embedding": [x.tolist() for x in X]})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def gindex(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gidx"))
+    cents = train_centroids(emb, n_clusters=NC, seed=42)
+    meta = build_graph_index(emb, path, cents, R=8, alpha=1.2)
+    return path, cents, meta
+
+
+def test_construction_invariants(gindex, spark):
+    path, cents, meta = gindex
+    pdf = spark.read.parquet(path).toPandas()
+    assert len(pdf) == N  # every vector present exactly once
+    assert pdf["vec_id"].is_unique
+    for _, row in pdf.iterrows():
+        nbrs = list(row["neighbors"])
+        assert row["vec_id"] not in nbrs  # no self loop
+        # reverse-union cap, plus a handful of connectivity bridges
+        assert len(nbrs) <= 2 * meta["R"] + 4
+        assert len(set(nbrs)) == len(nbrs)
+    # one medoid per cluster, recorded in meta
+    med = pdf[pdf["is_medoid"]]
+    assert sorted(med["cluster"].tolist()) == sorted(meta["medoids"])
+
+
+def test_build_deterministic(spark, emb, gindex, tmp_path_factory):
+    path, cents, _ = gindex
+    p2 = str(tmp_path_factory.mktemp("gidx2"))
+    build_graph_index(emb, p2, cents, R=8, alpha=1.2)
+    a = (spark.read.parquet(path).toPandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (spark.read.parquet(p2).toPandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert (a["vec_id"] == b["vec_id"]).all()
+    for x, y in zip(a["neighbors"], b["neighbors"]):
+        assert list(x) == list(y)
+
+
+def test_graph_connected_from_medoid():
+    """Every node must be reachable from the medoid — the repaired
+    connectivity invariant (a fragmented graph silently loses recall)."""
+    rng = np.random.default_rng(99)
+    centers = rng.normal(size=(3, DIM))
+    X = centers[rng.integers(0, 3, 500)] + 0.2 * rng.normal(size=(500, DIM))
+    V = _normalize(X)
+    adj, medoid = _build_cluster_graph(V, R=8, alpha=1.2)
+    reached = np.zeros(len(V), dtype=bool)
+    stack = [medoid]
+    reached[medoid] = True
+    while stack:
+        u = stack.pop()
+        for w in adj[u]:
+            if not reached[w]:
+                reached[w] = True
+                stack.append(w)
+    assert reached.all()
+
+
+def test_beam_visits_fraction_of_cluster():
+    """The point of the graph: a beam touches O(ef*degree) vectors, not
+    the cluster. On a 2000-vector cluster with ef=10 the evaluation count
+    must stay well under a full scan."""
+    rng = np.random.default_rng(7)
+    V = _normalize(rng.normal(size=(2000, DIM)))
+    adj, medoid = _build_cluster_graph(V, R=8, alpha=1.2)
+    ids = np.arange(2000, dtype=np.int64)
+    nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
+    q = _normalize(rng.normal(size=(1, DIM)))[0]
+    _, n_evals = beam_search_cluster(ids, V, nbrs, medoid, q, ef=10)
+    assert n_evals < 600  # <30% of a full scan
+
+
+def test_graph_recall_and_rerank_covering(spark, emb, gindex):
+    """With nprobe=all and generous ef, graph_topk must be RANK-IDENTICAL
+    to brute force (the covering contract that lets the driver's SQL
+    oracle gate the entry query); at ef=k recall@10 must still clear 0.95
+    (reference ballpark 0.99, README.md:122-127)."""
+    path, cents, _ = gindex
+    queries = emb.where("vec_id < 8").selectExpr(
+        "vec_id as qid", "embedding as qvec")
+    exact = brute_force_topk(emb, queries, k=10).toPandas()
+    full = graph_topk(spark, path, queries, cents, k=10,
+                      nprobe=NC, ef=256).toPandas()
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["qid", "rank"]).reset_index(drop=True),
+        full.sort_values(["qid", "rank"]).reset_index(drop=True),
+        check_dtype=False)
+
+    fast = graph_topk(spark, path, queries, cents, k=10,
+                      nprobe=2, ef=10).toPandas()
+    hit = 0
+    for qid in exact["qid"].unique():
+        truth = set(exact[exact["qid"] == qid]["vec_id"])
+        got = set(fast[fast["qid"] == qid]["vec_id"])
+        hit += len(truth & got)
+    recall = hit / (10 * exact["qid"].nunique())
+    assert recall >= 0.95, recall
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_entry_covering(spark, sf_dir):
+    """The driver entry query's covering contract on the REAL fixtures:
+    ann_graph_topk must be rank-identical to the brute-force oracle path
+    (same guarantee style as ann_pq_rerank's rerank_k covering)."""
+    import os
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("fixture missing")
+    import __spark_entry__ as e
+
+    graph = e.q_ann_graph_topk(spark, sf_dir).toPandas()
+    brute = e.q_ann_brute_topk(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        graph.sort_values(["qid", "rank"]).reset_index(drop=True),
+        brute.sort_values(["qid", "rank"]).reset_index(drop=True),
+        check_dtype=False)
