@@ -1,27 +1,29 @@
 """Multimodal (image/audio/video) column plumbing for training pipelines.
 
-Media are opaque `binary` columns + typed metadata; decode / feature
-extraction / frame sampling run as Arrow-batched `mapInPandas` passes (the
-Spark-side shape is real: schema, partitioning, UDF signature, batch
-iteration). The actual codec work is STUBBED deterministically — this
-container has no image/audio libraries — behind an import-try: if
-PIL/soundfile were present, `_decode_image`/`_decode_audio` would be
-replaced, and nothing else changes.
+Media are opaque `binary` columns + typed metadata. The division of labor
+is Spark-first:
 
-The deterministic fake derives "decoded" properties from the payload's
-sha256, so every feature is reproducible in ANSI SQL — which lets the
-driver's DuckDB oracle exercise the full mapInPandas path end-to-end (a
-correctness gate most stub designs can't offer).
+  * everything expressible in Catalyst runs JVM-side in whole-stage
+    codegen — payload hashing (`sha2`), byte lengths, and the ENTIRE
+    frame-sampling explode (`sequence` + `explode` + `md5`), zero Python;
+  * only the decode itself crosses into an Arrow-batched `mapInPandas`,
+    and that decode is REAL for the container-supported formats: a pure-
+    python header sniffer reads dimensions/channels from PNG / GIF / BMP /
+    JPEG bytes (no codec library needed — dimensions live in the headers).
+    PIL, when installed, extends coverage to every format it knows.
+    Payloads that are not decodable images (e.g. the driver fixtures'
+    utf-8 text bytes) fall back to the DETERMINISTIC fake (dims derived
+    from the payload sha256), which is what keeps the DuckDB oracle able
+    to exercise the full mapInPandas path end-to-end.
 
 Scale notes: pure map-side (one pass, no shuffle); binary payloads stay in
-Arrow buffers between JVM and Python (no base64 round-trips); frame
-sampling emits O(frames) rows via the same pass (mapInPandas may yield
-more rows than input — the explode happens Python-side in the batch).
+Arrow buffers between JVM and Python (no base64 round-trips); the frame
+explode never leaves the JVM.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
 
     _HAVE_PIL = True
 except ImportError:
@@ -42,6 +44,13 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_sha string"
 FRAME_BYTES = 4096
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> sample channels (greyscale, rgb, palette, grey+a, rgba)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG start-of-frame markers (C4/C8/CC are not SOF)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
 
 def with_payload(docs: DataFrame, text: str = "text") -> DataFrame:
     """(doc_id, payload binary) — stands in for a real media column; at
@@ -49,63 +58,111 @@ def with_payload(docs: DataFrame, text: str = "text") -> DataFrame:
     return docs.select("doc_id", F.encode(F.col(text), "UTF-8").alias("payload"))
 
 
+def sniff_image_dims(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) parsed from the image HEADER bytes of
+    PNG / GIF / BMP / JPEG, or None when `b` is not one of those. Pure
+    python — dimensions live in the first bytes of every format, so no
+    codec library is required to extract them (the metadata tier of a
+    real decode pipeline; full pixel decode would need the codec)."""
+    try:
+        if b[:8] == _PNG_MAGIC and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return int(w), int(h), _PNG_CHANNELS.get(b[25], 3)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return int(w), int(h), 3
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return int(w), abs(int(h)), 3
+        if b[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF segment
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    return None
+                marker = b[i + 1]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return int(w), int(h), int(b[i + 9])
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no length field
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2:i + 4])
+                i += 2 + seg_len
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
 def _fake_decode_dims(sha_hex: str) -> tuple[int, int, int]:
-    """Deterministic stand-in for image decoding: dims derived from the
-    payload hash. Formula mirrored in the SQL oracle — keep in sync."""
+    """Deterministic stand-in for non-image payloads: dims derived from
+    the payload hash. Formula mirrored in the SQL oracle — keep in sync."""
     w = 64 + int(sha_hex[:2], 16) % 192
     h = 64 + int(sha_hex[2:4], 16) % 192
     c = 1 + int(sha_hex[4:6], 16) % 4
     return w, h, c
 
 
+def decode_dims(b: bytes, sha_hex: str) -> tuple[int, int, int]:
+    """Real header decode -> PIL (if installed) -> deterministic fake."""
+    dims = sniff_image_dims(b)
+    if dims is not None:
+        return dims
+    if _HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        import io
+
+        try:
+            with Image.open(io.BytesIO(b)) as im:
+                return int(im.width), int(im.height), len(im.getbands())
+        except Exception:
+            pass
+    return _fake_decode_dims(sha_hex)
+
+
 def extract_image_features(docs_with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched decode + feature extraction over the binary column."""
+    """Image metadata extraction: hashing and byte counts stay JVM-side
+    (whole-stage codegen); only the header decode crosses into the
+    Arrow-batched python pass, operating on (payload, sha) pairs."""
+    base = docs_with_payload.select(
+        "doc_id", "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("payload", 256)).alias("payload_sha"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real decode path: PIL present but wiring intentionally "
-                    "deferred — swap _fake_decode_dims for Image.open here"
-                )
-            shas = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
-            dims = shas.map(_fake_decode_dims)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "payload_sha": shas,
-                "width": dims.map(lambda d: d[0]).astype("int32"),
-                "height": dims.map(lambda d: d[1]).astype("int32"),
-                "n_channels": dims.map(lambda d: d[2]).astype("int32"),
-            })
+            dims = [decode_dims(b, s)
+                    for b, s in zip(pdf["payload"], pdf["payload_sha"])]
+            out = pd.DataFrame(dims, columns=["width", "height", "n_channels"],
+                               dtype="int32")
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            out.insert(1, "n_bytes", pdf["n_bytes"].to_numpy())
+            out.insert(2, "payload_sha", pdf["payload_sha"].to_numpy())
+            yield out
 
-    return docs_with_payload.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    return base.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(docs_with_payload: DataFrame,
                   frame_bytes: int = FRAME_BYTES) -> DataFrame:
     """'Video' frame sampling: one row per sampled frame; frame count =
-    ceil(n_bytes / frame_bytes), frame id = md5(payload_sha:idx). The
-    explode happens inside the Arrow batch (mapInPandas emits more rows
-    than it receives) — the pattern a real frame sampler uses."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            shas = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
-            n_frames = pdf["payload"].map(
-                lambda b: (len(b) + frame_bytes - 1) // frame_bytes
-            )
-            rows = {
-                "doc_id": pdf["doc_id"].repeat(n_frames).to_numpy(),
-                "frame_idx": [i for n in n_frames for i in range(n)],
-                "payload_sha": shas.repeat(n_frames).to_numpy(),
-            }
-            out = pd.DataFrame(rows)
-            out["frame_sha"] = (
-                out["payload_sha"] + ":" + out["frame_idx"].astype(str)
-            ).map(lambda s: hashlib.md5(s.encode()).hexdigest())
-            yield out[["doc_id", "frame_idx", "frame_sha"]].astype(
-                {"frame_idx": "int32"}
-            )
-
-    return docs_with_payload.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    ceil(n_bytes / frame_bytes), frame id = md5(payload_sha:idx).
+    ENTIRELY Catalyst — `sequence` + `explode` + `md5` run in whole-stage
+    codegen, so the per-frame explode never pays a Python round-trip
+    (zero-byte payloads sample zero frames)."""
+    nf = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    frames = F.when(
+        nf > 0, F.sequence(F.lit(0), nf - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs_with_payload
+        .select("doc_id",
+                F.lower(F.sha2("payload", 256)).alias("payload_sha"),
+                F.explode(frames).alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int"),
+            F.md5(F.concat(F.col("payload_sha"), F.lit(":"),
+                           F.col("frame_idx").cast("string")))
+            .alias("frame_sha"),
+        )
+    )

@@ -40,6 +40,56 @@ def test_image_features_deterministic(spark, docs):
     assert 1 <= row["n_channels"] <= 4
 
 
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+
+def test_sniff_image_dims_headers():
+    """Real header decode for PNG/GIF/BMP/JPEG; None for non-images."""
+    import struct
+
+    from jvector_spark.operators.multimodal import sniff_image_dims
+
+    assert sniff_image_dims(_png_bytes(640, 480, 6)) == (640, 480, 4)
+    assert sniff_image_dims(_png_bytes(7, 9, 0)) == (7, 9, 1)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    assert sniff_image_dims(gif) == (320, 200, 3)
+    # BMP height may be negative (top-down rows)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 8
+    assert sniff_image_dims(bmp) == (100, 50, 3)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", 768, 1024) + bytes([3]) + b"\x00" * 9)
+    assert sniff_image_dims(b"\xff\xd8" + app0 + sof0) == (1024, 768, 3)
+    assert sniff_image_dims(b"plain text payload") is None
+    assert sniff_image_dims(b"") is None
+    assert sniff_image_dims(b"\x89PNG\r\n\x1a\x08IHDR") is None  # truncated
+
+
+def test_image_features_real_png(spark):
+    """A genuine PNG payload takes the header-decode path (not the fake)."""
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "payload": [_png_bytes(640, 480, 6), _png_bytes(32, 16, 2),
+                    b"not an image at all"],
+    })
+    out = (extract_image_features(spark.createDataFrame(pdf))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out.loc[0, ["width", "height", "n_channels"]].tolist()
+            == [640, 480, 4])
+    assert (out.loc[1, ["width", "height", "n_channels"]].tolist()
+            == [32, 16, 3])
+    # non-image falls back to the deterministic sha-derived fake
+    sha = hashlib.sha256(b"not an image at all").hexdigest()
+    assert out.loc[2, "width"] == 64 + int(sha[:2], 16) % 192
+    assert out.loc[2, "payload_sha"] == sha
+
+
 def test_frame_sample_counts(spark, docs):
     frames = sample_frames(with_payload(docs), frame_bytes=1000).toPandas()
     counts = frames.groupby("doc_id").size()
