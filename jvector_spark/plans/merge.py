@@ -831,7 +831,18 @@ def index_config(index_dir: str) -> dict:
     from jvector_spark.sources.segment import load_manifest
 
     manifest = load_manifest(index_dir)
-    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    # a serve-session CREATE records its intended config in create.json
+    # BEFORE any segment exists (the manifest's has_positions is ANDed
+    # over segment metas, so an empty index always reads False there) —
+    # it is the fallback tier below segment metas, above hard defaults
+    created: dict = {}
+    try:
+        with open(os.path.join(index_dir, "create.json")) as f:
+            created = json.load(f)
+    except (OSError, ValueError):
+        pass
+    key_cols: tuple[str, ...] = tuple(
+        created.get("key_cols") or ("repo", "path", "commit"))
     for s in manifest["segments"]:
         try:
             with open(os.path.join(s["path"], "meta.json")) as f:
@@ -841,10 +852,14 @@ def index_config(index_dir: str) -> dict:
                 break
         except (OSError, ValueError):
             continue
+    has_positions = bool(manifest.get("has_positions", False))
+    if not manifest["segments"]:
+        has_positions = bool(created.get("positions", False))
     return {
         "tokenizer_mode": manifest.get("tokenizer_mode", "code"),
-        "has_positions": bool(manifest.get("has_positions", False)),
+        "has_positions": has_positions,
         "key_cols": key_cols,
+        "content_col": str(created.get("content_col", "content")),
     }
 
 

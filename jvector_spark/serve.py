@@ -54,6 +54,34 @@ def _filter_cache_key(doc_filter: dict | None):
     return _filter_key(doc_filter) if doc_filter else None
 
 
+def create_index(index_dir: str, mode: str = "code",
+                 positions: bool = False,
+                 key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                 content_col: str = "content") -> dict:
+    """Initialize an EMPTY index at `index_dir` — the serve protocol's
+    CREATE (IPCService.java:81 'CREATE DIMENSIONS SIMILARITY_TYPE M EF':
+    a session declares its index config before any write; here the config
+    is analyzer mode / positional payloads / identity keys). The intended
+    config lands in create.json BEFORE any segment exists, so subsequent
+    writes (this session or a later one) inherit it through
+    plans.merge.index_config instead of hardcoded defaults."""
+    import pandas as pd
+
+    from jvector_spark.sources.segment import (
+        MANIFEST_SCHEMA, write_index_manifest)
+
+    os.makedirs(index_dir, exist_ok=True)
+    cfg = {"tokenizer_mode": mode, "positions": bool(positions),
+           "key_cols": list(key_cols), "content_col": content_col}
+    tmp = os.path.join(index_dir, "create.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(cfg, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "create.json"))
+    cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+    empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    return write_index_manifest(index_dir, empty, mode)
+
+
 class VectorPool:
     """Resident embedding matrix for warm kNN serving — the reference's
     OWN serving workload (IPCService SEARCH against an in-memory/mmap
@@ -288,6 +316,117 @@ class IndexServer:
         self._refresh_if_stale()
         return out
 
+    def create(self, index_dir: str | None = None, mode: str = "code",
+               positions: bool = False,
+               key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+               content_col: str = "content") -> dict:
+        """(Re)initialize the session's index EMPTY and point the session
+        at it — the protocol's CREATE resets a session for a fresh load
+        ('to reset call CREATE again', IPCService.java:130). Pooled
+        readers and caches drop; the vector pool (a separate table) stays."""
+        self.requests_served += 1
+        target = index_dir or self.index_dir
+        create_index(target, mode=mode, positions=positions,
+                     key_cols=tuple(key_cols), content_col=content_col)
+        self.index_dir = target
+        self.pool.reset()
+        self._df_memo.clear()
+        self._result_cache.clear()
+        self._load_manifest()
+        return {"index_dir": target, "tokenizer_mode": mode,
+                "positions": bool(positions)}
+
+    def write(self, docs: list[dict], batch_id: int | None = None) -> dict:
+        """Incremental indexing through the warm session — the protocol's
+        WRITE (IPCService.java:82: vectors stream into the open session).
+        Docs append as a micro-segment under the index's OWN config
+        (analyzer / positions / keys from index_config, never hardcoded);
+        doc-granular idempotence means a redelivered row is indexed once."""
+        from jvector_spark.plans.merge import index_config
+        from jvector_spark.streaming.micro_segments import (
+            append_micro_segment)
+
+        self.requests_served += 1
+        cfg = index_config(self.index_dir)
+        before = int(self.manifest["n_docs"])
+        append_micro_segment(
+            self.spark.createDataFrame(pd.DataFrame(docs)),
+            batch_id if batch_id is not None else self.requests_served,
+            self.index_dir, mode=cfg["tokenizer_mode"],
+            content_col=cfg["content_col"], key_cols=cfg["key_cols"],
+            positions=cfg["has_positions"])
+        self._refresh_if_stale()
+        return {"n_docs": int(self.manifest["n_docs"]),
+                "written": int(self.manifest["n_docs"]) - before,
+                "n_segments": len(self.manifest["segments"])}
+
+    def bulkload(self, path: str, num_segments: int | None = None) -> dict:
+        """Bulk-build the session's index from a parquet path — the
+        protocol's BULKLOAD (IPCService.java:83 'BULKLOAD /path/to/local/
+        file'). Only valid on an empty (just-CREATEd) session, mirroring
+        the reference's write-vs-bulkload session split
+        (IPCService.java:130): to reload, CREATE again first."""
+        from jvector_spark.operators.ids import assign_dense_docids
+        from jvector_spark.plans.merge import index_config
+        from jvector_spark.sources.segment import build_index
+
+        self.requests_served += 1
+        if int(self.manifest["n_docs"]) > 0:
+            raise ValueError(
+                "bulkload requires an empty index — CREATE again to reset")
+        cfg = index_config(self.index_dir)
+        docs = self.spark.read.parquet(path)
+        with_ids = assign_dense_docids(
+            docs, key_cols=cfg["key_cols"],
+            num_partitions=num_segments)
+        build_index(
+            with_ids, self.index_dir, mode=cfg["tokenizer_mode"],
+            num_segments=num_segments, content_col=cfg["content_col"],
+            key_cols=cfg["key_cols"], positions=cfg["has_positions"],
+            assume_partitioned=True)
+        self._refresh_if_stale()
+        return {"n_docs": int(self.manifest["n_docs"]),
+                "n_segments": len(self.manifest["segments"])}
+
+    def optimize(self) -> dict:
+        """Refine the session's index in place — the protocol's OPTIMIZE
+        (IPCService.java:84 'run once finished writing'): micro-segments
+        fold, codecs upgrade, block metadata refreshes; the atomic
+        generation flip means searches keep serving throughout."""
+        from jvector_spark.plans.merge import optimize_index
+
+        self.requests_served += 1
+        before = len(self.manifest["segments"])
+        optimize_index(self.spark, self.index_dir, vacuum_min_age_sec=0.0)
+        self._refresh_if_stale()
+        return {"segments_before": before,
+                "n_segments": len(self.manifest["segments"]),
+                "n_docs": int(self.manifest["n_docs"])}
+
+    def memory(self) -> dict:
+        """Usage report in KiB — the protocol's MEMORY (IPCService.java:
+        86). Splits resident process memory from the index's on-disk
+        postings bytes and the (optional) resident vector matrix."""
+        self.requests_served += 1
+        try:
+            import resource
+
+            rss_kb = int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+        except (ImportError, ValueError):  # pragma: no cover - non-posix
+            rss_kb = -1
+        vec_kb = 0
+        if self.vectors is not None:
+            vec_kb = (self.vectors.mat.nbytes + self.vectors.ids.nbytes
+                      + self.vectors.norms.nbytes) // 1024
+        return {
+            "rss_kb": rss_kb,
+            "index_postings_kb": int(self.manifest["metrics"]
+                                     .get("bytes_postings", 0)) // 1024,
+            "vector_matrix_kb": int(vec_kb),
+            "pooled_readers": len(self.pool.readers),
+            "result_cache_entries": len(self._result_cache),
+        }
+
     def suggest(self, queries: dict[int, tuple[str, int]],
                 n: int = 5) -> pd.DataFrame:
         """Spell suggestion over the warm index (fuzzy.suggest_terms):
@@ -377,6 +516,12 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
       {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?}
       {"op": "delete", "docids": [3, 17, ...]}
       {"op": "replace", "docs": [{...row...}, ...]}   # 2-phase upsert
+      {"op": "create", "index": "/path"?, "mode": "code"?,
+       "positions": false?, "key_cols": [...]?, "content_col": "..."?}
+      {"op": "write", "docs": [{...row...}, ...]}     # incremental append
+      {"op": "bulkload", "path": "/path/to/parquet", "segments": N?}
+      {"op": "optimize"}
+      {"op": "memory"}
       {"op": "suggest", "queries": {"0": ["spak", 1], ...}, "n": 5?}
       {"op": "stats"}
       {"op": "ping"}
@@ -430,6 +575,24 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 resp = {"ok": True, **server.delete(req["docids"])}
             elif op == "replace":
                 resp = {"ok": True, **server.replace(req["docs"])}
+            elif op == "create":
+                resp = {"ok": True, **server.create(
+                    req.get("index"),
+                    mode=req.get("mode", "code"),
+                    positions=bool(req.get("positions", False)),
+                    key_cols=tuple(req.get(
+                        "key_cols", ("repo", "path", "commit"))),
+                    content_col=req.get("content_col", "content"))}
+            elif op == "write":
+                resp = {"ok": True, **server.write(req["docs"])}
+            elif op == "bulkload":
+                seg = req.get("segments")
+                resp = {"ok": True, **server.bulkload(
+                    req["path"], num_segments=int(seg) if seg else None)}
+            elif op == "optimize":
+                resp = {"ok": True, **server.optimize()}
+            elif op == "memory":
+                resp = {"ok": True, **server.memory()}
             elif op == "suggest":
                 res = server.suggest(
                     {int(q): (str(t), int(d))

@@ -349,3 +349,82 @@ def test_serve_delete_clears_result_cache(spark, corpus_df,
     assert len(server._result_cache) == 0  # documented contract
     c = server.search(q)
     assert top not in c["docid"].tolist()
+
+
+def test_serve_session_lifecycle_ops(spark, corpus_df, corpus_pdf,
+                                     tmp_path_factory, oracle):
+    """Full session lifecycle through the line protocol (IPCService.java:
+    80-87 CREATE/WRITE/BULKLOAD/OPTIMIZE/MEMORY analog): create an empty
+    index, stream docs in with WRITE, search; CREATE again to reset, then
+    BULKLOAD the whole corpus, OPTIMIZE, and verify the warm search is
+    rank-identical to a one-shot search over a batch-built index."""
+    base = tmp_path_factory.mktemp("idx_srv_life")
+    idx = str(base / "session_idx")
+    src = str(base / "corpus.parquet")
+    corpus_pdf.to_parquet(src, index=False)
+
+    # bootstrap: server constructed straight onto a CREATEd empty index
+    from jvector_spark.serve import create_index
+    create_index(idx, mode="code")
+    server = IndexServer(spark, idx, mode="local")
+    q = {"qid": 0, "terms": ["import"], "k": 10}
+    reqs = [
+        {"op": "memory"},
+        {"op": "write",
+         "docs": corpus_pdf.head(6).to_dict("records")},
+        {"op": "write",                       # overlap: idempotent per doc
+         "docs": corpus_pdf.head(10).to_dict("records")},
+        {"op": "search", "queries": [q]},
+        {"op": "create", "index": idx, "mode": "code"},   # reset
+        {"op": "bulkload", "path": src, "segments": 3},
+        {"op": "optimize"},
+        {"op": "search", "queries": [q]},
+        {"op": "memory"},
+        {"op": "quit"},
+    ]
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    out = io.StringIO()
+    serve_loop(server, inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert all(l["ok"] for l in lines), lines
+    mem0, w1, w2, s1, cr, bl, opt, s2, mem1 = lines[:9]
+    assert mem0["rss_kb"] > 0 and mem0["index_postings_kb"] == 0
+    assert w1["n_docs"] == 6 and w1["written"] == 6
+    assert w2["n_docs"] == 10 and w2["written"] == 4   # 6 deduped
+    assert len(s1["results"]) > 0
+    assert bl["n_docs"] == len(corpus_pdf) and bl["n_segments"] == 3
+    assert opt["n_docs"] == len(corpus_pdf)
+    assert mem1["index_postings_kb"] >= 0 and mem1["pooled_readers"] > 0
+
+    # post-optimize warm results rank-identical to a cold batch build
+    idx2 = str(base / "batch_idx")
+    build_index(assign_dense_docids(corpus_df), idx2, num_segments=3)
+    cold = search_index(
+        spark, idx2, pd.DataFrame({"qid": [0], "terms": [["import"]],
+                                   "k": [10]}), merge="driver")
+    got = pd.DataFrame(s2["results"]).sort_values("rank")
+    assert got["docid"].tolist() == cold.sort_values("rank")["docid"].tolist()
+    assert np.allclose(got["score"], cold.sort_values("rank")["score"])
+    # and vs the oracle
+    exp = oracle.topk(["import"], 10)
+    assert got["docid"].tolist() == exp["docid"].tolist()
+
+
+def test_bulkload_requires_empty_index(spark, corpus_df, corpus_pdf,
+                                       tmp_path_factory):
+    """BULKLOAD into a non-empty session errors (the reference's
+    write-vs-bulkload session split, IPCService.java:130) without
+    killing the serve loop."""
+    base = tmp_path_factory.mktemp("idx_srv_blerr")
+    idx = str(base / "idx")
+    src = str(base / "corpus.parquet")
+    corpus_pdf.to_parquet(src, index=False)
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    server = IndexServer(spark, idx, mode="local")
+    inp = io.StringIO(json.dumps({"op": "bulkload", "path": src}) + "\n"
+                      + json.dumps({"op": "ping"}) + "\n")
+    out = io.StringIO()
+    serve_loop(server, inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert not lines[0]["ok"] and "CREATE" in lines[0]["error"]
+    assert lines[1]["ok"]  # loop survived the bad request
