@@ -210,6 +210,7 @@ def score_query_on_segment(
     accept: np.ndarray | None = None,
     stats: dict | None = None,
     prune_epsilon: float = 0.0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docids, scores) of one query against one segment,
     pruning with block-max bounds against incoming threshold theta.
@@ -413,6 +414,13 @@ def score_query_on_segment(
                 stats.get("postings_scored", 0) + int(len(d))
             )
 
+    if after is not None:
+        # cursor filter BEFORE the top-k cut: the segment may hold more
+        # than k results at-or-before the cursor, and cutting first would
+        # silently drop valid after-cursor rows (resume correctness)
+        a_s, a_d = after
+        keep = (scores < a_s) | ((scores == a_s) & (candidates > a_d))
+        candidates, scores = candidates[keep], scores[keep]
     top = np.lexsort((candidates, -scores))[:k]
     return candidates[top], scores[top]
 
@@ -426,6 +434,7 @@ def score_conjunctive_on_segment(
     tombstones: np.ndarray | None = None,
     cache: dict | None = None,
     accept: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive (AND) top-k: only docs containing EVERY query term
     score; scores are the same exact BM25 sums as the disjunctive path.
@@ -479,6 +488,10 @@ def score_conjunctive_on_segment(
         d, c = contrib_full(t)
         pos = np.searchsorted(d, cand)
         scores += c[pos]  # every candidate is in every list by construction
+    if after is not None:  # cursor filter before the cut (see disjunctive)
+        a_s, a_d = after
+        keep = (scores < a_s) | ((scores == a_s) & (cand > a_d))
+        cand, scores = cand[keep], scores[keep]
     top = np.lexsort((cand, -scores))[:k]
     return cand[top], scores[top]
 
@@ -682,23 +695,25 @@ def search_partition(
                 accept = seg_cache[fkey] = reader.accepted_docids(doc_filter)
         for qid, st in states.items():
             qstats = metrics.setdefault(qid, {}) if metrics is not None else None
+            # the cursor applies INSIDE the scorer, before its top-k cut —
+            # a segment may hold more than k results at-or-before the
+            # cursor, and a post-hoc filter on an already-cut top-k would
+            # silently drop valid after-cursor rows
+            q_after = after.get(qid)
             if mode == "and":
                 d, s = score_conjunctive_on_segment(
                     reader, qterms[qid], idfs, st.k, avgdl, qtomb[qid],
-                    seg_cache, accept,
+                    seg_cache, accept, after=q_after,
                 )
             else:
                 d, s = score_query_on_segment(
                     reader, qterms[qid], idfs, st.k,
                     max(st.theta, min_score), avgdl, qtomb[qid],
                     seg_cache, accept, qstats, prune_epsilon,
+                    after=q_after,
                 )
             if min_score > 0.0 and len(s):
                 keep = s >= min_score
-                d, s = d[keep], s[keep]
-            if qid in after and len(s):
-                a_s, a_d = after[qid]
-                keep = (s < a_s) | ((s == a_s) & (d > a_d))
                 d, s = d[keep], s[keep]
             st.push(d, s)
     out = [

@@ -187,6 +187,13 @@ class IndexServer:
         self._result_cache: "OrderedDict[tuple, pd.DataFrame]" = OrderedDict()
         self.result_cache_cap = 1024
         self.cache_hits = 0
+        # stateful resume cursors (GraphSearcher.resume analog) + the
+        # work counters their tests assert on
+        self._cursors: dict[str, dict] = {}
+        self._cursor_seq = 0
+        self.search_executions = 0
+        self.cursor_refills = 0
+        self.cursor_pages_buffered = 0
         self._load_manifest()
         self.requests_served = 0
 
@@ -463,32 +470,146 @@ class IndexServer:
             self._result_cache.move_to_end(key)
             self.cache_hits += 1
             return hit.copy()
-        if self.mode == "spark":
-            out = search_index(self.spark, self.index_dir, queries,
-                               exclude=exclude,
-                               doc_filter=doc_filter, min_score=min_score,
-                               merge="driver", mode=mode)
-        else:
-            from jvector_spark.plans.merge import tombstone_view
-
-            seg_paths = [s["path"] for s in self.manifest["segments"]]
-            all_terms = sorted({t for ts in queries["terms"] for t in ts})
-            idfs = self._idfs(all_terms)
-            tomb = tombstone_view(self.index_dir)
-            out = search_partition(
-                seg_paths, queries[["qid", "terms", "k"]], idfs,
-                self.manifest["avgdl"], tomb, doc_filter, min_score,
-                mode=mode, pool=self.pool, exclude=exclude,
-            )
-            # search_partition's _TopK output is already globally merged
-            # and rank-ordered (score desc, docid asc) per query
-            out["rank"] = out.groupby("qid").cumcount().astype("int32")
-            out = out[["qid", "rank", "docid", "score"]]
+        out = self._execute(queries, doc_filter, min_score, mode, exclude)
         self._result_cache[key] = out
         self._result_cache.move_to_end(key)
         while len(self._result_cache) > self.result_cache_cap:
             self._result_cache.popitem(last=False)
         return out.copy()
+
+    def _execute(self, queries: pd.DataFrame, doc_filter: dict | None,
+                 min_score: float, mode: str, exclude: dict | None,
+                 after: dict | None = None) -> pd.DataFrame:
+        """The raw (uncached) scoring run — every call does real posting
+        work, counted in `search_executions` (the observability hook the
+        resume tests use to prove buffered pages cost zero scoring)."""
+        self.search_executions += 1
+        if self.mode == "spark":
+            return search_index(self.spark, self.index_dir, queries,
+                                exclude=exclude, after=after,
+                                doc_filter=doc_filter, min_score=min_score,
+                                merge="driver", mode=mode)
+        from jvector_spark.plans.merge import tombstone_view
+
+        seg_paths = [s["path"] for s in self.manifest["segments"]]
+        all_terms = sorted({t for ts in queries["terms"] for t in ts})
+        idfs = self._idfs(all_terms)
+        tomb = tombstone_view(self.index_dir)
+        out = search_partition(
+            seg_paths, queries[["qid", "terms", "k"]], idfs,
+            self.manifest["avgdl"], tomb, doc_filter, min_score,
+            mode=mode, pool=self.pool, exclude=exclude, after=after,
+        )
+        # search_partition's _TopK output is already globally merged
+        # and rank-ordered (score desc, docid asc) per query
+        out["rank"] = out.groupby("qid").cumcount().astype("int32")
+        return out[["qid", "rank", "docid", "score"]]
+
+    # -- stateful resume (saved-candidate pagination) ---------------------
+
+    def search_cursor(self, queries: pd.DataFrame,
+                      doc_filter: dict | None = None,
+                      min_score: float = 0.0, mode: str = "or",
+                      exclude: dict | None = None,
+                      overfetch: int = 4) -> tuple[str, pd.DataFrame]:
+        """Open a stateful cursor: page 1 returns immediately, and the
+        over-fetched SURVIVING candidates are saved so subsequent
+        :meth:`resume` pages are served from state instead of re-scoring
+        postings — the reference's resume()-with-saved-eviction-state
+        (GraphSearcher.java:503-541 restarts from the previous pass's
+        candidate queue + evicted results; NodeQueue rerank state,
+        NodeQueue.java:160-230). Exactness contract: every page is
+        identical to a stateless after-cursor re-run at that offset; a
+        drained buffer (or any index mutation — manifest generation or
+        tombstone write) transparently refills with a real run."""
+        self.requests_served += 1
+        cur_id = f"c{self._cursor_seq}"
+        self._cursor_seq += 1
+        opts = {"doc_filter": doc_filter, "min_score": float(min_score),
+                "mode": mode, "exclude": exclude,
+                "overfetch": max(2, int(overfetch))}
+        cur = {
+            "queries": queries[["qid", "terms", "k"]].reset_index(drop=True),
+            "opts": opts,
+            # per qid: pending (docid, score) arrays not yet returned,
+            # (score, docid) of the last row handed out, exhausted flag
+            "pending": {}, "last": {}, "done": {},
+            "stamp": (self._manifest_mtime, self._tomb_stamp()),
+        }
+        self._cursors[cur_id] = cur
+        page = self._cursor_page(cur, first=True)
+        return cur_id, page
+
+    def resume(self, cursor_id: str) -> pd.DataFrame:
+        """Next page for an open cursor (same per-query k). Buffered pages
+        do ZERO posting scoring (`cursor_pages_buffered` counts them);
+        refills and mutation-invalidated pages re-run for real."""
+        self.requests_served += 1
+        cur = self._cursors.get(cursor_id)
+        if cur is None:
+            raise KeyError(f"unknown cursor {cursor_id!r}")
+        return self._cursor_page(cur, first=False)
+
+    def cursor_close(self, cursor_id: str) -> bool:
+        return self._cursors.pop(cursor_id, None) is not None
+
+    def _cursor_page(self, cur: dict, first: bool) -> pd.DataFrame:
+        self._refresh_if_stale()
+        stamp = (self._manifest_mtime, self._tomb_stamp())
+        if stamp != cur["stamp"]:
+            # index mutated under the cursor: saved candidates may contain
+            # deleted docs or miss new ones — drop state, refill live
+            cur["pending"].clear()
+            cur["done"].clear()
+            cur["stamp"] = stamp
+        qdf = cur["queries"]
+        opts = cur["opts"]
+        need = {}  # qid -> k still to serve from a refill
+        for q in qdf.itertuples():
+            qid, k = int(q.qid), int(q.k)
+            pend = cur["pending"].get(qid)
+            have = 0 if pend is None else len(pend[0])
+            if have < k and not cur["done"].get(qid, False):
+                need[qid] = k
+        if need:
+            if not first:
+                self.cursor_refills += 1
+            fetch = qdf[qdf["qid"].isin(list(need))].copy()
+            kfetch = fetch["k"].astype(int) * opts["overfetch"]
+            fetch["k"] = kfetch
+            after = {qid: cur["last"][qid] for qid in need
+                     if qid in cur["last"]}
+            res = self._execute(fetch, opts["doc_filter"],
+                                opts["min_score"], opts["mode"],
+                                opts["exclude"], after=after or None)
+            for q in fetch.itertuples():
+                qid = int(q.qid)
+                sub = res[res["qid"] == qid]
+                cur["pending"][qid] = (
+                    sub["docid"].to_numpy(np.int64),
+                    sub["score"].to_numpy(np.float64))
+                # fewer rows than asked = the index has no more results
+                cur["done"][qid] = len(sub) < int(q.k)
+        elif not first:
+            self.cursor_pages_buffered += 1
+        outs = []
+        for q in qdf.itertuples():
+            qid, k = int(q.qid), int(q.k)
+            d, s = cur["pending"].get(qid, (np.zeros(0, np.int64),
+                                            np.zeros(0, np.float64)))
+            page_d, page_s = d[:k], s[:k]
+            cur["pending"][qid] = (d[k:], s[k:])
+            if len(page_d):
+                cur["last"][qid] = (float(page_s[-1]), int(page_d[-1]))
+                outs.append(pd.DataFrame({
+                    "qid": np.int64(qid),
+                    "rank": np.arange(len(page_d), dtype=np.int32),
+                    "docid": page_d, "score": page_s}))
+        return (pd.concat(outs, ignore_index=True) if outs else
+                pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                              "rank": pd.Series([], dtype="int32"),
+                              "docid": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")}))
 
     def stats(self) -> dict:
         return {
@@ -501,6 +622,10 @@ class IndexServer:
             "requests_served": self.requests_served,
             "result_cache_entries": len(self._result_cache),
             "result_cache_hits": self.cache_hits,
+            "open_cursors": len(self._cursors),
+            "search_executions": self.search_executions,
+            "cursor_pages_buffered": self.cursor_pages_buffered,
+            "cursor_refills": self.cursor_refills,
         }
 
 
@@ -512,6 +637,9 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
       {"op": "search", "queries": [{"qid": 0, "terms": [...], "k": 10}, ...],
        "doc_filter": {...}?, "min_score": 0.0?, "mode": "or"?,
        "exclude": {"0": [docid, ...]}?}
+      {"op": "search", ..., "cursor": true, "overfetch": 4?}  # stateful page 1
+      {"op": "resume", "cursor_id": "c0"}             # next page from state
+      {"op": "cursor_close", "cursor_id": "c0"}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
       {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?}
       {"op": "delete", "docids": [3, 17, ...]}
@@ -555,14 +683,27 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 if excl:
                     excl = {int(q): np.asarray(d, dtype=np.int64)
                             for q, d in excl.items()}
-                res = server.search(
-                    qpdf,
+                kw = dict(
                     doc_filter=req.get("doc_filter"),
                     min_score=float(req.get("min_score", 0.0)),
                     mode=req.get("mode", "or"),
                     exclude=excl,
                 )
-                resp = {"ok": True, "results": res.to_dict("records")}
+                if req.get("cursor"):
+                    cid, res = server.search_cursor(
+                        qpdf, overfetch=int(req.get("overfetch", 4)), **kw)
+                    resp = {"ok": True, "cursor_id": cid,
+                            "results": res.to_dict("records")}
+                else:
+                    res = server.search(qpdf, **kw)
+                    resp = {"ok": True, "results": res.to_dict("records")}
+            elif op == "resume":
+                res = server.resume(req["cursor_id"])
+                resp = {"ok": True, "results": res.to_dict("records"),
+                        "exhausted": len(res) == 0}
+            elif op == "cursor_close":
+                resp = {"ok": True,
+                        "closed": server.cursor_close(req["cursor_id"])}
             elif op == "phrase":
                 res = server.phrase(pd.DataFrame(req["queries"]))
                 resp = {"ok": True, "results": res.to_dict("records")}

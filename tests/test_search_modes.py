@@ -7,6 +7,7 @@ TestVectorGraph.java:132-175)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from jvector_spark.operators.ids import assign_dense_docids
@@ -134,3 +135,27 @@ def test_range_filter_rejects_unknown_op(spark, index, queries_pdf):
     with pytest.raises(Exception, match="unknown range ops"):
         search_index(spark, index, queries_pdf,
                      doc_filter={"dl": {"between": (1, 2)}}).toPandas()
+
+
+def test_search_after_deep_pagination_single_segment(
+        spark, corpus_df, oracle, tmp_path_factory):
+    """Regression: the cursor filter must apply BEFORE the per-segment
+    top-k cut. With every match in ONE segment, page N's candidates are
+    exactly the segment's ranks (N-1)k..Nk — an after-the-cut filter
+    would return the segment's (already cut) top-k minus page-1 rows,
+    silently losing deep pages."""
+    idx = str(tmp_path_factory.mktemp("idx_deep_page"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=1)
+    k = 7
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [k]})
+    d_full, s_full = _oracle_full_ranking(oracle, ["import"])
+    assert len(d_full) > 4 * k          # enough depth to matter
+    cursor = None
+    for page in range(4):
+        res = search_index(
+            spark, idx, q,
+            after={0: cursor} if cursor else None).toPandas()
+        res = res.sort_values("rank")
+        exp = d_full[page * k:(page + 1) * k]
+        assert res["docid"].tolist() == exp.tolist(), f"page={page}"
+        cursor = (float(res["score"].iloc[-1]), int(res["docid"].iloc[-1]))

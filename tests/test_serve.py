@@ -428,3 +428,108 @@ def test_bulkload_requires_empty_index(spark, corpus_df, corpus_pdf,
     lines = [json.loads(x) for x in out.getvalue().splitlines()]
     assert not lines[0]["ok"] and "CREATE" in lines[0]["error"]
     assert lines[1]["ok"]  # loop survived the bad request
+
+
+def test_cursor_resume_matches_stateless(spark, served_index):
+    """Stateful resume (GraphSearcher.java:503-541 resume-with-saved-
+    eviction-state analog; the TestVectorGraph.testResume contract):
+    every resumed page is identical to the from-scratch results at that
+    offset, buffered pages do ZERO posting scoring, and a drained buffer
+    refills with exactly one real run."""
+    server = IndexServer(spark, served_index, mode="local")
+    k = 5
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [k]})
+    cid, page1 = server.search_cursor(q, overfetch=4)  # buffers 4 pages
+    assert server.search_executions == 1
+    pages = [page1]
+    for _ in range(3):                         # pages 2-4 from state
+        pages.append(server.resume(cid))
+    assert server.search_executions == 1       # zero additional scoring
+    assert server.cursor_pages_buffered == 3
+    pages.append(server.resume(cid))           # page 5 drains the buffer
+    assert server.search_executions == 2       # exactly one refill
+    assert server.cursor_refills == 1
+
+    got = pd.concat(pages, ignore_index=True)
+    ref = server.search(pd.DataFrame(
+        {"qid": [0], "terms": [["import"]], "k": [5 * k]}))
+    assert got["docid"].tolist() == ref["docid"].tolist()
+    assert np.allclose(got["score"], ref["score"], rtol=0, atol=0)
+    assert server.cursor_close(cid)
+    with pytest.raises(KeyError):
+        server.resume(cid)
+
+
+def test_cursor_exhaustion_and_multi_query(spark, served_index):
+    """A cursor over several queries pages each independently; a query
+    with fewer matches than a page stops returning rows (and stays
+    absent from later pages) while the others keep paging."""
+    server = IndexServer(spark, served_index, mode="local")
+    q = pd.DataFrame({"qid": [0, 1],
+                      "terms": [["import"], ["zzz_no_such_term"]],
+                      "k": [3, 3]})
+    cid, page1 = server.search_cursor(q, overfetch=2)
+    assert set(page1["qid"]) == {0}            # OOV query returns nothing
+    total = [page1]
+    for _ in range(200):
+        p = server.resume(cid)
+        if p.empty:
+            break
+        total.append(p)
+    got = pd.concat(total, ignore_index=True)
+    ref = server.search(pd.DataFrame(
+        {"qid": [0], "terms": [["import"]], "k": [10_000]}))
+    assert got["docid"].tolist() == ref["docid"].tolist()  # full drain order
+
+
+def test_cursor_sees_mutations(spark, corpus_df, tmp_path_factory):
+    """An index mutation under an open cursor drops the saved candidates:
+    the next page re-runs live and cannot serve a deleted doc from
+    stale state."""
+    from jvector_spark.plans.merge import mark_deleted
+
+    idx = str(tmp_path_factory.mktemp("idx_cursor_mut"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    server = IndexServer(spark, idx, mode="local")
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [3]})
+    cid, page1 = server.search_cursor(q, overfetch=4)
+    # peek at what page 2 WOULD be, then delete its first doc
+    ref = server.search(pd.DataFrame(
+        {"qid": [0], "terms": [["import"]], "k": [6]}))
+    victim = int(ref["docid"].iloc[3])
+    mark_deleted(idx, [victim])
+    page2 = server.resume(cid)
+    assert victim not in page2["docid"].tolist()
+    assert server.cursor_refills == 1          # state was invalidated
+    # and still from-scratch-identical on the live index
+    live = server.search(pd.DataFrame(
+        {"qid": [0], "terms": [["import"]], "k": [6]}))
+    assert page2["docid"].tolist() == live["docid"].iloc[3:6].tolist()
+
+
+def test_cursor_protocol_ops(spark, served_index):
+    """cursor/resume/cursor_close through the JSON line protocol."""
+    server = IndexServer(spark, served_index, mode="local")
+    reqs = [
+        {"op": "search", "queries": [{"qid": 0, "terms": ["import"],
+                                      "k": 4}], "cursor": True},
+        {"op": "resume", "cursor_id": "c0"},
+        {"op": "stats"},
+        {"op": "cursor_close", "cursor_id": "c0"},
+        {"op": "resume", "cursor_id": "c0"},   # closed -> error, loop lives
+        {"op": "quit"},
+    ]
+    inp = io.StringIO("".join(json.dumps(r) + "\n" for r in reqs))
+    out = io.StringIO()
+    serve_loop(server, inp, out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    assert lines[0]["ok"] and lines[0]["cursor_id"] == "c0"
+    assert lines[1]["ok"] and len(lines[1]["results"]) == 4
+    assert lines[2]["cursor_pages_buffered"] == 1
+    assert lines[3]["ok"] and lines[3]["closed"]
+    assert not lines[4]["ok"]
+    # pages 1+2 through the protocol == one stateless k=8 search
+    both = pd.DataFrame(lines[0]["results"] + lines[1]["results"])
+    ref = server.search(pd.DataFrame({"qid": [0], "terms": [["import"]],
+                                      "k": [8]}))
+    assert both["docid"].tolist() == ref["docid"].tolist()
