@@ -1,4 +1,5 @@
-"""fvecs / ivecs dataset loaders (the SiftLoader analog).
+"""fvecs / ivecs / bvecs / fbin dataset loaders (the SiftLoader +
+Deep1BLoader + MultiFileDatasource analogs).
 
 Reference mapping: jvector-examples/.../util/SiftLoader.java:37-76 —
 fvecs records are [dim:int32 LE][dim float32 LE], ivecs records are
@@ -82,26 +83,25 @@ def fvecs_df(spark: SparkSession, path: str,
     return spark.createDataFrame(pdf)
 
 
-def read_fvecs_distributed(
+def _ranged_record_scan(
     spark: SparkSession,
     path: str,
-    num_partitions: int = 32,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n: int,
+    rec: int,
+    header: int,
+    decode,
+    num_partitions: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Byte-range-parallel fvecs scan: each task reads its own record
-    range (records are fixed-size), so a base file of any size loads
-    without touching the driver — the scale path for corpus fvecs.
-    vec_id = record ordinal (matches the reference's ordinal contract)."""
+    """Byte-range-parallel scan over a FIXED-RECORD-SIZE vector file: each
+    task seeks to its own record range, so a base file of any size loads
+    without touching the driver — the scale path shared by fvecs / bvecs /
+    fbin corpora. `decode` maps the task's raw (rows, rec) uint8 matrix to
+    per-row vectors; vec_id = record ordinal (the reference's ordinal
+    contract, Deep1BLoader.readFBin's startPosition arithmetic)."""
     from typing import Iterator
 
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
-        dim = int(np.frombuffer(f.read(4), np.int32)[0])
-    rec = 4 + 4 * dim
-    if size % rec:
-        raise ValueError(f"truncated fvecs file (record size {rec})")
-    n = size // rec
     bounds = np.linspace(0, n, num_partitions + 1, dtype=np.int64)
     ranges = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
     ranges_df = spark.createDataFrame(ranges, "start long, stop long")
@@ -111,10 +111,9 @@ def read_fvecs_distributed(
             for row in pdf.itertuples():
                 lo, hi = int(row.start), int(row.stop)
                 with open(path, "rb") as f:
-                    f.seek(lo * rec)
+                    f.seek(header + lo * rec)
                     raw = np.frombuffer(f.read((hi - lo) * rec), np.uint8)
-                mat = raw.reshape(-1, rec)
-                X = mat[:, 4:].copy().view(np.float32).reshape(-1, dim)
+                X = decode(raw.reshape(-1, rec))
                 yield pd.DataFrame({
                     id_col: np.arange(lo, hi, dtype=np.int64),
                     vec_col: [r for r in X],
@@ -123,3 +122,169 @@ def read_fvecs_distributed(
     return ranges_df.repartition(len(ranges)).mapInPandas(
         scan, f"{id_col} long, {vec_col} array<float>"
     )
+
+
+def read_fvecs_distributed(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Byte-range-parallel fvecs scan (see _ranged_record_scan)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        dim = int(np.frombuffer(f.read(4), np.int32)[0])
+    rec = 4 + 4 * dim
+    if size % rec:
+        raise ValueError(f"truncated fvecs file (record size {rec})")
+    return _ranged_record_scan(
+        spark, path, size // rec, rec, 0,
+        lambda m: m[:, 4:].copy().view(np.float32).reshape(-1, dim),
+        num_partitions, id_col, vec_col)
+
+
+def read_bvecs(path: str) -> np.ndarray:
+    """bvecs -> (n, dim) uint8 — the classic Deep1B/SIFT1B base format:
+    records are [dim:int32 LE][dim uint8] (SiftLoader's byte-vector
+    sibling; the reference reads the float conversions via Deep1BLoader)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.zeros((0, 0), np.uint8)
+    dim = int(raw[:4].view(np.int32)[0])
+    rec = 4 + dim
+    if len(raw) % rec:
+        raise ValueError(f"truncated bvecs file (record size {rec})")
+    mat = raw.reshape(-1, rec)
+    dims = mat[:, :4].copy().view(np.int32).ravel()
+    if not (dims == dim).all():
+        raise ValueError("non-uniform bvecs dimensions")
+    return mat[:, 4:].copy()
+
+
+def read_bvecs_distributed(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Byte-range-parallel bvecs scan; vectors upcast to float32 so the
+    ANN operators consume them unchanged."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        dim = int(np.frombuffer(f.read(4), np.int32)[0])
+    rec = 4 + dim
+    if size % rec:
+        raise ValueError(f"truncated bvecs file (record size {rec})")
+    return _ranged_record_scan(
+        spark, path, size // rec, rec, 0,
+        lambda m: m[:, 4:].astype(np.float32),
+        num_partitions, id_col, vec_col)
+
+
+def read_fbin(path: str, count: int | None = None) -> np.ndarray:
+    """fbin -> (n, dim) float32 — the Deep1B big-ann layout
+    (Deep1BLoader.readFBin:28-67): [n:int32 LE][dim:int32 LE] header,
+    then n*dim float32. `count` caps the rows read (the reference reads a
+    prefix of the 10^9-row file the same way)."""
+    with open(path, "rb") as f:
+        n, dim = np.frombuffer(f.read(8), np.int32)
+        n = int(n) if count is None else min(int(n), int(count))
+        X = np.frombuffer(f.read(4 * n * int(dim)), np.float32)
+    return X.reshape(n, int(dim)).copy()
+
+
+def read_fbin_distributed(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 32,
+    count: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Byte-range-parallel fbin scan — the distributed analog of the
+    reference's 16-way RandomAccessFile fan-out (Deep1BLoader.java:43-64),
+    with executors instead of threads: same startPosition arithmetic
+    (8-byte header + ordinal * dim * 4), unbounded file size."""
+    with open(path, "rb") as f:
+        n, dim = (int(x) for x in np.frombuffer(f.read(8), np.int32))
+    if count is not None:
+        n = min(n, int(count))
+    rec = 4 * dim
+    return _ranged_record_scan(
+        spark, path, n, rec, 8,
+        lambda m: m.copy().view(np.float32).reshape(-1, dim),
+        num_partitions, id_col, vec_col)
+
+
+def read_ibin_gt(path: str) -> np.ndarray:
+    """Ground-truth ibin -> (n, topK) int32 (Deep1BLoader.readGT:70-91:
+    [n:int32][topK:int32] header then n*topK int32 neighbor ordinals;
+    trailing score floats, when present, are ignored — 'GT file also
+    contains scores, we don't need those')."""
+    with open(path, "rb") as f:
+        n, topk = (int(x) for x in np.frombuffer(f.read(8), np.int32))
+        X = np.frombuffer(f.read(4 * n * topk), np.int32)
+    return X.reshape(n, topk).copy()
+
+
+class VecDataset:
+    """A named (base, queries, groundtruth) file triple — the reference's
+    MultiFileDatasource (MultiFileDatasource.java:28-49: name + three
+    paths, loaded into one DataSet). Format is sniffed per file from its
+    extension (fvecs/fvec, bvecs/bvec, fbin; gt: ivecs/ivec, ibin/bin),
+    so one dataset may mix layouts the way the reference's registry does."""
+
+    def __init__(self, name: str, base_path: str, queries_path: str,
+                 gt_path: str | None = None) -> None:
+        self.name = name
+        self.base_path = base_path
+        self.queries_path = queries_path
+        self.gt_path = gt_path
+
+    def paths(self) -> list[str]:
+        return [p for p in (self.base_path, self.queries_path, self.gt_path)
+                if p]
+
+    @staticmethod
+    def _read_vectors(path: str) -> np.ndarray:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        if ext in ("fvecs", "fvec"):
+            return read_fvecs(path)
+        if ext in ("bvecs", "bvec"):
+            return read_bvecs(path).astype(np.float32)
+        if ext == "fbin":
+            return read_fbin(path)
+        raise ValueError(f"unknown vector file extension {ext!r} ({path})")
+
+    def load_base_df(self, spark: SparkSession, num_partitions: int = 32,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+        """Base vectors as a DataFrame via the DISTRIBUTED ranged scan —
+        base files are the unbounded-size member of the triple."""
+        ext = os.path.splitext(self.base_path)[1].lower().lstrip(".")
+        reader = {"fvecs": read_fvecs_distributed,
+                  "fvec": read_fvecs_distributed,
+                  "bvecs": read_bvecs_distributed,
+                  "bvec": read_bvecs_distributed,
+                  "fbin": read_fbin_distributed}.get(ext)
+        if reader is None:
+            raise ValueError(f"unknown base extension {ext!r}")
+        return reader(spark, self.base_path, num_partitions=num_partitions,
+                      id_col=id_col, vec_col=vec_col)
+
+    def load_queries(self) -> np.ndarray:
+        """Query vectors driver-side (small by construction)."""
+        return self._read_vectors(self.queries_path)
+
+    def load_gt(self) -> np.ndarray:
+        """Ground-truth neighbor ordinals, (n_queries, k) int32."""
+        if not self.gt_path:
+            raise ValueError(f"dataset {self.name!r} has no ground truth")
+        ext = os.path.splitext(self.gt_path)[1].lower().lstrip(".")
+        if ext in ("ivecs", "ivec"):
+            return read_ivecs(self.gt_path)
+        if ext in ("ibin", "bin"):
+            return read_ibin_gt(self.gt_path)
+        raise ValueError(f"unknown gt extension {ext!r}")

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from jvector_spark.sources.vecfiles import (
@@ -136,3 +137,104 @@ def test_hdf5_recall_pipeline_from_file(spark, tmp_path):
     for qid in range(len(test_f)):
         got = res[res["qid"] == qid].sort_values("rank")["vec_id"].tolist()
         assert got == gt_f[qid].tolist(), qid
+
+
+def _write_bvecs(path: str, X: np.ndarray) -> None:
+    n, dim = X.shape
+    rec = np.empty((n, 4 + dim), np.uint8)
+    rec[:, :4] = np.full((n, 1), dim, np.int32).view(np.uint8)
+    rec[:, 4:] = X.astype(np.uint8)
+    rec.tofile(path)
+
+
+def _write_fbin(path: str, X: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        np.array(X.shape, np.int32).tofile(f)
+        X.astype("<f4").tofile(f)
+
+
+def _write_ibin(path: str, G: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        np.array(G.shape, np.int32).tofile(f)
+        G.astype("<i4").tofile(f)
+
+
+def test_bvecs_roundtrip_and_distributed(spark, tmp_path):
+    """Deep1B byte-vector base format: driver parse == written bytes,
+    ranged scan == driver parse (upcast to float32)."""
+    from jvector_spark.sources.vecfiles import (
+        read_bvecs, read_bvecs_distributed)
+
+    rng = np.random.default_rng(5)
+    X = rng.integers(0, 256, size=(41, 16), dtype=np.uint8)
+    p = str(tmp_path / "x.bvecs")
+    _write_bvecs(p, X)
+    assert np.array_equal(read_bvecs(p), X)
+    pdf = (read_bvecs_distributed(spark, p, num_partitions=5)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assert pdf["vec_id"].tolist() == list(range(41))
+    got = np.vstack(pdf["embedding"].to_numpy())
+    assert np.array_equal(got, X.astype(np.float32))
+
+
+def test_fbin_roundtrip_count_and_distributed(spark, tmp_path):
+    """Deep1B fbin ([n][dim] header) with the reference's prefix-read
+    `count` contract (Deep1BLoader.readFBin), plus the executor-parallel
+    ranged scan with the same startPosition arithmetic."""
+    from jvector_spark.sources.vecfiles import (
+        read_fbin, read_fbin_distributed)
+
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(29, 12)).astype(np.float32)
+    p = str(tmp_path / "x.fbin")
+    _write_fbin(p, X)
+    assert np.array_equal(read_fbin(p), X)
+    assert np.array_equal(read_fbin(p, count=10), X[:10])
+    pdf = (read_fbin_distributed(spark, p, num_partitions=4, count=20)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assert pdf["vec_id"].tolist() == list(range(20))
+    assert np.array_equal(np.vstack(pdf["embedding"].to_numpy()), X[:20])
+
+
+def test_ibin_gt_roundtrip(tmp_path):
+    from jvector_spark.sources.vecfiles import read_ibin_gt
+
+    G = np.arange(60, dtype=np.int32).reshape(6, 10)
+    p = str(tmp_path / "gt.ibin")
+    _write_ibin(p, G)
+    assert np.array_equal(read_ibin_gt(p), G)
+
+
+def test_vec_dataset_multi_format_recall(spark, tmp_path):
+    """MultiFileDatasource analog: a named triple mixing formats (fbin
+    base + fvecs queries + ibin gt) loads end-to-end, and brute-force
+    top-k over the loaded base reproduces the ground truth exactly."""
+    from jvector_spark.operators.ann import brute_force_topk
+    from jvector_spark.sources.vecfiles import VecDataset
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    Q = rng.normal(size=(4, 8)).astype(np.float32)
+    # cosine ground truth, ties broken by ordinal asc (display contract)
+    sims = np.round(
+        (Q @ X.T) / (np.linalg.norm(Q, axis=1)[:, None]
+                     * np.linalg.norm(X, axis=1)[None, :]), 6)
+    k = 5
+    GT = np.vstack([np.lexsort((np.arange(50), -sims[i]))[:k]
+                    for i in range(len(Q))]).astype(np.int32)
+    bp, qp, gp = (str(tmp_path / n) for n in ("b.fbin", "q.fvecs", "g.ibin"))
+    _write_fbin(bp, X)
+    _write_fvecs(qp, Q)
+    _write_ibin(gp, GT)
+
+    ds = VecDataset("mixed-tiny", bp, qp, gp)
+    base = ds.load_base_df(spark, num_partitions=3)
+    queries = spark.createDataFrame(pd.DataFrame({
+        "qid": np.arange(len(Q), dtype=np.int64),
+        "qvec": [r for r in ds.load_queries()],
+    }))
+    res = brute_force_topk(base, queries, k=k).toPandas()
+    gt = ds.load_gt()
+    for qid in range(len(Q)):
+        got = res[res["qid"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == gt[qid].tolist(), qid
