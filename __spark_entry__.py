@@ -915,14 +915,20 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase PQ search: ADC approximate scan + exact cosine rerank
-    (the DiskANN compressed-search pattern, SURVEY §3.2). The rerank phase
-    emits EXACT cosine ranks whenever the ADC survivor set contains the
-    true top-k (rerankK >= topK contract, GraphSearcher.search:209) —
-    rerank_k=100 of 500 fixture vectors makes that hold (pytest-asserted
-    at both sf0.001 and sf0.01, tests/test_pq.py), so the brute-force SQL
-    oracle applies to this query too."""
+def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase compressed search, BOTH compression tiers in one gated
+    query (tier column): 'pq' = ADC approximate scan + exact cosine rerank
+    (the DiskANN compressed-search pattern, SURVEY §3.2); 'nvq' =
+    per-vector 8-bit affine codes scanned via pure Catalyst dequantized
+    cosine + the same exact rerank (NVQuantization.java:42-155 /
+    NVQScorer.java — the reference ships both PQ and NVQ for the same
+    two-phase contract). Each tier emits EXACT cosine ranks whenever its
+    survivor set contains the true top-k (rerankK >= topK contract,
+    GraphSearcher.search:209) — rerank_k = max(100, n/5) makes that hold
+    (pytest-asserted, tests/test_pq.py + tests/test_nvq.py), so the
+    brute-force SQL oracle applies to both tiers. Supersedes r2's
+    ann_pq_rerank (the pq tier is that query unchanged)."""
+    from jvector_spark.operators.nvq import nvq_encode, nvq_rerank_topk
     from jvector_spark.operators.pq import (
         load_codebooks, pq_adc_topk, pq_encode, save_codebooks, train_pq)
 
@@ -950,9 +956,17 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ADC set keeps covering the exact top-10 at every fixture sf —
     # still a 5x+ scan reduction vs brute force
     rerank_k = max(100, emb.count() // 5)
-    return pq_adc_topk(enc, queries, books, k=10, rerank_k=rerank_k).select(
-        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
+    pq_res = pq_adc_topk(enc, queries, books, k=10, rerank_k=rerank_k).select(
+        F.lit("pq").alias("tier"), F.col("qid").cast("long"), "rank",
+        F.col("vec_id").cast("long"), "score",
     )
+    nvq_res = nvq_rerank_topk(
+        nvq_encode(emb), queries, k=10, rerank_k=rerank_k,
+    ).select(
+        F.lit("nvq").alias("tier"), F.col("qid").cast("long"), "rank",
+        F.col("vec_id").cast("long"), "score",
+    )
+    return pq_res.unionByName(nvq_res)
 
 
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_ivf_partitioned": q_ann_ivf_partitioned,
         "embed_near_dup": q_embed_near_dup,
-        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_compressed_rerank": q_ann_compressed_rerank,
         "ann_graph_topk": q_ann_graph_topk,
         "curation_pipeline": q_curation_pipeline,
         "image_features": q_image_features,
@@ -2145,12 +2159,18 @@ WHERE a.doc_id < b2.doc_id AND a.rnk <= 1000 AND b2.rnk <= 1000
         "ann_brute_topk": ann,
         "ann_ivf_partitioned": ann,
         "embed_near_dup": _embed_lsh_oracle(),
-        # ann_pq_rerank: the rerank phase outputs EXACT cosine top-k
-        # whenever ADC survivors (rerank_k=100 of 500) cover the true
-        # top-10 — pytest-asserted on the fixtures (tests/test_pq.py), so
-        # the brute-force oracle applies (k-means itself still isn't
+        # ann_compressed_rerank: BOTH tiers' rerank phases output EXACT
+        # cosine top-k whenever their survivors (rerank_k=100 of 500)
+        # cover the true top-10 — pytest-asserted on the fixtures
+        # (tests/test_pq.py, tests/test_nvq.py), so the brute-force
+        # oracle applies to each tier (k-means itself still isn't
         # SQL-expressible; exactness of the final ranks is)
-        "ann_pq_rerank": ann,
+        "ann_compressed_rerank": f"""
+WITH base AS ({ann})
+SELECT 'pq' AS tier, * FROM base
+UNION ALL
+SELECT 'nvq' AS tier, * FROM base
+""",
         # ann_graph_topk: beam candidates provably cover the exact top-10
         # on the fixtures (pytest-asserted), rerank is exact cosine with
         # the same expression as brute force -> the brute oracle applies

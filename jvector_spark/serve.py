@@ -92,31 +92,64 @@ class VectorPool:
 
     def __init__(self, parquet_path: str, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 n_clusters: int | None = None, seed: int = 42) -> None:
+                 n_clusters: int | None = None, seed: int = 42,
+                 quantize: str | None = None) -> None:
         import pyarrow.parquet as pq_mod
 
+        if quantize not in (None, "nvq"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         tbl = pq_mod.read_table(parquet_path, columns=[id_col, vec_col])
         self.ids = tbl[id_col].to_numpy().astype(np.int64)
         mat = np.vstack(
             tbl[vec_col].to_numpy(zero_copy_only=False)
         ).astype(np.float64)
         order = np.argsort(self.ids, kind="stable")  # id-asc tie-break
-        self.ids, self.mat = self.ids[order], mat[order]
-        self.norms = np.sqrt((self.mat * self.mat).sum(axis=1))
-        self.n, self.dim = self.mat.shape
+        self.ids, mat = self.ids[order], mat[order]
+        self.quantize = quantize
+        self.n, self.dim = mat.shape
+        if quantize == "nvq":
+            # steady-state residency is CODES ONLY: 1 byte/dim + 12
+            # bytes/vector (vmin, delta, norm) instead of 8 bytes/dim —
+            # the reference's NVQ rerank-tier memory format
+            # (NVQuantization.java:42-155). Scoring never materializes
+            # the dequantized matrix: dot(dequant_i, q) decomposes as
+            # vmin_i * sum(q) + delta_i * (codes_i . q) (the NVQScorer
+            # shift/scale identity), so each request is one uint8-matrix
+            # matmul. The float input `mat` is dropped after this block;
+            # scores are the dequantized approximation, still
+            # round(cos, 6) with id-asc ties.
+            from jvector_spark.operators.nvq import nvq_encode_np
+
+            self._codes, self._vmin, self._delta = nvq_encode_np(mat)
+            dq_norm_sq = (
+                (self._vmin.astype(np.float64) ** 2) * self.dim
+                + 2.0 * self._vmin.astype(np.float64)
+                * self._delta.astype(np.float64)
+                * self._codes.sum(axis=1, dtype=np.float64)
+                + (self._delta.astype(np.float64) ** 2)
+                * (self._codes.astype(np.float64) ** 2).sum(axis=1)
+            )
+            self.norms = np.sqrt(dq_norm_sq)
+            self.mat = None
+        else:
+            self.mat = mat
+            self.norms = np.sqrt((mat * mat).sum(axis=1))
         # optional IVF tier (the reference's approximate-then-exact core:
         # probe nearest centroid cells, exact-rerank their members) — at
-        # shard scale the matmul touches nprobe/n_clusters of the matrix
+        # shard scale the matmul touches nprobe/n_clusters of the matrix.
+        # For a quantized pool, training uses the load-time float matrix
+        # (already in memory here) before it is dropped.
         self.centroids = self.assign = None
         if n_clusters and n_clusters > 1:
-            self._train_ivf(min(n_clusters, self.n), seed)
+            self._train_ivf(mat, min(n_clusters, self.n), seed)
 
-    def _train_ivf(self, n_clusters: int, seed: int,
+    def _train_ivf(self, mat: np.ndarray, n_clusters: int, seed: int,
                    iters: int = 8) -> None:
-        """Seeded numpy Lloyd on the resident (L2-normalized) matrix —
+        """Seeded numpy Lloyd on the (L2-normalized) load-time matrix —
         spherical k-means, matching ann.train_centroids' geometry."""
         rng = np.random.default_rng(seed)
-        unit = self.mat / np.maximum(self.norms[:, None], 1e-12)
+        unit = mat / np.maximum(
+            np.sqrt((mat * mat).sum(axis=1))[:, None], 1e-12)
         c = unit[rng.choice(self.n, n_clusters, replace=False)]
         for _ in range(iters):
             assign = (unit @ c.T).argmax(axis=1)
@@ -148,9 +181,15 @@ class VectorPool:
                 cand.sort()
             else:
                 cand = slice(None)
-            sub = self.mat[cand]
-            sims = np.round(
-                (sub @ q[qid]) / (qn[qid] * self.norms[cand]), 6)
+            if self.quantize == "nvq":
+                # NVQScorer shift/scale identity — one uint8 matmul, no
+                # dequantized matrix: dot = vmin*sum(q) + delta*(codes.q)
+                dots = (self._vmin[cand].astype(np.float64) * q[qid].sum()
+                        + self._delta[cand].astype(np.float64)
+                        * (self._codes[cand] @ q[qid]))
+            else:
+                dots = self.mat[cand] @ q[qid]
+            sims = np.round(dots / (qn[qid] * self.norms[cand]), 6)
             ids = self.ids[cand]
             top = np.lexsort((ids, -sims))[:k]
             outs.append(pd.DataFrame({
@@ -166,7 +205,8 @@ class IndexServer:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  mode: str = "local", vectors: str | None = None,
-                 vector_clusters: int | None = None) -> None:
+                 vector_clusters: int | None = None,
+                 vector_quantize: str | None = None) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
@@ -174,7 +214,8 @@ class IndexServer:
         self.mode = mode
         self.pool = SearcherPool()
         self.vectors = (
-            VectorPool(vectors, n_clusters=vector_clusters)
+            VectorPool(vectors, n_clusters=vector_clusters,
+                       quantize=vector_quantize)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
         # bounded result cache, GENERATION-scoped: identical (queries,
@@ -423,8 +464,10 @@ class IndexServer:
             rss_kb = -1
         vec_kb = 0
         if self.vectors is not None:
-            vec_kb = (self.vectors.mat.nbytes + self.vectors.ids.nbytes
-                      + self.vectors.norms.nbytes) // 1024
+            v = self.vectors
+            resident = (v._codes.nbytes + v._vmin.nbytes + v._delta.nbytes
+                        if v.quantize == "nvq" else v.mat.nbytes)
+            vec_kb = (resident + v.ids.nbytes + v.norms.nbytes) // 1024
         return {
             "rss_kb": rss_kb,
             "index_postings_kb": int(self.manifest["metrics"]

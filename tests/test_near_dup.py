@@ -84,10 +84,11 @@ def test_lsh_verified_plan_never_quadratic(docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pq_rerank_exact_on_fixtures(spark):
-    """rerank_k=100 of 500 fixture vectors: the two-phase PQ search returns
-    the EXACT cosine top-10 (rank-identical to brute force) at both sf
-    fixtures — the basis for giving ann_pq_rerank the brute-force oracle."""
+def test_compressed_rerank_exact_on_fixtures(spark):
+    """rerank_k=100 of 500 fixture vectors: BOTH two-phase compressed
+    tiers (pq ADC and nvq dequantized scan) return the EXACT cosine
+    top-10 (rank-identical to brute force) at both sf fixtures — the
+    basis for giving ann_compressed_rerank the brute-force oracle."""
     import __spark_entry__ as entry
     from jvector_spark.operators.ann import brute_force_topk
     from pyspark.sql import functions as F
@@ -97,13 +98,16 @@ def test_pq_rerank_exact_on_fixtures(spark):
         queries = e.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
-        got = entry.q_ann_pq_rerank(spark, sf).toPandas() \
-            .sort_values(["qid", "rank"]).reset_index(drop=True)
+        res = entry.q_ann_compressed_rerank(spark, sf).toPandas()
         exact = brute_force_topk(e, queries, k=10).toPandas() \
             .sort_values(["qid", "rank"]).reset_index(drop=True)
-        assert got[["qid", "rank", "vec_id"]].equals(
-            exact[["qid", "rank", "vec_id"]].astype(got[["qid", "rank", "vec_id"]].dtypes)
-        ), f"PQ rerank not exact at {sf}"
+        for tier in ("pq", "nvq"):
+            got = res[res["tier"] == tier].drop(columns="tier") \
+                .sort_values(["qid", "rank"]).reset_index(drop=True)
+            assert got[["qid", "rank", "vec_id"]].equals(
+                exact[["qid", "rank", "vec_id"]].astype(
+                    got[["qid", "rank", "vec_id"]].dtypes)
+            ), f"{tier} rerank not exact at {sf}"
 
 
 def test_near_dup_groups_transitive(spark):
