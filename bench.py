@@ -316,6 +316,53 @@ def grid_run() -> None:
                 })
             enc.unpersist()
 
+            # NVQ tier (per-vector 8-bit codes, Catalyst dequantized scan
+            # + exact rerank — NVQuantization/NVQScorer analog)
+            from jvector_spark.operators.nvq import (
+                nvq_encode, nvq_rerank_topk)
+
+            nenc = nvq_encode(emb).cache()
+            nenc.count()
+            for rerank_k in (10, 50, 100):
+                t0 = time.time()
+                approx = nvq_rerank_topk(nenc, queries, k=10,
+                                         rerank_k=rerank_k).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag, "config": f"nvq_rerank{rerank_k}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                })
+            nenc.unpersist()
+
+            # graph tier (per-cluster Vamana beam; scan_fraction = real
+            # score evaluations / (queries * corpus), via accumulator)
+            from jvector_spark.operators.graph import (
+                build_graph_index, graph_topk)
+
+            n_total = emb.count()
+            gpath = f"{INDEX_DIR}_graph_{tag}"
+            shutil.rmtree(gpath, ignore_errors=True)
+            build_graph_index(emb, gpath, cents, R=16, alpha=1.2)
+            for nprobe, ef in ((1, 32), (2, 32), (2, 64), (4, 64)):
+                acc = spark.sparkContext.accumulator(0)
+                t0 = time.time()
+                approx = graph_topk(spark, gpath, queries, cents, k=10,
+                                    nprobe=nprobe, ef=ef,
+                                    evals_acc=acc).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag,
+                    "config": f"graph_R16_nprobe{nprobe}_ef{ef}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                    "scan_fraction": round(
+                        acc.value / max(1, nq * n_total), 3),
+                })
+            shutil.rmtree(gpath, ignore_errors=True)
+
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         sweep(os.path.basename(os.path.normpath(SF_DIR)), emb,
               n_clusters=16, m=8)

@@ -263,12 +263,18 @@ def graph_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    evals_acc=None,
 ) -> DataFrame:
     """Beam-searched top-k over the graph layout: per probed cluster, an
     in-task beam from the medoid emits <=ef candidates per query; the
     final exact top-k reranks the candidate union with the SAME cosine
     expression as brute_force_topk (so with covering ef the result is
-    rank-identical to brute force and the SQL oracle applies)."""
+    rank-identical to brute force and the SQL oracle applies).
+
+    `evals_acc`: optional Spark accumulator collecting the number of
+    score evaluations across all tasks (the visited-count observability
+    of SearchResult.getVisitedCount) — the honest scan-fraction metric
+    for the bench grid."""
     meta = load_graph_meta(path)
     qpdf = queries.select(qid_col, qvec_col).toPandas()
     qc = assign_probes(queries, centroids, nprobe, qvec_col)
@@ -302,8 +308,10 @@ def graph_topk(
         medoid_pos = pos[int(medoids[cluster])]
         outs = []
         for qid in qids:
-            found, _ = beam_search_cluster(
+            found, n_evals = beam_search_cluster(
                 ids, V, nbrs, medoid_pos, qvecs[qid], ef)
+            if evals_acc is not None:
+                evals_acc.add(int(n_evals))
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid),
                 id_col: ids[found],
