@@ -139,6 +139,47 @@ def test_graph_recall_and_rerank_covering(spark, emb, gindex):
     assert recall >= 0.95, recall
 
 
+def test_multiseed_restores_navigability():
+    """A kNN-candidate graph has only short intra-basin edges, so a
+    single-entry beam cannot cross well-separated sub-clusters — the
+    failure HNSW's upper layers (and the reference's search-path edge
+    accumulation, GraphIndexBuilder.java:441-453) exist to prevent.
+    Spread seeds must recover most of the lost recall at a small
+    evaluation overhead, and stay deterministic."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(24, DIM))
+    n = 3000
+    V = _normalize(centers[rng.integers(0, 24, n)]
+                   + 0.4 * rng.normal(size=(n, DIM)))
+    adj, medoid = _build_cluster_graph(V, R=8, alpha=1.2)
+    ids = np.arange(n, dtype=np.int64)
+    nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
+    seeds = np.arange(0, n, n // 64, dtype=np.int64)[:64]
+
+    def run(seed_pos):
+        hits = evals = 0
+        for t in range(20):
+            q = _normalize(centers[t % 24][None]
+                           + 0.4 * rng.normal(size=(1, DIM)))[0]
+            found, ne = beam_search_cluster(
+                ids, V, nbrs, medoid, q, ef=32, seed_pos=seed_pos)
+            truth = set(np.argsort(-(V @ q))[:10].tolist())
+            hits += len(truth & set(found[:32].tolist()))
+            evals += ne
+        return hits / 200, evals
+
+    rng = np.random.default_rng(5)  # same query stream for both runs
+    rec1, ev1 = run(None)
+    rng = np.random.default_rng(5)
+    recm, evm = run(seeds)
+    assert recm >= rec1 + 0.2, (rec1, recm)   # seeds add real recall
+    assert recm >= 0.8, recm
+    assert evm <= ev1 + 20 * 80               # bounded seed overhead
+    rng = np.random.default_rng(5)
+    recm2, evm2 = run(seeds)                  # deterministic
+    assert (recm2, evm2) == (recm, evm)
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.01"])
 def test_entry_covering(spark, sf_dir):
