@@ -192,6 +192,14 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--vector-clusters", type=int, default=None,
                     help="train an IVF tier over --vectors at load; knn "
                          "requests may then pass nprobe")
+    sv.add_argument("--vector-graph-R", type=int, default=None,
+                    help="build a per-cell Vamana graph tier over "
+                         "--vectors at load; knn requests may then pass "
+                         "ef for beam-searched cells")
+    sv.add_argument("--vector-quantize", default=None,
+                    choices=["nvq"],
+                    help="hold --vectors as NVQ 8-bit codes instead of "
+                         "the float matrix (rerank-tier memory format)")
 
     args = p.parse_args(argv)
 
@@ -331,7 +339,9 @@ def main(argv: list[str] | None = None) -> int:
 
             server = IndexServer(spark, args.index, mode=args.mode,
                                  vectors=args.vectors,
-                                 vector_clusters=args.vector_clusters)
+                                 vector_clusters=args.vector_clusters,
+                                 vector_quantize=args.vector_quantize,
+                                 vector_graph_R=args.vector_graph_R)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)
         elif args.cmd == "compact":

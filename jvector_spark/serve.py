@@ -93,7 +93,8 @@ class VectorPool:
     def __init__(self, parquet_path: str, id_col: str = "vec_id",
                  vec_col: str = "embedding",
                  n_clusters: int | None = None, seed: int = 42,
-                 quantize: str | None = None) -> None:
+                 quantize: str | None = None,
+                 graph_R: int | None = None) -> None:
         import pyarrow.parquet as pq_mod
 
         if quantize not in (None, "nvq"):
@@ -142,6 +143,34 @@ class VectorPool:
         self.centroids = self.assign = None
         if n_clusters and n_clusters > 1:
             self._train_ivf(mat, min(n_clusters, self.n), seed)
+        # optional graph tier: per-cell Vamana adjacency built ONCE at
+        # load from the float matrix (before a quantized pool drops it) —
+        # the in-memory GraphSearcher serving analog
+        # (GraphSearcher.java:387-451). Residency cost is the adjacency
+        # only (<= 2R+bridges int32 per node); beam scoring reuses the
+        # pool's scoring kernel, so it works over NVQ codes too.
+        self.graph_R = graph_R
+        self._graph = None
+        if graph_R:
+            self._build_graph(mat, graph_R)
+
+    def _build_graph(self, mat: np.ndarray, R: int) -> None:
+        from jvector_spark.operators.graph import _build_cluster_graph
+
+        unit = mat / np.maximum(
+            np.sqrt((mat * mat).sum(axis=1))[:, None], 1e-12)
+        cells = (self.cells if self.centroids is not None
+                 else [np.arange(self.n)])
+        self._graph = []
+        for members in cells:
+            adj, medoid = _build_cluster_graph(
+                unit[members], R=R, alpha=1.2)
+            nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
+            m = len(members)
+            seeds = np.unique(np.concatenate([
+                np.asarray([medoid], dtype=np.int64),
+                np.arange(0, m, max(1, m // 64), dtype=np.int64)[:64]]))
+            self._graph.append((members, nbrs, seeds))
 
     def _train_ivf(self, mat: np.ndarray, n_clusters: int, seed: int,
                    iters: int = 8) -> None:
@@ -163,34 +192,106 @@ class VectorPool:
         self.cells = [np.flatnonzero(self.assign == j)
                       for j in range(n_clusters)]
 
+    def _score_positions(self, pos: np.ndarray, q: np.ndarray,
+                         qn: float) -> np.ndarray:
+        """Cosine of the pool rows at `pos` against one query — the one
+        scoring kernel every serving path shares (brute, IVF cells, graph
+        beam). For an NVQ pool this is the NVQScorer shift/scale
+        identity — dot = vmin*sum(q) + delta*(codes.q) — never a
+        dequantized matrix."""
+        if self.quantize == "nvq":
+            dots = (self._vmin[pos].astype(np.float64) * q.sum()
+                    + self._delta[pos].astype(np.float64)
+                    * (self._codes[pos] @ q))
+        else:
+            dots = self.mat[pos] @ q
+        return dots / (qn * self.norms[pos])
+
+    def _beam_cell(self, cell: int, q: np.ndarray, qn: float,
+                   ef: int) -> tuple[np.ndarray, np.ndarray, int]:
+        """ef-bounded best-first beam inside one graph cell (the warm
+        GraphSearcher.java:387-451 loop). Returns (global positions,
+        their sims, evals)."""
+        members, nbrs, seeds = self._graph[cell]
+        m = len(members)
+        visited = np.zeros(m, dtype=bool)
+        visited[seeds] = True
+        sims0 = self._score_positions(members[seeds], q, qn)
+        cand_pos = [int(p) for p in seeds]
+        cand_sim = sims0.tolist()
+        expanded = np.zeros(m, dtype=bool)
+        n_evals = len(seeds)
+        while True:
+            best, best_s = -1, -np.inf
+            for i, p in enumerate(cand_pos):
+                if not expanded[p] and cand_sim[i] > best_s:
+                    best, best_s = p, cand_sim[i]
+            if best < 0:
+                break
+            if len(cand_pos) >= ef:
+                kth = np.partition(np.asarray(cand_sim), -ef)[-ef]
+                if best_s < kth:
+                    break
+            expanded[best] = True
+            new = nbrs[best][~visited[nbrs[best]]]
+            if len(new):
+                visited[new] = True
+                s = self._score_positions(members[new], q, qn)
+                n_evals += len(new)
+                cand_pos.extend(int(p) for p in new)
+                cand_sim.extend(s.tolist())
+        cp = np.asarray(cand_pos, dtype=np.int64)
+        cs = np.asarray(cand_sim)
+        keep = np.lexsort((self.ids[members[cp]], -cs))[:ef]
+        return members[cp[keep]], cs[keep], n_evals
+
     def knn(self, qvecs: np.ndarray, k: int,
-            nprobe: int | None = None) -> pd.DataFrame:
+            nprobe: int | None = None,
+            ef: int | None = None) -> pd.DataFrame:
         """(n_queries, dim) -> (qid, rank, vec_id, score), qid = row
         index of the query batch. nprobe (with an IVF-enabled pool)
         limits the exact scoring to the members of the nprobe nearest
         centroid cells — approximate (probe misses possible), scores of
-        returned rows stay exact; nprobe=None or no IVF = exact brute."""
+        returned rows stay exact; nprobe=None or no IVF = exact brute.
+        ef (with a graph-enabled pool, graph_R=...) switches the probed
+        cells from full scans to multi-seed beam searches — the fastest
+        tier; evals land in self.last_graph_evals for observability
+        (SearchResult.getVisitedCount)."""
         q = np.asarray(qvecs, dtype=np.float64)
         qn = np.maximum(np.sqrt((q * q).sum(axis=1)), 1e-12)
         outs = []
+        use_graph = ef is not None and self._graph is not None
+        self.last_graph_evals = 0
         for qid in range(len(q)):
-            if nprobe is not None and self.centroids is not None:
+            if self.centroids is not None and (
+                    nprobe is not None or use_graph):
                 cq = (q[qid] / qn[qid]) @ self.centroids.T
-                probe = np.argsort(-cq, kind="stable")[:nprobe]
-                cand = np.concatenate([self.cells[j] for j in probe])
-                cand.sort()
+                order = np.argsort(-cq, kind="stable")
+                probe = order[:nprobe] if nprobe is not None else order
             else:
-                cand = slice(None)
-            if self.quantize == "nvq":
-                # NVQScorer shift/scale identity — one uint8 matmul, no
-                # dequantized matrix: dot = vmin*sum(q) + delta*(codes.q)
-                dots = (self._vmin[cand].astype(np.float64) * q[qid].sum()
-                        + self._delta[cand].astype(np.float64)
-                        * (self._codes[cand] @ q[qid]))
+                probe = None
+            if use_graph:
+                cells = (probe if probe is not None
+                         else np.arange(len(self._graph)))
+                ps, ss = [], []
+                for c in cells:
+                    gp, gs, ne = self._beam_cell(int(c), q[qid],
+                                                 float(qn[qid]), ef)
+                    ps.append(gp)
+                    ss.append(gs)
+                    self.last_graph_evals += ne
+                pos = np.concatenate(ps)
+                sims = np.round(np.concatenate(ss), 6)
+                ids = self.ids[pos]
             else:
-                dots = self.mat[cand] @ q[qid]
-            sims = np.round(dots / (qn[qid] * self.norms[cand]), 6)
-            ids = self.ids[cand]
+                if probe is not None:
+                    cand = np.concatenate([self.cells[j] for j in probe])
+                    cand.sort()
+                else:
+                    cand = np.arange(self.n)
+                sims = np.round(
+                    self._score_positions(cand, q[qid], float(qn[qid])), 6)
+                ids = self.ids[cand]
             top = np.lexsort((ids, -sims))[:k]
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid),
@@ -206,7 +307,8 @@ class IndexServer:
     def __init__(self, spark: SparkSession, index_dir: str,
                  mode: str = "local", vectors: str | None = None,
                  vector_clusters: int | None = None,
-                 vector_quantize: str | None = None) -> None:
+                 vector_quantize: str | None = None,
+                 vector_graph_R: int | None = None) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
@@ -215,7 +317,7 @@ class IndexServer:
         self.pool = SearcherPool()
         self.vectors = (
             VectorPool(vectors, n_clusters=vector_clusters,
-                       quantize=vector_quantize)
+                       quantize=vector_quantize, graph_R=vector_graph_R)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
         # bounded result cache, GENERATION-scoped: identical (queries,
@@ -239,13 +341,14 @@ class IndexServer:
         self.requests_served = 0
 
     def knn(self, qvecs, k: int = 10,
-            nprobe: int | None = None) -> pd.DataFrame:
+            nprobe: int | None = None,
+            ef: int | None = None) -> pd.DataFrame:
         if self.vectors is None:
             raise ValueError(
                 "server started without a vector table (vectors=...)")
         self.requests_served += 1
         return self.vectors.knn(
-            np.asarray(qvecs, dtype=np.float64), k, nprobe=nprobe)
+            np.asarray(qvecs, dtype=np.float64), k, nprobe=nprobe, ef=ef)
 
     def _load_manifest(self) -> None:
         self.manifest = load_manifest(self.index_dir)
@@ -467,6 +570,11 @@ class IndexServer:
             v = self.vectors
             resident = (v._codes.nbytes + v._vmin.nbytes + v._delta.nbytes
                         if v.quantize == "nvq" else v.mat.nbytes)
+            if v._graph is not None:
+                resident += sum(
+                    members.nbytes + seeds.nbytes
+                    + sum(a.nbytes for a in nbrs)
+                    for members, nbrs, seeds in v._graph)
             vec_kb = (resident + v.ids.nbytes + v.norms.nbytes) // 1024
         return {
             "rss_kb": rss_kb,
@@ -684,7 +792,8 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
       {"op": "resume", "cursor_id": "c0"}             # next page from state
       {"op": "cursor_close", "cursor_id": "c0"}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
-      {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?}
+      {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?,
+       "ef": E?}  # ef + a graph-enabled pool = beam-searched cells
       {"op": "delete", "docids": [3, 17, ...]}
       {"op": "replace", "docs": [{...row...}, ...]}   # 2-phase upsert
       {"op": "create", "index": "/path"?, "mode": "code"?,
@@ -752,8 +861,10 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "knn":
                 npb = req.get("nprobe")
+                efq = req.get("ef")
                 res = server.knn(req["queries"], k=int(req.get("k", 10)),
-                                 nprobe=int(npb) if npb else None)
+                                 nprobe=int(npb) if npb else None,
+                                 ef=int(efq) if efq else None)
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "delete":
                 resp = {"ok": True, **server.delete(req["docids"])}

@@ -277,6 +277,54 @@ def test_vector_pool_ivf_recall_and_full_probe_exactness():
     assert np.allclose(merged["score"], merged["score_e"], rtol=0, atol=0)
 
 
+def test_vector_pool_graph_tier(tmp_path_factory):
+    """Graph-enabled warm kNN (the in-memory GraphSearcher serving
+    analog): with every cell probed and covering ef, the beam result is
+    EXACTLY the brute result (rerank contract); at bounded ef the beam
+    evaluates a fraction of the pool and keeps recall high on clustered
+    data; the NVQ-quantized pool supports the same graph path without a
+    resident float matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(12, 16))
+    n = 2400
+    X = centers[rng.randint(0, 12, n)] + 0.3 * rng.normal(size=(n, 16))
+    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("gp")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(X)}), path)
+
+    pool = VectorPool(path, n_clusters=6, graph_R=8)
+    q = X[rng.randint(0, n, 10)].astype(np.float64)
+    exact = pool.knn(q, 10)
+    covering = pool.knn(q, 10, ef=n)  # all cells, covering beam
+    assert covering.equals(exact)
+
+    fast = pool.knn(q, 10, nprobe=2, ef=48)
+    assert pool.last_graph_evals < 0.5 * 10 * n  # beam, not a scan
+    hits = sum(
+        len(set(exact[exact["qid"] == i]["vec_id"])
+            & set(fast[fast["qid"] == i]["vec_id"])) for i in range(10))
+    assert hits / 100 >= 0.8, hits / 100
+    # scores of returned rows are exact cosines even under the beam
+    merged = fast.merge(exact, on=["qid", "vec_id"], how="inner",
+                        suffixes=("", "_e"))
+    assert np.allclose(merged["score"], merged["score_e"], rtol=0, atol=0)
+
+    npool = VectorPool(path, n_clusters=6, graph_R=8, quantize="nvq")
+    assert npool.mat is None  # codes-only residency, graph still works
+    nfast = npool.knn(q, 10, nprobe=2, ef=48)
+    nhits = sum(
+        len(set(exact[exact["qid"] == i]["vec_id"])
+            & set(nfast[nfast["qid"] == i]["vec_id"])) for i in range(10))
+    assert nhits / 100 >= 0.7, nhits / 100
+
+
 def test_serve_crud_ops(spark, corpus_df, corpus_pdf, tmp_path_factory):
     """CRUD through one warm session (IPCService WRITE/DELETE analog):
     delete is visible to the next search; replace swaps the doc's content
