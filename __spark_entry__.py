@@ -719,13 +719,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + language-id heuristic, joined per doc (both
-    derive from the same tokenization scan)."""
-    from jvector_spark.operators.textstats import lang_id, quality_scores
+    """Quality scoring + language-id heuristic in one fused map-side pass
+    (textstats.quality_lang_table — zero joins, one tokenization scan)."""
+    from jvector_spark.operators.textstats import quality_lang_table
 
-    docs = _docs(spark, sf_dir)
-    return quality_scores(docs).join(
-        lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    return quality_lang_table(_docs(spark, sf_dir))
 
 
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,24 +731,16 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: exact md5, winnowing fingerprint, content sha256 (the per-row
     reference invariant), simhash, and the XOR of the minhash lanes (gating
     the full signature family with no int64-overflow divergence — any
-    lane error flips bits; both engines XOR exactly)."""
-    from jvector_spark.operators.dedup import minhash_signatures, simhash
-    from jvector_spark.operators.textstats import content_sha, doc_fingerprints
+    lane error flips bits; both engines XOR exactly).
 
-    docs = _docs(spark, sf_dir)
-    mh = (minhash_signatures(docs)
-          .groupBy("doc_id")
-          .agg(F.expr("bit_xor(minhash)").cast("long")
-               .alias("minhash_xor")))
-    return (
-        doc_fingerprints(docs)
-        .join(content_sha(docs), "doc_id")
-        .join(simhash(docs).select(
-            "doc_id", F.col("simhash").cast("long")), "doc_id")
-        .join(mh, "doc_id")
-        .select(F.col("doc_id").cast("long"), "content_md5", "winnow_fp",
-                "content_sha", "simhash", "minhash_xor")
-    )
+    Computed by textstats.signature_table as ONE map-side projection over
+    one scan — the joined-per-family form costs four extra corpus scans
+    and four doc_id shuffles at 100 TB for zero semantic difference."""
+    from jvector_spark.operators.textstats import signature_table
+
+    return signature_table(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "content_md5", "winnow_fp",
+        "content_sha", F.col("simhash").cast("long"), "minhash_xor")
 
 
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -157,6 +157,109 @@ def content_sha(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def signature_table(docs: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", shingle: int = 8,
+                    bits: int = 16) -> DataFrame:
+    """(doc_id, content_md5, winnow_fp, content_sha, simhash, minhash_xor)
+    — the FULL per-doc signature family in ONE map-side pass.
+
+    Semantically identical to joining doc_fingerprints + content_sha +
+    simhash + the XOR-fold of minhash_signatures, but computed as a single
+    projection over one tokenization scan: at 100 TB the joined form costs
+    four extra corpus scans and four doc_id shuffles for columns that are
+    all map-side expressions. XOR over the minhash lanes is order-free, so
+    the fold here equals the exploded bit_xor aggregate exactly.
+    """
+    from jvector_spark.operators.dedup import (
+        AFFINE_HASH_PARAMS, LO30, MERSENNE61, NUM_MINHASHES, SHINGLE_K,
+        md5_hash60, shingles_from)
+
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(shingle)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
+                   for j in range(shingle)]
+        ),
+    )
+    # layer 2: hash arrays (token hashes for simhash, k-shingle hashes for
+    # minhash) materialized behind a projection boundary; winnow_fp folds
+    # to a scalar here so the 8-gram array never crosses the boundary
+    hashed = docs.select(
+        F.col(id_col), F.col(text), tokens_col(text).alias("_toks")
+    ).select(
+        F.col(id_col), F.col(text),
+        F.transform(toks, md5_hash60).alias("_th"),
+        F.transform(shingles_from(toks, SHINGLE_K), md5_hash60).alias("_shh"),
+        F.when(n >= shingle, F.array_min(F.transform(grams, md5_hash60)))
+        .otherwise(md5_hash60(F.col(text)))
+        .alias("winnow_fp"),
+    )
+
+    def affine_j(j: int):  # closure factory — see dedup.affine_j note
+        a, b, c = AFFINE_HASH_PARAMS[j]
+        return lambda h: (
+            F.lit(a) * F.shiftright(h, 30)
+            + F.lit(b) * h.bitwiseAND(F.lit(LO30))
+            + F.lit(c)
+        ) % F.lit(MERSENNE61)
+
+    mh_xor = None
+    for j in range(NUM_MINHASHES):
+        m = F.array_min(F.transform(F.col("_shh"), affine_j(j)))
+        mh_xor = m if mh_xor is None else mh_xor.bitwiseXOR(m)
+
+    def vote_b(b: int):
+        mask = F.lit(1 << b)
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(mask) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sim = None
+    for b in range(bits):
+        v = F.aggregate(F.col("_th"), F.lit(0).cast("long"), vote_b(b))
+        term = F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+
+    return hashed.select(
+        F.col(id_col),
+        F.md5(F.col(text)).alias("content_md5"),
+        F.col("winnow_fp"),
+        F.sha2(F.col(text), 256).alias("content_sha"),
+        sim.alias("simhash"),
+        mh_xor.cast("long").alias("minhash_xor"),
+    )
+
+
+def quality_lang_table(docs: DataFrame, id_col: str = "doc_id",
+                       text: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, uniq_ppm, stop_ppm, quality_ppm, pred_lang) —
+    quality_scores + lang_id fused into one projection (both derive from
+    the same stopword/uniq counts; the joined form re-scans and shuffles
+    for what is a single map-side pass at scale)."""
+    toks = F.col("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    uniq, stop = n_uniq / n, n_stop / n
+    ppm = lambda c: F.floor(c * F.lit(1e6)).cast("long")
+    stop_ppm = ppm(stop)
+    return with_tokens(docs, id_col, text).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        ppm(uniq).alias("uniq_ppm"),
+        stop_ppm.alias("stop_ppm"),
+        ppm(F.lit(0.5) * uniq + F.lit(0.5) * (F.lit(1.0) - stop))
+        .alias("quality_ppm"),
+        F.when(stop_ppm >= 120000, F.lit("en"))
+        .otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
 def doc_keywords(docs: DataFrame, id_col: str = "doc_id",
                  text: str = "text", top_k: int = 5) -> DataFrame:
     """(doc_id, rank, term, tfidf_ppm) — each doc's top_k keywords by

@@ -1,0 +1,66 @@
+"""The fused single-pass signature/quality tables must equal the composed
+per-family operators exactly (same values, zero shuffles): the fusion is a
+plan optimization, never a semantic change.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jvector_spark.operators.dedup import minhash_signatures, simhash
+from jvector_spark.operators.textstats import (
+    content_sha,
+    doc_fingerprints,
+    lang_id,
+    quality_lang_table,
+    quality_scores,
+    signature_table,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _sorted(df):
+    pdf = df.toPandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)[sorted(pdf.columns)]
+
+
+def test_signature_table_equals_composition(docs):
+    fused = signature_table(docs)
+    mh = (minhash_signatures(docs).groupBy("doc_id")
+          .agg(F.expr("bit_xor(minhash)").cast("long").alias("minhash_xor")))
+    composed = (doc_fingerprints(docs)
+                .join(content_sha(docs), "doc_id")
+                .join(simhash(docs).select(
+                    "doc_id", F.col("simhash").cast("long")), "doc_id")
+                .join(mh, "doc_id")
+                .select("doc_id", "content_md5", "winnow_fp", "content_sha",
+                        "simhash", "minhash_xor"))
+    a, b = _sorted(fused), _sorted(composed)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a.equals(b)
+
+
+def test_signature_table_shuffle_free(docs):
+    plan = signature_table(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quality_lang_table_equals_composition(docs):
+    fused = quality_lang_table(docs)
+    composed = quality_scores(docs).join(
+        lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    a, b = _sorted(fused), _sorted(composed)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a.equals(b)
+
+
+def test_quality_lang_table_shuffle_free(docs):
+    plan = quality_lang_table(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
