@@ -103,11 +103,11 @@ def shingles_col(text: str = "text", k: int = SHINGLE_K) -> Column:
     return shingles_from(tokens_col(text), k)
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text: str = "text",
-                       num_hashes: int = NUM_MINHASHES,
-                       k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, h, minhash) — one row per hash function, exploded.
+def minhash_sig_array(docs: DataFrame, id_col: str = "doc_id",
+                      text: str = "text",
+                      num_hashes: int = NUM_MINHASHES,
+                      k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sig: array<long>) — the minhash signature VECTOR, map-side.
 
     minhash_j(doc) = min over distinct k-shingles s of affine_j(hash60(s)):
     ONE md5 per shingle, then `num_hashes` cheap integer affine transforms
@@ -138,8 +138,18 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         F.array_min(F.transform(F.col("_hs"), affine_j(j)))
         for j in range(num_hashes)
     ])
+    return hashed.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text: str = "text",
+                       num_hashes: int = NUM_MINHASHES,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, h, minhash) — one row per hash function; the exploded view
+    of minhash_sig_array (kept as the row-oriented API surface)."""
     return (
-        hashed.select(F.col(id_col), F.posexplode(sig).alias("h", "minhash"))
+        minhash_sig_array(docs, id_col, text, num_hashes, k)
+        .select(F.col(id_col), F.posexplode(F.col("sig")).alias("h", "minhash"))
         .select(id_col, F.col("h").cast("int").alias("h"), "minhash")
     )
 
@@ -159,21 +169,35 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     quadratic on one key (the dedup analog of the north rule's heavy-term
     skew mitigation).
     """
-    sigs = minhash_signatures(docs, id_col, text, num_hashes, k)
-    banded = sigs.withColumn("band", F.floor(F.col("h") / band_size).cast("int"))
-    # bucket key = md5 of "band:mh_h0,mh_h1,..." (minhashes in h order) —
-    # deterministic and reproducible in ANSI SQL (string_agg ORDER BY h)
-    buckets = banded.groupBy(id_col, "band").agg(
-        F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("vals")
-    ).select(
-        F.col(id_col), "band",
-        md5_hash60(
+    # bucket key = md5 of "band:mh_h0,mh_h1,..." (minhashes in h order),
+    # computed MAP-SIDE from the signature array: the band values are
+    # contiguous sig positions, so no explode + groupBy(doc, band) shuffle
+    # ever materializes (bit-identical keys to the exploded formulation;
+    # reproducible in ANSI SQL as string_agg ORDER BY h)
+    sigs = minhash_sig_array(docs, id_col, text, num_hashes, k)
+    n_bands = -(-num_hashes // band_size)  # ceil: trailing partial band kept
+
+    def bucket_expr(b: int) -> Column:
+        lanes = range(b * band_size, min((b + 1) * band_size, num_hashes))
+        return md5_hash60(
             F.concat(
-                F.col("band").cast("string"), F.lit(":"),
-                F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["minhash"].cast("string"))),
+                F.lit(str(b)), F.lit(":"),
+                F.concat_ws(",", *[
+                    F.element_at(F.col("sig"), i + 1).cast("string")
+                    for i in lanes
+                ]),
             )
-        ).alias("bucket"),
-    )
+        )
+
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     bucket_expr(b).alias("bucket"))
+            for b in range(n_bands)
+        ])).alias("_bb"),
+    ).select(F.col(id_col), F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"))
     w = Window.partitionBy("bucket").orderBy(id_col)
     capped = buckets.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= max_bucket
