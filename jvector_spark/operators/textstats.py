@@ -113,8 +113,7 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(shingle)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(shingle)]
-        ),
+            " ", F.slice(toks, (i + F.lit(1)).cast("int"), shingle)),
     )
     gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     base = docs.select(F.col(id_col), F.col(text), tokens_col(text).alias("_toks"))
@@ -179,9 +178,7 @@ def signature_table(docs: DataFrame, id_col: str = "doc_id",
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(shingle)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
-                   for j in range(shingle)]
-        ),
+            " ", F.slice(toks, (i + F.lit(1)).cast("int"), shingle)),
     )
     # layer 2: hash arrays (token hashes for simhash, k-shingle hashes for
     # minhash) materialized behind a projection boundary; winnow_fp folds
