@@ -118,10 +118,19 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     timed("ann_brute_topk",
           lambda: entry.q_ann_brute_topk(spark, sf_dir).toPandas())
 
-    # 6. text analysis sweep (quality + langid + signature family)
+    # 6. text analysis sweep (quality + langid + winnow fingerprint —
+    # same workload as rounds 1-3, kept label-comparable across rounds)
+    from jvector_spark.operators.textstats import doc_fingerprints
+
     timed("text_analysis", lambda: (
         entry.q_quality_lang(spark, sf_dir).toPandas(),
-        entry.q_doc_signatures(spark, sf_dir).toPandas()))
+        doc_fingerprints(entry._docs(spark, sf_dir)).toPandas()))
+
+    # 6b. full fused signature family (md5 + sha256 + winnow + simhash +
+    # 128-lane minhash in ONE scan) — a round-4 addition, timed under its
+    # own label so text_analysis stays comparable round-over-round
+    timed("signature_family",
+          lambda: entry.q_doc_signatures(spark, sf_dir).toPandas())
 
     # 7. warm serving throughput (pooled searchers, zero Spark jobs per
     # request — the user-reachable `cli serve` path). Derived metric
