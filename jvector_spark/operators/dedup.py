@@ -86,11 +86,13 @@ def shingles_from(toks: Column, k: int = SHINGLE_K) -> Column:
     whole document (quadratic; visible as repeated filter(split(..)) in
     .explain)."""
     n = F.size(toks)
-    # slice+concat_ws per window (2 array ops) instead of k element_at
-    # lookups — identical strings, ~k/2 fewer interpreted HOF evals
+    # k element_at lookups per window, NOT slice+concat_ws: slice allocates
+    # a fresh k-array per window and measured ~25% slower warm (sf0.1 A/B)
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(" ", F.slice(toks, (i + F.lit(1)).cast("int"), k)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
+                   for j in range(k)]),
     )
     # docs shorter than k shingle to the whole text (never empty)
     return F.when(n >= k, F.array_distinct(grams)).otherwise(

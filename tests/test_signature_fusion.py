@@ -47,9 +47,25 @@ def test_signature_table_equals_composition(docs):
     assert a.equals(b)
 
 
+def _assert_map_side_only(df):
+    """No aggregation/join shuffle (hash or range exchange). The single
+    round-robin exchange is scale_out widening a one-file scan — allowed,
+    and absent on wide inputs (see test_scale_out_identity_when_wide)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+
 def test_signature_table_shuffle_free(docs):
-    plan = signature_table(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    _assert_map_side_only(signature_table(docs))
+
+
+def test_scale_out_identity_when_wide(spark, docs):
+    from jvector_spark.operators.textstats import scale_out
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert scale_out(wide) is wide
 
 
 def test_quality_lang_table_equals_composition(docs):
@@ -62,5 +78,4 @@ def test_quality_lang_table_equals_composition(docs):
 
 
 def test_quality_lang_table_shuffle_free(docs):
-    plan = quality_lang_table(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    _assert_map_side_only(quality_lang_table(docs))
