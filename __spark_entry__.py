@@ -854,26 +854,15 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe == n_clusters: exact — oracle is brute force."""
-    from jvector_spark.operators.ann import ivf_topk, train_centroids
-
-    emb = _emb(spark, sf_dir)
-    cents = train_centroids(emb, n_clusters=8, seed=42)
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    return ivf_topk(emb, queries, cents, k=10, nprobe=len(cents)).select(
-        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
-    )
-
-
 def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF over a CLUSTER-PARTITIONED corpus: probes prune partition
-    directories (PartitionFilters — no IO for unprobed clusters).
-    nprobe == n_clusters -> exact, so the brute-force oracle applies."""
+    """BOTH IVF execution shapes in one gated query (tier column):
+    'flat' = in-plan IVF (cells via a broadcast centroid assignment) and
+    'partitioned' = IVF over a CLUSTER-PARTITIONED corpus layout, where
+    probes prune partition directories (PartitionFilters — no IO for
+    unprobed clusters). nprobe == n_clusters -> both exact, so the
+    brute-force oracle applies to each tier."""
     from jvector_spark.operators.ann import (
-        ivf_topk_partitioned, train_centroids, write_ivf_index)
+        ivf_topk, ivf_topk_partitioned, train_centroids, write_ivf_index)
 
     emb = _emb(spark, sf_dir)
     cents = train_centroids(emb, n_clusters=8, seed=42)
@@ -885,11 +874,14 @@ def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk_partitioned(
+    cols = [F.col("qid").cast("long"), F.col("rank"),
+            F.col("vec_id").cast("long"), F.col("score")]
+    flat = ivf_topk(emb, queries, cents, k=10, nprobe=len(cents)).select(
+        F.lit("flat").alias("tier"), *cols)
+    part = ivf_topk_partitioned(
         spark, path, queries, cents, k=10, nprobe=len(cents)
-    ).select(
-        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
-    )
+    ).select(F.lit("partitioned").alias("tier"), *cols)
+    return flat.unionByName(part)
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2147,7 +2139,15 @@ WHERE a.doc_id < b2.doc_id AND a.rnk <= 1000 AND b2.rnk <= 1000
         "lsh_jaccard_verified": _lsh_verified_oracle(),
         "near_dup_groups": _near_dup_groups_oracle(),
         "ann_brute_topk": ann,
-        "ann_ivf_partitioned": ann,
+        # both tiers are exact at nprobe == n_clusters (flat = in-plan
+        # IVF, partitioned = directory-pruned layout), so the brute-force
+        # oracle applies to each
+        "ann_ivf_partitioned": f"""
+WITH base AS ({ann})
+SELECT 'flat' AS tier, * FROM base
+UNION ALL
+SELECT 'partitioned' AS tier, * FROM base
+""",
         "embed_near_dup": _embed_lsh_oracle(),
         # ann_compressed_rerank: BOTH tiers' rerank phases output EXACT
         # cosine top-k whenever their survivors (rerank_k=100 of 500)

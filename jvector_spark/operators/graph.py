@@ -88,7 +88,7 @@ def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
     M = min(n - 1, 3 * R)
     sums = np.zeros(n, dtype=np.float64)
     adj: list[list[int]] = [[] for _ in range(n)]
-    if n == 1:
+    if n <= 1:  # empty cells happen when Lloyd leaves a centroid memberless
         return adj, 0
     for lo in range(0, n, block):
         hi = min(lo + block, n)
@@ -99,10 +99,8 @@ def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
             s = S[r].copy()
             s[i] = -np.inf  # no self loop
             cand = np.argpartition(-s, min(M, n - 1) - 1)[:M]
-            cand = cand[np.argsort(-s[cand], kind="stable")]
-            # stable tie-break on index for determinism
-            order = np.lexsort((cand, -s[cand]))
-            cand = cand[order]
+            # similarity desc with index-asc tie-break for determinism
+            cand = cand[np.lexsort((cand, -s[cand]))]
             d_p = np.sqrt(np.maximum(2.0 - 2.0 * s[cand], 0.0))
             Vc = V[cand]
             Scc = Vc @ Vc.T

@@ -135,15 +135,42 @@ def _expand_patterns_distributed(
     patterns: dict[int, str], max_terms: int,
 ) -> dict[int, list[str]]:
     """Vocabulary-scale expansion as one Spark job: every pattern filters
-    the same parquet scan (`rlike` = Java regex, unanchored find — same
-    search semantics as re.search / RE2), a per-pattern window keeps the
-    top max_terms by (df desc, term asc), and only the capped result is
-    collected."""
+    the same parquet scan, a per-pattern window keeps the top max_terms
+    by (df desc, term asc), and only the capped result is collected.
+
+    The filter is the SAME matcher as the driver path — Arrow's RE2
+    kernel per batch with a python-`re` fallback for non-RE2 constructs —
+    inside a vectorized pandas UDF, NOT Java `rlike`: java.util.regex
+    diverges from RE2/python on named groups, lookaround and class edge
+    cases, and a query that worked below the driver budget must not
+    change meaning (or start throwing PatternSyntaxException) merely
+    because the vocabulary grew past it."""
     from functools import reduce
+
+    from pyspark.sql.functions import pandas_udf
+
+    for p in patterns.values():  # validate up front, like the driver path
+        re.compile(p)
+
+    def _matcher(pat: str):
+        @pandas_udf("boolean")
+        def m(s: pd.Series) -> pd.Series:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            vals = s.astype(str)
+            try:
+                mask = pc.match_substring_regex(
+                    pa.Array.from_pandas(vals), pat)
+                return mask.to_pandas().fillna(False)
+            except Exception:  # non-RE2 syntax: python per batch
+                rx = re.compile(pat)
+                return vals.map(lambda t: rx.search(t) is not None)
+        return m
 
     vocab = spark.read.parquet(stats_path).select("term", "df")
     parts = [
-        vocab.where(F.col("term").rlike(pat))
+        vocab.where(_matcher(pat)(F.col("term")))
              .select(F.lit(int(key)).alias("key"), "term", "df")
         for key, pat in patterns.items()
     ]

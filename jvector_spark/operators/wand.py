@@ -629,6 +629,12 @@ def search_partition(
     # TombstoneView resolving PER SEGMENT (the scale path: each task reads
     # only its segments' shards, never the global delete list)
     per_segment_tomb = hasattr(tombstones, "for_segment")
+    if per_segment_tomb and getattr(tombstones, "inline", None) is not None:
+        # inline regime: for_segment returns the SAME array for every
+        # segment — hoist the per-query tombstone/exclude union out of the
+        # segment loop (S×Q identical union1d calls on the warm hot path)
+        tombstones = tombstones.inline
+        per_segment_tomb = False
 
     def _qtomb(seg_tomb: np.ndarray | None) -> dict[int, np.ndarray | None]:
         out: dict[int, np.ndarray | None] = {}

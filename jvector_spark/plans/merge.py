@@ -869,7 +869,7 @@ def replace_docs(
     new_docs,
     key_cols: tuple[str, ...] | None = None,
     mode: str | None = None,
-    content_col: str = "content",
+    content_col: str | None = None,
     positions: bool | None = None,
 ) -> dict:
     """Document UPDATE as the reference's 2-phase delete+insert cycle
@@ -878,7 +878,7 @@ def replace_docs(
     versions as a micro segment. Old versions become invisible the moment
     the tombstone file lands; space reclaims at the next compaction.
 
-    mode / positions / key_cols default to the LIVE index's own config
+    mode / positions / key_cols / content_col default to the LIVE index's own config
     (index_config) — never to fixed constants: replacing into a
     mode='simple' or positions=True index with hardcoded 'code'/False
     would tokenize the new docs with the wrong analyzer and flip the
@@ -899,6 +899,8 @@ def replace_docs(
         positions = cfg["has_positions"]
     if key_cols is None:
         key_cols = cfg["key_cols"]
+    if content_col is None:
+        content_col = cfg["content_col"]
     from jvector_spark.sources.segment import load_manifest
 
     manifest = load_manifest(index_dir)

@@ -70,7 +70,19 @@ def create_index(index_dir: str, mode: str = "code",
     from jvector_spark.sources.segment import (
         MANIFEST_SCHEMA, write_index_manifest)
 
+    import shutil
+
     os.makedirs(index_dir, exist_ok=True)
+    # CREATE is a session reset: stale tombstones from a previous index at
+    # this path would otherwise survive (write_index_manifest preserves the
+    # old docid_epoch, so the epoch guard does NOT catch them) and silently
+    # exclude same-numbered docids from the freshly bulkloaded corpus.
+    try:
+        os.remove(os.path.join(index_dir, "tombstones.json"))
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(os.path.join(index_dir, "tombstones.d"),
+                  ignore_errors=True)
     cfg = {"tokenizer_mode": mode, "positions": bool(positions),
            "key_cols": list(key_cols), "content_col": content_col}
     tmp = os.path.join(index_dir, "create.json.tmp")
@@ -163,10 +175,14 @@ class VectorPool:
                  else [np.arange(self.n)])
         self._graph = []
         for members in cells:
+            m = len(members)
+            if m == 0:  # Lloyd can leave a centroid memberless
+                self._graph.append((members, [],
+                                    np.empty(0, dtype=np.int64)))
+                continue
             adj, medoid = _build_cluster_graph(
                 unit[members], R=R, alpha=1.2)
             nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
-            m = len(members)
             seeds = np.unique(np.concatenate([
                 np.asarray([medoid], dtype=np.int64),
                 np.arange(0, m, max(1, m // 64), dtype=np.int64)[:64]]))
@@ -214,6 +230,8 @@ class VectorPool:
         their sims, evals)."""
         members, nbrs, seeds = self._graph[cell]
         m = len(members)
+        if m == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0), 0)
         visited = np.zeros(m, dtype=bool)
         visited[seeds] = True
         sims0 = self._score_positions(members[seeds], q, qn)
@@ -334,6 +352,16 @@ class IndexServer:
         # work counters their tests assert on
         self._cursors: dict[str, dict] = {}
         self._cursor_seq = 0
+        # monotonic in-process mutation counters: part of every cursor
+        # stamp, so a delete/replace/optimize issued through THIS session
+        # invalidates cursor state even on filesystems whose mtime
+        # granularity is coarser than the request rate (mtimes remain the
+        # defense against external writers). _manifest_gen counts only
+        # manifest-class mutations (append/compact/optimize/bulkload),
+        # after which docids may be renumbered and BM25 stats shift —
+        # cursors then continue by OFFSET, not by the stale score cursor.
+        self._mutation_gen = 0
+        self._manifest_gen = 0
         self.search_executions = 0
         self.cursor_refills = 0
         self.cursor_pages_buffered = 0
@@ -452,6 +480,7 @@ class IndexServer:
         # writers — on coarse-mtime filesystems a delete + repeat search
         # within one tick would otherwise serve the deleted doc
         self._result_cache.clear()
+        self._mutation_gen += 1
         return {"tombstones": len(tomb)}
 
     def replace(self, docs: list[dict], **kw) -> dict:
@@ -464,6 +493,9 @@ class IndexServer:
         out = replace_docs(
             self.spark, self.index_dir,
             self.spark.createDataFrame(pd.DataFrame(docs)), **kw)
+        self._result_cache.clear()
+        self._mutation_gen += 1
+        self._manifest_gen += 1
         self._refresh_if_stale()
         return out
 
@@ -483,6 +515,9 @@ class IndexServer:
         self.pool.reset()
         self._df_memo.clear()
         self._result_cache.clear()
+        self._cursors.clear()  # old-index cursors are meaningless now
+        self._mutation_gen += 1
+        self._manifest_gen += 1
         self._load_manifest()
         return {"index_dir": target, "tokenizer_mode": mode,
                 "positions": bool(positions)}
@@ -506,6 +541,8 @@ class IndexServer:
             self.index_dir, mode=cfg["tokenizer_mode"],
             content_col=cfg["content_col"], key_cols=cfg["key_cols"],
             positions=cfg["has_positions"])
+        self._mutation_gen += 1
+        self._manifest_gen += 1
         self._refresh_if_stale()
         return {"n_docs": int(self.manifest["n_docs"]),
                 "written": int(self.manifest["n_docs"]) - before,
@@ -535,6 +572,8 @@ class IndexServer:
             num_segments=num_segments, content_col=cfg["content_col"],
             key_cols=cfg["key_cols"], positions=cfg["has_positions"],
             assume_partitioned=True)
+        self._mutation_gen += 1
+        self._manifest_gen += 1
         self._refresh_if_stale()
         return {"n_docs": int(self.manifest["n_docs"]),
                 "n_segments": len(self.manifest["segments"])}
@@ -549,6 +588,8 @@ class IndexServer:
         self.requests_served += 1
         before = len(self.manifest["segments"])
         optimize_index(self.spark, self.index_dir, vacuum_min_age_sec=0.0)
+        self._mutation_gen += 1
+        self._manifest_gen += 1
         self._refresh_if_stale()
         return {"segments_before": before,
                 "n_segments": len(self.manifest["segments"]),
@@ -683,9 +724,11 @@ class IndexServer:
             "queries": queries[["qid", "terms", "k"]].reset_index(drop=True),
             "opts": opts,
             # per qid: pending (docid, score) arrays not yet returned,
-            # (score, docid) of the last row handed out, exhausted flag
-            "pending": {}, "last": {}, "done": {},
-            "stamp": (self._manifest_mtime, self._tomb_stamp()),
+            # (score, docid) of the last row handed out, exhausted flag,
+            # and total rows handed out (the OFFSET fallback after a
+            # manifest-class mutation invalidates the score cursor)
+            "pending": {}, "last": {}, "done": {}, "served": {},
+            "stamp": self._cursor_stamp(),
         }
         self._cursors[cur_id] = cur
         page = self._cursor_page(cur, first=True)
@@ -704,14 +747,30 @@ class IndexServer:
     def cursor_close(self, cursor_id: str) -> bool:
         return self._cursors.pop(cursor_id, None) is not None
 
+    def _cursor_stamp(self) -> tuple:
+        """(manifest mtime, manifest gen, tombstone mtime, mutation gen).
+        The first two identify manifest-class mutations (append/compact/
+        optimize/bulkload — docids may renumber and BM25 stats shift); the
+        last two catch ANY mutation, including same-mtime-tick in-process
+        deletes the filesystem timestamps are too coarse to show."""
+        return (self._manifest_mtime, self._manifest_gen,
+                self._tomb_stamp(), self._mutation_gen)
+
     def _cursor_page(self, cur: dict, first: bool) -> pd.DataFrame:
         self._refresh_if_stale()
-        stamp = (self._manifest_mtime, self._tomb_stamp())
+        stamp = self._cursor_stamp()
         if stamp != cur["stamp"]:
             # index mutated under the cursor: saved candidates may contain
             # deleted docs or miss new ones — drop state, refill live
             cur["pending"].clear()
             cur["done"].clear()
+            if stamp[:2] != cur["stamp"][:2]:
+                # manifest-class mutation: docids may be renumbered and
+                # every BM25 score rescaled (n_docs/avgdl moved), so the
+                # saved (score, docid) cursor no longer addresses the same
+                # point — continue by OFFSET under the new index instead
+                # (skip the rows already handed out, by count)
+                cur["last"].clear()
             cur["stamp"] = stamp
         qdf = cur["queries"]
         opts = cur["opts"]
@@ -725,9 +784,16 @@ class IndexServer:
         if need:
             if not first:
                 self.cursor_refills += 1
+            # offset mode per qid: no saved cursor but rows already served
+            # (only after a manifest-class mutation) — fetch offset+k·over
+            # rows from the top and drop the first `offset`
+            skips = {qid: (0 if qid in cur["last"]
+                           else int(cur["served"].get(qid, 0)))
+                     for qid in need}
             fetch = qdf[qdf["qid"].isin(list(need))].copy()
-            kfetch = fetch["k"].astype(int) * opts["overfetch"]
-            fetch["k"] = kfetch
+            fetch["k"] = fetch["qid"].map(
+                lambda q: need[int(q)] * opts["overfetch"] + skips[int(q)]
+            ).astype(fetch["k"].dtype)
             after = {qid: cur["last"][qid] for qid in need
                      if qid in cur["last"]}
             res = self._execute(fetch, opts["doc_filter"],
@@ -736,11 +802,12 @@ class IndexServer:
             for q in fetch.itertuples():
                 qid = int(q.qid)
                 sub = res[res["qid"] == qid]
-                cur["pending"][qid] = (
-                    sub["docid"].to_numpy(np.int64),
-                    sub["score"].to_numpy(np.float64))
                 # fewer rows than asked = the index has no more results
                 cur["done"][qid] = len(sub) < int(q.k)
+                skip = skips[qid]
+                cur["pending"][qid] = (
+                    sub["docid"].to_numpy(np.int64)[skip:],
+                    sub["score"].to_numpy(np.float64)[skip:])
         elif not first:
             self.cursor_pages_buffered += 1
         outs = []
@@ -752,6 +819,8 @@ class IndexServer:
             cur["pending"][qid] = (d[k:], s[k:])
             if len(page_d):
                 cur["last"][qid] = (float(page_s[-1]), int(page_d[-1]))
+                cur["served"][qid] = (
+                    cur["served"].get(qid, 0) + len(page_d))
                 outs.append(pd.DataFrame({
                     "qid": np.int64(qid),
                     "rank": np.arange(len(page_d), dtype=np.int32),

@@ -113,6 +113,15 @@ def _append_micro_segment_locked(
                 f"append with tokenizer mode {mode!r} into an index built "
                 f"with {old_mode!r} — pass mode={old_mode!r} (see "
                 f"plans.merge.index_config)")
+        # symmetric guard for positional payloads: appending a
+        # position-less segment ANDs the merged manifest's has_positions
+        # to False, permanently disabling phrase/proximity serving for
+        # the whole index (the corruption replace_docs' docstring names)
+        if old["segments"] and bool(old.get("has_positions")) and not positions:
+            raise ValueError(
+                "append with positions=False into an index built with "
+                "positions=True — pass positions=True (see "
+                "plans.merge.index_config)")
         if old["segments"]:
             base = max(s["max_docid"] for s in old["segments"]) + 1
             # Doc-granular dedup against the committed index, bloom-

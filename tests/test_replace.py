@@ -165,3 +165,23 @@ def test_key_bloom_parity_null_bool_numeric_keys(spark, tmp_path_factory):
     append_micro_segment(batch, batch_id=1, index_dir=d, key_cols=kc)
     # redelivery must dedup ALL rows — incl. the null-commit / NaN ones
     assert _live_count(spark, d, "alpha") == 3
+
+
+def test_append_rejects_positions_mismatch(spark, tmp_path_factory):
+    """Appending a position-less segment into a positional index would
+    AND the manifest's has_positions to False, permanently disabling
+    phrase/proximity serving — the guard is symmetric with the tokenizer
+    mode check. The reverse direction (positions=True into a plain
+    index) is harmless extra payload and stays allowed."""
+    d = str(tmp_path_factory.mktemp("idx_posguard"))
+    docs = assign_dense_docids(_mk(spark, _base_rows(5)).repartition(1))
+    build_index(docs, d, num_segments=1, positions=True)
+    batch = _mk(spark, [{
+        "repo": "r", "path": "901", "commit": "c0", "lang": "python",
+        "content": "alpha zz_posmiss",
+    }])
+    with pytest.raises(ValueError, match="positions"):
+        append_micro_segment(batch, batch_id=9, index_dir=d)
+    append_micro_segment(batch, batch_id=9, index_dir=d, positions=True)
+    assert load_manifest(d)["has_positions"] is True
+    assert _live_count(spark, d, "zz_posmiss") == 1

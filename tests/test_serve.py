@@ -581,3 +581,111 @@ def test_cursor_protocol_ops(spark, served_index):
     ref = server.search(pd.DataFrame({"qid": [0], "terms": [["import"]],
                                       "k": [8]}))
     assert both["docid"].tolist() == ref["docid"].tolist()
+
+
+def test_create_reset_clears_stale_tombstones(spark, corpus_df, corpus_pdf,
+                                              tmp_path_factory):
+    """CREATE is a session reset: tombstones journaled against the
+    PREVIOUS index at the same path must not carry over (the manifest's
+    docid_epoch is preserved across create, so without explicit removal
+    the old journal would silently exclude same-numbered docids from the
+    freshly bulkloaded corpus)."""
+    base = tmp_path_factory.mktemp("idx_create_tomb")
+    idx = str(base / "idx")
+    src = str(base / "corpus.parquet")
+    corpus_pdf.to_parquet(src, index=False)
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    server = IndexServer(spark, idx, mode="local")
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [5]})
+    before = server.search(q)
+    assert len(before)
+    # delete the entire first page, then reset + reload the same corpus
+    server.delete(before["docid"].tolist())
+    assert server.search(q).empty or not set(
+        server.search(q)["docid"]) & set(before["docid"])
+    server.create(idx, mode="code")
+    server.bulkload(src, num_segments=2)
+    after = server.search(q)
+    # stale tombstones would hide exactly these docids again
+    assert after["docid"].tolist() == before["docid"].tolist()
+
+
+def test_cursor_offset_continuation_after_manifest_mutation(
+        spark, corpus_df, corpus_pdf, tmp_path_factory):
+    """A manifest-class mutation (replace: avgdl/idf shift, every BM25
+    score moves) under an open cursor invalidates the saved (score,
+    docid) cursor; the next page continues by OFFSET — identical to a
+    fresh run at that offset under the NEW index, no dropped rows."""
+    idx = str(tmp_path_factory.mktemp("idx_cursor_off"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=2)
+    server = IndexServer(spark, idx, mode="local")
+    k = 4
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [k]})
+    cid, page1 = server.search_cursor(q, overfetch=3)
+    assert len(page1) == k
+    # replace a doc with much longer content: avgdl moves, scores shift
+    victim = corpus_pdf.iloc[-1]
+    server.replace([{
+        "repo": victim["repo"], "path": victim["path"],
+        "commit": victim["commit"], "lang": victim["lang"],
+        "content": victim["content"] + " filler" * 200,
+    }])
+    page2 = server.resume(cid)
+    assert server.cursor_refills == 1          # state was invalidated
+    live = server.search(pd.DataFrame(
+        {"qid": [0], "terms": [["import"]], "k": [2 * k]}))
+    assert page2["docid"].tolist() == live["docid"].iloc[k:2 * k].tolist()
+    assert np.allclose(page2["score"],
+                       live["score"].iloc[k:2 * k], rtol=0, atol=0)
+
+
+def test_vector_pool_graph_tier_empty_cell():
+    """Lloyd can leave a centroid memberless (duplicate-heavy data with
+    n_clusters close to the distinct-point count); the graph tier must
+    build and serve through empty cells instead of crashing at load."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.default_rng(7)
+    v1 = rng.normal(size=8)
+    v2 = rng.normal(size=8)
+    mat = np.vstack([np.tile(v1, (8, 1)), np.tile(v2, (4, 1))])
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/vecs.parquet"
+        pq_mod.write_table(pa.table({
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }), path)
+        pool = VectorPool(path, n_clusters=6, graph_R=4)
+        assert any(len(m) == 0 for m, _, _ in pool._graph), \
+            "fixture no longer produces an empty cell — rebuild it"
+        res = pool.knn(np.vstack([v1, v2]), k=3, ef=8)
+        # exact brute-force twin for the same queries
+        ref = VectorPool(path).knn(np.vstack([v1, v2]), k=3)
+        assert res[["qid", "vec_id"]].values.tolist() == \
+            ref[["qid", "vec_id"]].values.tolist()
+
+
+def test_replace_honors_session_content_col(spark, tmp_path_factory):
+    """A session created with content_col != 'content' must replace
+    through the index's OWN config (plans.merge.index_config), not a
+    hardcoded 'content' column."""
+    idx = str(tmp_path_factory.mktemp("idx_ccol") / "idx")
+    from jvector_spark.serve import create_index
+    create_index(idx, mode="code", content_col="text",
+                 key_cols=("repo", "path"))
+    server = IndexServer(spark, idx, mode="local")
+    docs = [{"repo": "r", "path": f"p{i}", "text": f"alpha beta gamma{i}"}
+            for i in range(4)]
+    server.write(docs)
+    q = pd.DataFrame({"qid": [0], "terms": [["alpha"]], "k": [10]})
+    assert len(server.search(q)) == 4
+    # replace one doc through the serve path with NO kwargs
+    server.replace([{"repo": "r", "path": "p0", "text": "delta epsilon"}])
+    assert len(server.search(q)) == 3          # p0 no longer matches alpha
+    q2 = pd.DataFrame({"qid": [0], "terms": [["delta"]], "k": [10]})
+    assert len(server.search(q2)) == 1         # new content searchable
