@@ -47,6 +47,7 @@ import json
 import os
 import shutil
 import time
+from itertools import chain
 from typing import Iterator
 
 import numpy as np
@@ -57,7 +58,14 @@ from pyspark.sql import DataFrame
 
 from jvector_spark import BLOCK_SIZE, SEGMENT_FORMAT_VERSION
 from jvector_spark.functions.codec import varint_decode, varint_encode, varint_nbytes
-from jvector_spark.functions.tokenizer import tokenize_series
+from jvector_spark.functions.tokenizer import (
+    tokenize_factorized,
+    tokenize_series,
+)
+
+# Build-path tokenizer selection; both paths are property-tested
+# byte-identical (tests/test_tokenizer.py). See BENCH.md "tokenizer A/B".
+_ARROW_TOKENIZE = os.environ.get("SPARK_GRAFT_TOKENIZER", "pandas") == "arrow"
 
 MANIFEST_SCHEMA = (
     "segment_id string, path string, status string, min_docid long, "
@@ -754,8 +762,6 @@ def _build_segment_stream(
     the final pass re-ranks terms lexicographically and orders postings by
     (term, docid) — byte-identical output to a whole-partition build.
     """
-    from itertools import chain
-
     t0 = time.time()
     stage = {"tokenize_sec": 0.0, "chunk_agg_sec": 0.0,
              "final_sort_sec": 0.0, "encode_sec": 0.0}
@@ -783,8 +789,20 @@ def _build_segment_stream(
         shas = pdf[content_col].map(
             lambda s: hashlib.sha256(s.encode()).hexdigest()
         )
-        toks = tokenize_series(pdf[content_col], mode)
-        lens = toks.map(len).to_numpy(np.int64)
+        # Two equivalence-tested tokenize+factorize paths (see BENCH.md
+        # "tokenizer A/B"): the Arrow byte-level path keeps the token
+        # stream in C buffers (no per-token PyObjects) but is pure
+        # sequential memory traffic, which this sandbox's degraded
+        # host-state punishes 10-20x unpredictably; the pandas twin is
+        # allocator-bound and stable here. Default pandas, env-switchable.
+        if _ARROW_TOKENIZE:
+            codes, uniq, lens = tokenize_factorized(pdf[content_col], mode)
+        else:
+            toks = tokenize_series(pdf[content_col], mode)
+            lens = toks.map(len).to_numpy(np.int64)
+            flat = np.fromiter(chain.from_iterable(toks), dtype=object,
+                               count=int(lens.sum()))
+            codes, uniq = pd.factorize(flat, sort=False)
         doc_meta.append(pd.DataFrame({
             "docid": docids, "dl": lens,
             **{c: pdf[c] for c in key_cols},
@@ -795,8 +813,6 @@ def _build_segment_stream(
         if total == 0:
             continue
         ts = time.time()
-        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
-        codes, uniq = pd.factorize(flat, sort=False)
         local = np.arange(len(pdf), dtype=np.int64).repeat(lens)
         span = len(pdf)
         combo = codes.astype(np.int64) * span + local

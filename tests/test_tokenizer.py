@@ -1,0 +1,61 @@
+"""tokenize_factorized (Arrow C++ build-path tokenizer) must produce a
+token stream byte-identical to tokenize_series (the pandas twin shared
+with the oracle) — the build's rank-identity vs the reference rests on
+the two never diverging."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jvector_spark.functions.tokenizer import (
+    tokenize_factorized,
+    tokenize_series,
+)
+
+
+def _assert_equivalent(content: pd.Series, mode: str) -> None:
+    ref = tokenize_series(content, mode)
+    ref_lens = ref.map(len).to_numpy(np.int64)
+    ref_flat = [t for toks in ref for t in toks]
+    codes, uniq, lens = tokenize_factorized(content, mode)
+    assert lens.tolist() == ref_lens.tolist()
+    assert uniq[codes].tolist() == ref_flat
+
+
+def test_code_mode_matches_pandas_twin_on_fixtures():
+    from jvector_spark.corpus import generate_corpus
+
+    corpus = generate_corpus(60, seed=13)
+    _assert_equivalent(corpus["content"], "code")
+
+
+def test_simple_mode_matches_pandas_twin_on_fixtures():
+    texts = pd.Series(["alpha beta  gamma", "", " x ", "solo",
+                       None, "a b c d e"])
+    _assert_equivalent(texts, "simple")
+
+
+def test_code_mode_edge_cases():
+    texts = pd.Series([
+        "9abc 123 _x 1a2b x9y9 __init__ A9B",   # leading digits / all-digit
+        "", "   ", "éclair naïve 日本語 foo",    # non-ASCII separators
+        "UPPER lower MiXeD", None, "a" * 5000,
+        "tab\tsep\nnewline,comma;semi(paren)",
+    ])
+    _assert_equivalent(texts, "code")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=8))
+def test_code_mode_property(texts):
+    _assert_equivalent(pd.Series(texts, dtype=object), "code")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="ascii"), max_size=40), max_size=8))
+def test_simple_mode_property_ascii(texts):
+    _assert_equivalent(pd.Series(texts, dtype=object), "simple")
