@@ -251,8 +251,15 @@ def encode_postings_frame(
                 "block_max_tf", "block_min_dl")},
         })
         return empty, b""
-    terms, term_starts = np.unique(p_term, return_index=True)
-    # term_starts is sorted because p_term is sorted
+    # p_term is sorted (function contract), so term boundaries are where
+    # adjacent values differ — O(n) elementwise compares instead of
+    # np.unique's O(n log n) object re-sort (measurable: this runs over
+    # every posting of the segment inside the encode stage)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(p_term[1:], p_term[:-1], out=change[1:])
+    term_starts = np.flatnonzero(change)
+    terms = p_term[term_starts]
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = p_doc[0]
     gaps[1:] = (p_doc[1:] - p_doc[:-1]).astype(np.uint64)
@@ -364,7 +371,8 @@ def encode_postings_frame(
             v_f = vals[fmask]
             off_f = base_byte_off[blk_of_val[fmask]]
             within_f = within_blk[fmask]
-            for w in np.unique(wv):
+            # widths live in [0, 64]: bincount beats a full sort-unique
+            for w in np.flatnonzero(np.bincount(wv.astype(np.int64))):
                 w = int(w)
                 if w == 0:
                     continue
@@ -397,7 +405,13 @@ def encode_postings_frame(
             if int(w.sum()):
                 v = vals[pmask]
                 pblk = blk_of_val[pmask]
-                blks, inv = np.unique(pblk, return_inverse=True)
+                # pblk is a subsequence of the nondecreasing blk_of_val,
+                # so unique blocks come from boundary detection, not sort
+                bchg = np.empty(len(pblk), dtype=bool)
+                bchg[0] = True
+                np.not_equal(pblk[1:], pblk[:-1], out=bchg[1:])
+                blks = pblk[bchg]
+                inv = np.cumsum(bchg) - 1
                 nb = np.bincount(inv)
                 wb = np.zeros(len(blks), dtype=np.int64)
                 wb[inv] = w  # width is per-term, constant within a block
@@ -826,7 +840,14 @@ def _build_segment_stream(
             c_pos.append(pos_in_doc[ordr])
         else:
             combo.sort(kind="stable")
-        uc, tf = np.unique(combo, return_counts=True)
+        # combo is sorted here, so unique (term,doc) runs are diff-based —
+        # avoids np.unique's second full sort of the posting stream
+        chg = np.empty(total, dtype=bool)
+        chg[0] = True
+        np.not_equal(combo[1:], combo[:-1], out=chg[1:])
+        starts = np.flatnonzero(chg)
+        uc = combo[starts]
+        tf = np.diff(np.append(starts, total))
         c_terms.append(uniq[uc // span])
         c_docs.append(docids[uc % span])
         c_tfs.append(tf.astype(np.int64))
