@@ -142,6 +142,93 @@ def extract_image_features(docs_with_payload: DataFrame) -> DataFrame:
     return base.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, payload_sha string, sample_rate int, "
+    "n_channels int, bits_per_sample int, n_samples long, duration_ms double"
+)
+
+
+def sniff_wav_meta(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_samples) parsed from a
+    RIFF/WAVE header by walking its chunk list to `fmt ` and `data`, or
+    None when `b` is not a WAV. Pure python, header bytes only — the
+    audio analog of `sniff_image_dims` (PCM decode would need the data
+    chunk; every training-pipeline filter/stat here needs only the
+    metadata tier)."""
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i, fmt, data_size = 12, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            (size,) = struct.unpack("<I", b[i + 4:i + 8])
+            if cid == b"fmt " and size >= 16:
+                ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+                (bits,) = struct.unpack("<H", b[i + 22:i + 24])
+                fmt = (int(rate), int(ch), int(bits))
+            elif cid == b"data":
+                data_size = int(size)
+            if fmt is not None and data_size is not None:
+                break
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None:
+            return None
+        rate, ch, bits = fmt
+        frame = max(1, ch * bits // 8)
+        n_samples = (data_size or 0) // frame
+        return rate, ch, bits, n_samples
+    except (struct.error, IndexError):
+        return None
+
+
+def _fake_audio_meta(sha_hex: str) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for non-audio payloads, same discipline as
+    `_fake_decode_dims`: metadata derived from the payload hash so the
+    full Arrow-batched path stays exercisable on any fixture corpus."""
+    rate = (8000, 16000, 22050, 44100)[int(sha_hex[:2], 16) % 4]
+    ch = 1 + int(sha_hex[2:4], 16) % 2
+    bits = (8, 16)[int(sha_hex[4:6], 16) % 2]
+    n_samples = 1000 + int(sha_hex[6:10], 16)
+    return rate, ch, bits, n_samples
+
+
+def decode_audio_meta(b: bytes, sha_hex: str) -> tuple[int, int, int, int]:
+    """Real WAV header decode -> deterministic fake (non-audio payloads)."""
+    meta = sniff_wav_meta(b)
+    return meta if meta is not None else _fake_audio_meta(sha_hex)
+
+
+def extract_audio_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Audio metadata extraction, same split as `extract_image_features`:
+    hashing/byte counts in whole-stage codegen, header decode in one
+    Arrow-batched `mapInPandas` pass, duration derived in the batch."""
+    base = docs_with_payload.select(
+        "doc_id", "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("payload", 256)).alias("payload_sha"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_audio_meta(b, s)
+                    for b, s in zip(pdf["payload"], pdf["payload_sha"])]
+            out = pd.DataFrame(
+                meta, columns=["sample_rate", "n_channels",
+                               "bits_per_sample", "n_samples"])
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
+            out["bits_per_sample"] = out["bits_per_sample"].astype("int32")
+            out["n_samples"] = out["n_samples"].astype("int64")
+            out["duration_ms"] = (
+                out["n_samples"] * 1000.0 / out["sample_rate"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            out.insert(1, "n_bytes", pdf["n_bytes"].to_numpy())
+            out.insert(2, "payload_sha", pdf["payload_sha"].to_numpy())
+            yield out
+
+    return base.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(docs_with_payload: DataFrame,
                   frame_bytes: int = FRAME_BYTES) -> DataFrame:
     """'Video' frame sampling: one row per sampled frame; frame count =

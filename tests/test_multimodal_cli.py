@@ -11,8 +11,10 @@ import pandas as pd
 import pytest
 
 from jvector_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
     sample_frames,
+    sniff_wav_meta,
     with_payload,
 )
 
@@ -88,6 +90,59 @@ def test_image_features_real_png(spark):
     sha = hashlib.sha256(b"not an image at all").hexdigest()
     assert out.loc[2, "width"] == 64 + int(sha[:2], 16) % 192
     assert out.loc[2, "payload_sha"] == sha
+
+
+def _wav_bytes(rate: int, ch: int, bits: int, n_samples: int) -> bytes:
+    """Real WAV via the stdlib writer — the sniffing side must not share
+    code with the construction side."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_samples * ch * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_sniff_wav_meta_headers():
+    assert sniff_wav_meta(_wav_bytes(44100, 2, 16, 1234)) == (44100, 2, 16, 1234)
+    assert sniff_wav_meta(_wav_bytes(8000, 1, 8, 7)) == (8000, 1, 8, 7)
+    assert sniff_wav_meta(b"RIFFxxxxNOPE") is None
+    assert sniff_wav_meta(b"plain text") is None
+    assert sniff_wav_meta(b"") is None
+
+
+def test_audio_features_real_wav(spark):
+    """Genuine WAV payloads take the header-decode path; others fall back
+    to the deterministic sha-derived fake (same discipline as images)."""
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "payload": [_wav_bytes(16000, 1, 16, 16000),
+                    _wav_bytes(44100, 2, 8, 441),
+                    b"not audio at all"],
+    })
+    out = (extract_audio_features(spark.createDataFrame(pdf))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out.loc[0, ["sample_rate", "n_channels", "bits_per_sample",
+                        "n_samples"]].tolist() == [16000, 1, 16, 16000])
+    assert out.loc[0, "duration_ms"] == 1000.0
+    assert (out.loc[1, ["sample_rate", "n_channels", "bits_per_sample",
+                        "n_samples"]].tolist() == [44100, 2, 8, 441])
+    sha = hashlib.sha256(b"not audio at all").hexdigest()
+    assert out.loc[2, "sample_rate"] == (
+        (8000, 16000, 22050, 44100)[int(sha[:2], 16) % 4])
+    assert out.loc[2, "payload_sha"] == sha
+
+
+def test_audio_features_deterministic(spark, docs):
+    a = extract_audio_features(with_payload(docs)).toPandas().sort_values("doc_id")
+    b = extract_audio_features(with_payload(docs)).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 20
 
 
 def test_frame_sample_counts(spark, docs):
