@@ -77,7 +77,16 @@ def tokenize_factorized(
         # [a-z0-9_] and every byte of a multi-byte UTF-8 sequence is
         # >= 0x80, so run detection is byte-level numpy over the Arrow
         # data buffer — no regex engine in the loop at all (the RE2 split
-        # measured ~8x slower than this path on the bench corpus)
+        # measured ~8x slower than this path on the bench corpus).
+        # One divergence between Python's str.lower (FULL case mapping,
+        # SpecialCasing.txt) and utf8proc's simple mapping affects the
+        # ASCII residue: U+0130 (İ) -> 'i' + U+0307 in Python (splits the
+        # token at the combining dot) but plain 'i' in utf8proc. İ is the
+        # only unconditional SpecialCasing LOWERING that introduces an
+        # ASCII letter, so pre-expanding it restores byte-identity
+        # (pinned by tests/test_tokenizer.py::test_code_mode_edge_cases).
+        arr = pc.replace_substring(arr, pattern="İ",
+                                   replacement="i̇")
         return _factorize_code_bytes(pc.utf8_lower(arr))
     if mode != "simple":
         raise ValueError(f"unknown tokenizer mode: {mode}")

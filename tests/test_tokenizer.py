@@ -44,6 +44,11 @@ def test_code_mode_edge_cases():
         "", "   ", "éclair naïve 日本語 foo",    # non-ASCII separators
         "UPPER lower MiXeD", None, "a" * 5000,
         "tab\tsep\nnewline,comma;semi(paren)",
+        # unicode lowering that INTRODUCES ascii letters: U+0130 (İ) lowers
+        # to 'i' + combining dot, U+212A (Kelvin K) lowers to plain 'k' —
+        # the two paths' lowering (str.lower vs utf8proc) must agree on the
+        # ascii residue or the token streams diverge
+        "İstanbul Kelvin İİ xK",
     ])
     _assert_equivalent(texts, "code")
 
@@ -51,6 +56,15 @@ def test_code_mode_edge_cases():
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.text(max_size=40), max_size=8))
 def test_code_mode_property(texts):
+    _assert_equivalent(pd.Series(texts, dtype=object), "code")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(
+    # bias toward the case-mapping troublemakers: İ (full-casing expansion),
+    # Kelvin K / Å (lower into non-run chars), Σ (final-sigma context rule)
+    alphabet=st.sampled_from(list("İKÅΣab0_ İİK.")), max_size=30), max_size=6))
+def test_code_mode_property_special_casing(texts):
     _assert_equivalent(pd.Series(texts, dtype=object), "code")
 
 
