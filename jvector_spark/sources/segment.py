@@ -827,9 +827,14 @@ def _build_segment_stream(
         if total == 0:
             continue
         ts = time.time()
-        local = np.arange(len(pdf), dtype=np.int64).repeat(lens)
         span = len(pdf)
-        combo = codes.astype(np.int64) * span + local
+        # int32 composite keys when (n_terms * span) fits: halves the
+        # radix-sort memory traffic of the chunk's dominant op (the 2048-
+        # doc chunks stay far under 2^31 in practice; int64 fallback keeps
+        # the path correct for arbitrary chunk shapes)
+        key_dt = (np.int32 if len(uniq) * span < 2**31 - 1 else np.int64)
+        local = np.arange(span, dtype=key_dt).repeat(lens)
+        combo = codes.astype(key_dt) * key_dt(span) + local
         if positions:
             # within-doc token index per occurrence; the stable argsort
             # groups occurrences by (term, doc) keeping positions ascending
