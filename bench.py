@@ -549,7 +549,10 @@ def main() -> None:
                 pair[n] = scaling_run(n, corpus_path, queries)
             s_eff = (pair[lo]["search_sec"]
                      / pair[hi]["search_sec"] / ratio_lvls)
-            ok = s_eff >= control_floor
+            # Symmetric gate: a bandwidth collapse during the LO run pushes
+            # the control ABOVE 1.0 (superlinear), inflating efficiencies in
+            # the flattering direction — reject those windows too.
+            ok = control_floor <= s_eff <= 1.0 / control_floor
             for n in (lo, hi):
                 pair[n]["window_valid"] = ok
                 runs[n].append(pair[n])
@@ -589,8 +592,14 @@ def main() -> None:
             for a, b in zip(runs[lo], runs[hi])
         ]
         eff["per_round"] = rounds_eff
-        eff["best_round_build"] = max(r["build"] for r in rounds_eff)
-        eff["best_round_search"] = max(r["search"] for r in rounds_eff)
+        # Headline = best WINDOW-VALID round; invalid rounds stay in the
+        # output for audit but cannot become the headline (fall back to all
+        # rounds only if every window was invalid, and say so).
+        valid_rounds = [r for r in rounds_eff if r["window_valid"]]
+        pool_rounds = valid_rounds or rounds_eff
+        eff["best_round_build"] = max(r["build"] for r in pool_rounds)
+        eff["best_round_search"] = max(r["search"] for r in pool_rounds)
+        eff["best_round_from_valid"] = bool(valid_rounds)
         tput = {
             "build_files_per_sec": {
                 m: round(BENCH_DOCS / v["build_sec"], 1) for m, v in out.items()

@@ -128,10 +128,18 @@ def _factorize_code_bytes(low):
             t[c] = True
         _TOKEN_BYTE, _START_BYTE = t, s
 
+    if low.offset != 0:
+        # Raw-buffer walk below assumes a zero-offset array; a sliced
+        # input would silently misparse. Rematerialize contiguously
+        # (never hit for fresh utf8_lower outputs).
+        low = low.take(pa.array(np.arange(len(low), dtype=np.int64)))
     n_docs = len(low)
-    nbytes = low.buffers()[2].size if low.buffers()[2] is not None else 0
     off = (np.frombuffer(low.buffers()[1], np.int64, count=n_docs + 1)
            if n_docs else np.zeros(1, np.int64))
+    # Byte count from the offsets array, NOT the buffer size: the data
+    # buffer may be padded past off[-1], and token runs must not extend
+    # into those trailing bytes (docidx could reach n_docs).
+    nbytes = int(off[-1])
     empty = (np.zeros(0, np.int64), np.zeros(0, dtype=object),
              np.zeros(n_docs, np.int64))
     if nbytes == 0:

@@ -174,8 +174,17 @@ def sniff_wav_meta(b: bytes) -> tuple[int, int, int, int] | None:
         if fmt is None:
             return None
         rate, ch, bits = fmt
+        # A structurally-valid RIFF with rate==0 would make duration_ms
+        # infinite downstream (division by zero), and fields past int32
+        # would wrap negative in the Arrow cast — treat both as a failed
+        # sniff so such payloads take the deterministic-fake path.
+        if not (0 < rate < 2 ** 31 and 0 < ch < 2 ** 31
+                and 0 < bits < 2 ** 31):
+            return None
         frame = max(1, ch * bits // 8)
         n_samples = (data_size or 0) // frame
+        if n_samples >= 2 ** 63:
+            return None
         return rate, ch, bits, n_samples
     except (struct.error, IndexError):
         return None

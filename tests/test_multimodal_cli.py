@@ -115,6 +115,31 @@ def test_sniff_wav_meta_headers():
     assert sniff_wav_meta(b"") is None
 
 
+def _raw_wav(rate: int, ch: int, bits: int, data_size: int) -> bytes:
+    """Hand-built RIFF header for degenerate fields the stdlib writer
+    refuses to produce (rate 0, rates past int32)."""
+    import struct as s
+
+    byte_rate = (rate * ch * (bits // 8)) % (2 ** 32) or 1
+    fmt = s.pack("<HHIIHH", 1, ch, rate % (2 ** 32), byte_rate,
+                 ch * (bits // 8) or 1, bits)
+    return (b"RIFF" + s.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+            + b"WAVE" + b"fmt " + s.pack("<I", len(fmt)) + fmt
+            + b"data" + s.pack("<I", data_size))
+
+
+def test_sniff_wav_rejects_degenerate_fields():
+    # rate==0 would make duration_ms infinite; out-of-int32 rates wrap
+    # negative in the Arrow cast — both must fail the sniff and take the
+    # deterministic-fake path instead.
+    assert sniff_wav_meta(_raw_wav(0, 1, 16, 64)) is None
+    assert sniff_wav_meta(_raw_wav(2 ** 31, 1, 16, 64)) is None
+    assert sniff_wav_meta(_raw_wav(44100, 0, 16, 64)) is None
+    assert sniff_wav_meta(_raw_wav(44100, 1, 0, 64)) is None
+    # sane header still parses
+    assert sniff_wav_meta(_raw_wav(44100, 2, 16, 400)) == (44100, 2, 16, 100)
+
+
 def test_audio_features_real_wav(spark):
     """Genuine WAV payloads take the header-decode path; others fall back
     to the deterministic sha-derived fake (same discipline as images)."""

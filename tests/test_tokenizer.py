@@ -59,6 +59,41 @@ def test_code_mode_property(texts):
     _assert_equivalent(pd.Series(texts, dtype=object), "code")
 
 
+def test_factorize_handles_sliced_arrow_array():
+    # The byte-level walk assumes a zero-offset array; a sliced input must
+    # be rematerialized, not silently misparsed off the parent's buffers.
+    import pyarrow as pa
+
+    from jvector_spark.functions.tokenizer import _factorize_code_bytes
+
+    full = pa.array(["skip me", "alpha beta1", "x_y 9digit"],
+                    type=pa.large_utf8())
+    sliced = full.slice(1)
+    assert sliced.offset == 1
+    codes, uniq, lens = _factorize_code_bytes(sliced)
+    assert lens.tolist() == [2, 2]
+    assert uniq[codes].tolist() == ["alpha", "beta1", "x_y", "digit"]
+
+
+def test_factorize_ignores_padding_past_offsets_end():
+    # Data buffers may be padded past off[-1]; token runs must stop at the
+    # offsets-declared end, not the physical buffer end. Build the padded
+    # layout explicitly: offsets say 6 bytes, data buffer carries "fg" past
+    # the declared end — a buffer-size-derived nbytes would emit "defg".
+    import pyarrow as pa
+
+    from jvector_spark.functions.tokenizer import _factorize_code_bytes
+
+    offsets = pa.array([0, 6], type=pa.int64()).buffers()[1]
+    data = pa.py_buffer(b"abc defg")
+    padded = pa.Array.from_buffers(pa.large_utf8(), 1,
+                                   [None, offsets, data])
+    assert padded.to_pylist() == ["abc de"]
+    codes, uniq, lens = _factorize_code_bytes(padded)
+    assert uniq[codes].tolist() == ["abc", "de"]
+    assert lens.tolist() == [2]
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.text(
     # bias toward the case-mapping troublemakers: İ (full-casing expansion),
