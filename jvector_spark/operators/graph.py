@@ -203,6 +203,364 @@ def load_graph_meta(path: str) -> dict:
     with open(os.path.join(path, GRAPH_META)) as f:
         meta = json.load(f)
     meta["medoids"] = {int(k): v for k, v in meta["medoids"].items()}
+    meta["inserted"] = {int(k): int(v)
+                        for k, v in meta.get("inserted", {}).items()}
+    return meta
+
+
+def _save_graph_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, GRAPH_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, GRAPH_META))
+
+
+def _medoid_pos(V: np.ndarray) -> int:
+    """Most-central position: argmax_i sum_j V_i·V_j = argmax V @ sum(V)
+    — O(nd), no pairwise matrix (ties break to the lowest position)."""
+    return int(np.argmax(V @ V.sum(axis=0)))
+
+
+def _prune_from_scores(V: np.ndarray, s: np.ndarray, mask: np.ndarray,
+                       R: int, alpha: float) -> list[int]:
+    """alpha-prune the positions allowed by `mask` given similarity row
+    `s` (cosine of the target vs every cluster vector): sort candidates
+    by similarity desc (position-asc tie-break), convert to unit-sphere
+    L2, prune. Shared by insert (candidate gen) and delete repair."""
+    cand = np.flatnonzero(mask)
+    if not len(cand):
+        return []
+    cand = cand[np.lexsort((cand, -s[cand]))]
+    d_p = np.sqrt(np.maximum(2.0 - 2.0 * s[cand], 0.0))
+    Vc = V[cand]
+    D_cc = np.sqrt(np.maximum(2.0 - 2.0 * (Vc @ Vc.T), 0.0))
+    return _robust_prune(cand, d_p, D_cc, R, alpha)
+
+
+# --------------------------------------------------------------------------
+# mutation lifecycle: insert / 2-phase delete / optimize
+# (GraphIndexBuilder.addGraphNode:594-665, removeDeletedNodes:695-805 —
+# FreshDiskANN §4.2 — and buildAndMergeNewNodes:992-1029, re-expressed as
+# per-cluster tasks over the partitioned parquet layout)
+# --------------------------------------------------------------------------
+
+GRAPH_TOMBSTONES = "_tombstones"
+
+
+def _rewrite_partitions(df: DataFrame, path: str, clusters: list[int]) -> None:
+    """Rewrite ONLY the cluster partitions in `clusters` — a mutation
+    touching 3 of 10k cells must not rewrite the other 9,997. The job
+    writes to a staging dir first, THEN swaps partition dirs (the
+    tmp -> rename discipline of sources/segment.py), because the plan
+    READS the same parquet path it replaces: staging fully materializes
+    the output before any source file moves. A cluster absent from the
+    output (fully deleted) gets its dir dropped."""
+    import shutil
+    import uuid
+
+    tmp = f"{os.path.normpath(path)}.mut-{uuid.uuid4().hex[:12]}"
+    try:
+        df.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+        for c in clusters:
+            src = os.path.join(tmp, f"cluster={c}")
+            dst = os.path.join(path, f"cluster={c}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def mark_deleted_graph(spark, path: str, doomed) -> int:
+    """Phase-1 delete (mark): append a tombstone shard under
+    path/_tombstones/. `doomed` is a DataFrame with the index's id column
+    or an iterable of ids; a DataFrame is written distributed — no driver
+    materialization, the shard-append discipline of plans/merge.py's
+    sync_tombstone_shards. Searches mask tombstoned ids immediately
+    (navigable-but-not-returnable, FreshDiskANN §4.2's lazy delete);
+    purge_deleted_graph is the phase-2 cleanup."""
+    meta = load_graph_meta(path)
+    id_col = meta["id_col"]
+    if not isinstance(doomed, DataFrame):
+        doomed = spark.createDataFrame(
+            [(int(x),) for x in doomed], f"{id_col} long")
+    tdir = os.path.join(path, GRAPH_TOMBSTONES)
+    doomed.select(F.col(id_col).cast("long")).write.mode("append").parquet(tdir)
+    return 0
+
+
+def load_graph_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    tdir = os.path.join(path, GRAPH_TOMBSTONES)
+    if not os.path.isdir(tdir):
+        return None
+    try:
+        df = spark.read.parquet(tdir).select(F.col(id_col).cast("long"))
+    except Exception:
+        return None
+    return df.distinct()
+
+
+def insert_into_graph(spark, path: str, new_vectors: DataFrame,
+                      centroids: np.ndarray) -> dict:
+    """Incremental insert (GraphIndexBuilder.addGraphNode:594-665 analog):
+    route each new vector to its cluster, then per AFFECTED cluster —
+    inside one task — insert sequentially in id order: exact candidate
+    scores vs the nodes already present (one matvec per insert, the
+    covering superset of the reference's search-path candidates),
+    alpha-prune to R out-edges, then backlink each chosen neighbor and
+    re-prune any adjacency the backlink pushed past the 2R cap (the
+    overflow prune of addGraphNode). Only affected cluster partitions are
+    rewritten (dynamic partition overwrite); untouched cells' files — and
+    their OS page-cache residency — survive.
+
+    Returns the updated meta. A cluster receiving its first member gets a
+    medoid; existing medoids are kept (the reference keeps its entry
+    point stable across inserts)."""
+    meta = load_graph_meta(path)
+    R, alpha = int(meta["R"]), float(meta["alpha"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = assign_clusters(
+        new_vectors.select(id_col, vec_col), centroids, id_col, vec_col)
+    affected = sorted(int(r[0]) for r in
+                      assigned.select("cluster").distinct().collect())
+    if not affected:
+        return meta
+    existing = (spark.read.parquet(path)
+                .where(F.col("cluster").isin(affected))
+                .select(id_col, vec_col, "neighbors", "is_medoid", "cluster",
+                        F.lit(False).alias("_new")))
+    incoming = assigned.select(
+        F.col(id_col).cast("long"),
+        F.col(vec_col).cast("array<float>").alias(vec_col),
+        F.array().cast("array<long>").alias("neighbors"),
+        F.lit(False).alias("is_medoid"), "cluster",
+        F.lit(True).alias("_new"))
+    out_schema = (f"{id_col} long, {vec_col} array<float>, "
+                  "neighbors array<long>, is_medoid boolean, cluster int")
+    medoids = dict(meta["medoids"])
+    cap = 2 * R
+
+    def ins(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(np.int64)
+        V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        new_mask = pdf["_new"].to_numpy(bool)
+        n = len(ids)
+        pos_of = {int(v): i for i, v in enumerate(ids)}
+        adj: list[list[int]] = [
+            [pos_of[int(x)] for x in row if int(x) in pos_of]
+            for row in pdf["neighbors"]]
+        present = ~new_mask
+        med_id = medoids.get(cluster)
+        for p in np.flatnonzero(new_mask):
+            if not present.any():
+                present[p] = True
+                continue
+            s = V @ V[p]
+            adj[p] = _prune_from_scores(V, s, present, R, alpha)
+            present[p] = True
+            for j in adj[p]:
+                adj[j].append(int(p))
+                if len(adj[j]) > cap:
+                    allowed = np.zeros(n, dtype=bool)
+                    allowed[adj[j]] = True
+                    allowed[j] = False
+                    adj[j] = _prune_from_scores(
+                        V, V @ V[j], allowed, cap, alpha)
+        # dedup (a backlink may duplicate an existing edge) without
+        # reordering
+        adj = [list(dict.fromkeys(a)) for a in adj]
+        medoid_pos = (pos_of[int(med_id)] if med_id is not None
+                      and int(med_id) in pos_of else _medoid_pos(V))
+        _repair_connectivity(adj, V, medoid_pos)
+        return pd.DataFrame({
+            id_col: ids,
+            vec_col: pdf[vec_col],
+            "neighbors": [ids[a].tolist() for a in adj],
+            "is_medoid": np.arange(n) == medoid_pos,
+            "cluster": np.full(n, cluster, dtype=np.int32),
+        })
+
+    merged = existing.unionByName(incoming).groupBy("cluster").applyInPandas(
+        ins, out_schema)
+    _rewrite_partitions(merged, path, affected)
+    rows = (spark.read.parquet(path)
+            .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
+            .select("cluster", id_col).collect())
+    for r in rows:
+        medoids[int(r["cluster"])] = int(r[id_col])
+    counts = {int(r[0]): int(r[1]) for r in
+              assigned.groupBy("cluster").count().collect()}
+    inserted = dict(meta.get("inserted", {}))
+    for c, k in counts.items():
+        inserted[c] = inserted.get(c, 0) + k
+    meta.update(medoids={int(k): int(v) for k, v in medoids.items()},
+                inserted=inserted)
+    _save_graph_meta(path, meta)
+    return meta
+
+
+def purge_deleted_graph(spark, path: str) -> dict:
+    """Phase-2 delete (cleanup) — removeDeletedNodes:695-805 / FreshDiskANN
+    §4.2: per cluster holding tombstoned nodes, every live node i that
+    points at a deleted j re-prunes over (adj(i) ∪ adj(j)) \\ deleted — the
+    bridge i→k for i→j→k — then deleted rows drop, the medoid is re-seated
+    if it died, connectivity is re-repaired, and ONLY those cluster
+    partitions rewrite. Tombstone shards for purged ids clear afterwards
+    (the mark-phase journal stays the commit point: a crash between write
+    and shard-clear re-purges idempotently)."""
+    meta = load_graph_meta(path)
+    R, alpha = int(meta["R"]), float(meta["alpha"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    tomb = load_graph_tombstones(spark, path, id_col)
+    if tomb is None:
+        return meta
+    corpus = spark.read.parquet(path)
+    affected = sorted(int(r[0]) for r in corpus
+                      .join(tomb, id_col, "left_semi")
+                      .select("cluster").distinct().collect())
+    if not affected:
+        _clear_graph_tombstones(path)
+        return meta
+    flagged = (corpus.where(F.col("cluster").isin(affected))
+               .join(tomb.withColumn("_del", F.lit(True)), id_col, "left")
+               .withColumn("_del", F.coalesce(F.col("_del"), F.lit(False))))
+    out_schema = (f"{id_col} long, {vec_col} array<float>, "
+                  "neighbors array<long>, is_medoid boolean, cluster int")
+    medoids = dict(meta["medoids"])
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(np.int64)
+        V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        dead = pdf["_del"].to_numpy(bool)
+        pos_of = {int(v): i for i, v in enumerate(ids)}
+        adj: list[list[int]] = [
+            [pos_of[int(x)] for x in row if int(x) in pos_of]
+            for row in pdf["neighbors"]]
+        live = ~dead
+        for i in np.flatnonzero(live):
+            dead_nbrs = [j for j in adj[i] if dead[j]]
+            if not dead_nbrs:
+                continue
+            allowed = np.zeros(len(ids), dtype=bool)
+            allowed[adj[i]] = True
+            for j in dead_nbrs:
+                allowed[adj[j]] = True  # bridge i -> k for i -> j -> k
+            allowed[dead] = False
+            allowed[i] = False
+            adj[i] = _prune_from_scores(V, V @ V[i], allowed, R, alpha)
+        keep = np.flatnonzero(live)
+        if not len(keep):
+            # fully-deleted cluster: emit nothing (driver drops the dir)
+            return pd.DataFrame({
+                id_col: np.zeros(0, np.int64),
+                vec_col: pd.Series([], dtype=object),
+                "neighbors": pd.Series([], dtype=object),
+                "is_medoid": np.zeros(0, bool),
+                "cluster": np.zeros(0, np.int32)})
+        remap = -np.ones(len(ids), dtype=np.int64)
+        remap[keep] = np.arange(len(keep))
+        new_adj = [[int(remap[j]) for j in adj[i] if live[j]] for i in keep]
+        Vk = V[keep]
+        med_id = medoids.get(cluster)
+        if med_id is not None and int(med_id) in pos_of \
+                and live[pos_of[int(med_id)]]:
+            medoid_pos = int(remap[pos_of[int(med_id)]])
+        else:
+            medoid_pos = _medoid_pos(Vk)
+        _repair_connectivity(new_adj, Vk, medoid_pos)
+        kids = ids[keep]
+        return pd.DataFrame({
+            id_col: kids,
+            vec_col: pdf[vec_col].iloc[keep].to_numpy(),
+            "neighbors": [kids[a].tolist() for a in new_adj],
+            "is_medoid": np.arange(len(keep)) == medoid_pos,
+            "cluster": np.full(len(keep), cluster, dtype=np.int32),
+        })
+
+    repaired = flagged.groupBy("cluster").applyInPandas(repair, out_schema)
+    _rewrite_partitions(repaired, path, affected)
+    rows = (spark.read.parquet(path)
+            .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
+            .select("cluster", id_col).collect())
+    got = {int(r["cluster"]): int(r[id_col]) for r in rows}
+    for c in affected:
+        if c in got:
+            medoids[c] = got[c]
+        else:
+            medoids.pop(c, None)
+    meta["medoids"] = medoids
+    _save_graph_meta(path, meta)
+    _clear_graph_tombstones(path)
+    return meta
+
+
+def _clear_graph_tombstones(path: str) -> None:
+    import shutil
+
+    tdir = os.path.join(path, GRAPH_TOMBSTONES)
+    if os.path.isdir(tdir):
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
+    """Merge/rebuild policy (buildAndMergeNewNodes:992-1029 analog): purge
+    pending tombstones, then fully REBUILD any cell whose accumulated
+    incremental inserts exceed `max_dirty` of its size — incremental
+    edges are locally optimal per insert; a one-shot rebuild over the
+    settled membership restores global edge quality (same rationale as
+    the reference's merge of the incremental graph into the on-disk one).
+    Clean cells are untouched (no IO)."""
+    meta = purge_deleted_graph(spark, path)
+    R, alpha = int(meta["R"]), float(meta["alpha"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    inserted = meta.get("inserted", {})
+    if not inserted:
+        return meta
+    sizes = {int(r[0]): int(r[1]) for r in
+             spark.read.parquet(path)
+             .where(F.col("cluster").isin(sorted(inserted)))
+             .groupBy("cluster").count().collect()}
+    dirty = sorted(c for c, k in inserted.items()
+                   if sizes.get(c, 0) and k / sizes[c] > max_dirty)
+    if dirty:
+        sub = (spark.read.parquet(path)
+               .where(F.col("cluster").isin(dirty))
+               .select(id_col, vec_col, "cluster"))
+        out_schema = (f"{id_col} long, {vec_col} array<float>, "
+                      "neighbors array<long>, is_medoid boolean, "
+                      "cluster int")
+
+        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = (pdf.sort_values(id_col, kind="mergesort")
+                   .reset_index(drop=True))
+            V = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            adj, medoid = _build_cluster_graph(V, R, alpha)
+            ids = pdf[id_col].to_numpy(np.int64)
+            return pd.DataFrame({
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "neighbors": [ids[a].tolist() for a in adj],
+                "is_medoid": np.arange(len(ids)) == medoid,
+                "cluster": pdf["cluster"].to_numpy(np.int32),
+            })
+
+        _rewrite_partitions(
+            sub.groupBy("cluster").applyInPandas(rebuild, out_schema),
+            path, dirty)
+        rows = (spark.read.parquet(path)
+                .where(F.col("cluster").isin(dirty) & F.col("is_medoid"))
+                .select("cluster", id_col).collect())
+        for r in rows:
+            meta["medoids"][int(r["cluster"])] = int(r[id_col])
+    meta["inserted"] = {c: k for c, k in inserted.items() if c not in
+                        set(dirty)}
+    _save_graph_meta(path, meta)
     return meta
 
 
@@ -210,6 +568,7 @@ def beam_search_cluster(
     ids: np.ndarray, V: np.ndarray, nbrs: list[np.ndarray],
     medoid_pos: int, q: np.ndarray, ef: int,
     seed_pos: np.ndarray | None = None,
+    banned: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """ef-bounded best-first search (GraphSearcher.java:387-451): expand
     the best unexpanded candidate, stop when it cannot beat the worst of
@@ -261,6 +620,11 @@ def beam_search_cluster(
             cand_score.extend(s.tolist())
     cand_pos_a = np.asarray(cand_pos)
     cand_score_a = np.asarray(cand_score)
+    if banned is not None:
+        # tombstoned nodes stay NAVIGABLE (expanded above like any other
+        # — FreshDiskANN §4.2 lazy delete) but are never returned
+        keep = ~banned[cand_pos_a]
+        cand_pos_a, cand_score_a = cand_pos_a[keep], cand_score_a[keep]
     top = np.lexsort((ids[cand_pos_a], -cand_score_a))[:ef]
     return cand_pos_a[top], n_evals
 
@@ -311,6 +675,17 @@ def graph_topk(
     medoids = meta["medoids"]
 
     corpus = spark.read.parquet(path).where(F.col("cluster").isin(probed))
+    tomb = load_graph_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # flag — don't drop — tombstoned rows: they stay navigable for the
+        # beam but are masked from results (FreshDiskANN lazy delete). The
+        # join is Catalyst-planned (AQE broadcasts serving-sized delete
+        # sets; a bulk set shuffles like any equi-join).
+        corpus = (corpus.join(tomb.withColumn("_del", F.lit(True)),
+                              id_col, "left")
+                  .withColumn("_del", F.coalesce("_del", F.lit(False))))
+    else:
+        corpus = corpus.withColumn("_del", F.lit(False))
     out_schema = f"qid long, {id_col} long, {vec_col} array<float>"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -326,6 +701,8 @@ def graph_topk(
                            dtype=np.int64)
                 for row in pdf["neighbors"]]
         medoid_pos = pos[int(medoids[cluster])]
+        banned = pdf["_del"].to_numpy(bool)
+        banned = banned if banned.any() else None
         m = len(ids)
         seed_pos = (np.arange(0, m, max(1, m // n_seeds),
                               dtype=np.int64)[:n_seeds]
@@ -333,7 +710,8 @@ def graph_topk(
         outs = []
         for qid in qids:
             found, n_evals = beam_search_cluster(
-                ids, V, nbrs, medoid_pos, qvecs[qid], ef, seed_pos)
+                ids, V, nbrs, medoid_pos, qvecs[qid], ef, seed_pos,
+                banned=banned)
             if evals_acc is not None:
                 evals_acc.add(int(n_evals))
             outs.append(pd.DataFrame({
