@@ -709,21 +709,20 @@ def q_docids_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token + subword counting in ONE gated query (the two operators are
-    same-grain per-doc maps; one join keeps both oracle-checked without
-    spending two driver slots — the driver caps its run at 50 queries)."""
-    from jvector_spark.operators.textstats import subword_stats, token_counts
+    """Token counting + subword counting + quality scoring + language-id
+    in ONE gated query: all four operators are same-grain per-doc maps,
+    so two joins keep all of them oracle-checked without spending extra
+    driver slots (the driver caps its run at 50 queries; r5 folded the
+    former quality_lang entry in here to free a slot for
+    graph_lifecycle). quality_lang_table's n_tokens duplicates
+    token_counts' and is dropped from the join side."""
+    from jvector_spark.operators.textstats import (
+        quality_lang_table, subword_stats, token_counts)
 
     docs = _docs(spark, sf_dir)
-    return token_counts(docs).join(subword_stats(docs), "doc_id")
-
-
-def q_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + language-id heuristic in one fused map-side pass
-    (textstats.quality_lang_table — zero joins, one tokenization scan)."""
-    from jvector_spark.operators.textstats import quality_lang_table
-
-    return quality_lang_table(_docs(spark, sf_dir))
+    return (token_counts(docs)
+            .join(subword_stats(docs), "doc_id")
+            .join(quality_lang_table(docs).drop("n_tokens"), "doc_id"))
 
 
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +980,57 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score")
 
 
+def q_graph_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph tier's WRITE path gated end-to-end by one oracle query —
+    the vector-side analog of lifecycle_search and of the reference's
+    mutate-then-search tests (GraphIndexBuilder.addGraphNode:594-665,
+    removeDeletedNodes:695-805 / FreshDiskANN §4.2, TestDeletions):
+    build over vec_id % 13 != 5 -> incremental INSERT of the held-out
+    %13 == 5 batch -> 2-phase DELETE of vec_id % 7 == 3 (phase 'masked':
+    tombstones flagged in-search, deleted nodes navigable but never
+    returned; phase 'purged': edge-repaired cleanup with the i->k bridge
+    for i->j->k over deleted j) -> covering-ef search at both phases.
+    Both phases are rank-identical to brute-force cosine over the live
+    membership (all vec_ids with %7 != 3 — covering asserted on the
+    fixtures by tests/test_graph_lifecycle.py), so the brute-force SQL
+    oracle applies to each phase.
+
+    Deliberately NOT cached: the point is exercising the mutations."""
+    import shutil
+    import tempfile
+
+    from jvector_spark.operators.ann import train_centroids
+    from jvector_spark.operators.graph import (
+        build_graph_index, graph_topk, insert_into_graph,
+        mark_deleted_graph, purge_deleted_graph)
+
+    emb = _emb(spark, sf_dir)
+    cents = train_centroids(emb, n_clusters=8, seed=42)
+    tmp = tempfile.mkdtemp(prefix="jv_glifecycle_")
+    path = os.path.join(tmp, "graph")
+    try:
+        build_graph_index(emb.where("vec_id % 13 != 5"), path, cents,
+                          R=16, alpha=1.2)
+        insert_into_graph(spark, path, emb.where("vec_id % 13 = 5"), cents)
+        mark_deleted_graph(spark, path,
+                           emb.where("vec_id % 7 = 3").select("vec_id"))
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        ef = max(128, emb.count() // 4)
+        masked = graph_topk(spark, path, queries, cents, k=10,
+                            nprobe=8, ef=ef).toPandas()
+        purge_deleted_graph(spark, path)
+        purged = graph_topk(spark, path, queries, cents, k=10,
+                            nprobe=8, ef=ef).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = pd.concat([masked.assign(phase="masked"),
+                     purged.assign(phase="purged")], ignore_index=True)
+    return spark.createDataFrame(
+        out[["phase", "qid", "rank", "vec_id", "score"]],
+        "phase string, qid long, rank int, vec_id long, score double")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: quality gate + exact-dup removal
     (keep the smallest doc_id per md5 group) in one declarative plan."""
@@ -1164,7 +1214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "docids_doclen": q_docids_doclen,
         "token_stats": q_token_stats,
-        "quality_lang": q_quality_lang,
         "doc_signatures": q_doc_signatures,
         "doc_keywords": q_doc_keywords,
         "stratified_sample": q_stratified_sample,
@@ -1180,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "ann_compressed_rerank": q_ann_compressed_rerank,
         "ann_graph_topk": q_ann_graph_topk,
+        "graph_lifecycle": q_graph_lifecycle,
         "curation_pipeline": q_curation_pipeline,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
@@ -1481,6 +1531,36 @@ r AS (SELECT s.qid, s.doc_id, s.score, ktab.k,
 SELECT qid, (rn - 1)::INT AS rank, doc_id::BIGINT AS docid,
        round(score, 6) AS score
 FROM r WHERE rn <= k
+"""
+
+
+def _graph_lifecycle_oracle() -> str:
+    """SQL twin of q_graph_lifecycle: the live membership after the
+    mutations is every vec_id with %7 != 3 (the %13==5 insert batch is a
+    subset of the same embeddings table, so base ∪ inserted = all rows),
+    and BOTH phases — tombstone-masked and purge-repaired — must be the
+    exact brute-force cosine top-10 over it. Query norms come from the
+    query rows themselves (qid 3 is deleted from the INDEX but still a
+    valid query vector)."""
+    return """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+qe AS (SELECT qid, unnest(qvec)::DOUBLE AS qv, unnest(range(len(qvec))) AS i FROM q),
+qn AS (SELECT qid, sqrt(sum(qv * qv)) AS nrm FROM qe GROUP BY 1),
+live AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+ve AS (SELECT vec_id, unnest(embedding)::DOUBLE AS vv,
+       unnest(range(len(embedding))) AS i FROM live),
+vn AS (SELECT vec_id, sqrt(sum(vv * vv)) AS nrm FROM ve GROUP BY 1),
+dots AS (SELECT qid, vec_id, sum(qv * vv) AS dp FROM qe JOIN ve USING (i) GROUP BY 1, 2),
+s AS (SELECT qid, dots.vec_id, round(dp / (qn.nrm * vn.nrm), 6) AS score
+      FROM dots JOIN qn USING (qid) JOIN vn ON dots.vec_id = vn.vec_id),
+r AS (SELECT qid, vec_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+      FROM s),
+base AS (SELECT qid::BIGINT AS qid, (rn - 1)::INT AS rank,
+         vec_id::BIGINT AS vec_id, score FROM r WHERE rn <= 10)
+SELECT 'masked' AS phase, * FROM base
+UNION ALL
+SELECT 'purged' AS phase, * FROM base
 """
 
 
@@ -2026,23 +2106,21 @@ sw AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+') AS s
        FROM documents),
 sw2 AS (SELECT doc_id, len(s)::BIGINT AS n_subwords,
         len(list_filter(s, x -> regexp_matches(x, '^[A-Za-z]')))::BIGINT
-          AS n_alpha FROM sw)
-SELECT tc.doc_id, n_tokens, n_distinct, n_subwords, n_alpha,
-       (n_subwords - n_alpha)::BIGINT AS n_num
-FROM tc JOIN sw2 ON tc.doc_id = sw2.doc_id
-""",
-        "quality_lang": f"""
-WITH {_TOK},
+          AS n_alpha FROM sw),
 per AS (SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT term)::DOUBLE AS u,
         sum(CASE WHEN term IN {STOPWORDS_SQL} THEN 1 ELSE 0 END)::DOUBLE AS s
-        FROM tokf GROUP BY 1)
-SELECT doc_id, n::BIGINT AS n_tokens,
+        FROM tokf GROUP BY 1),
+ql AS (SELECT doc_id,
        floor(u / n * 1e6)::BIGINT AS uniq_ppm,
        floor(s / n * 1e6)::BIGINT AS stop_ppm,
        floor((0.5 * (u / n) + 0.5 * (1.0 - s / n)) * 1e6)::BIGINT AS quality_ppm,
        CASE WHEN floor(s / n * 1e6) >= 120000 THEN 'en' ELSE 'other' END
          AS pred_lang
-FROM per
+       FROM per)
+SELECT tc.doc_id, n_tokens, n_distinct, n_subwords, n_alpha,
+       (n_subwords - n_alpha)::BIGINT AS n_num,
+       uniq_ppm, stop_ppm, quality_ppm, pred_lang
+FROM tc JOIN sw2 ON tc.doc_id = sw2.doc_id JOIN ql ON tc.doc_id = ql.doc_id
 """,
         "doc_signatures": f"""
 WITH {_TOK}, {_MINHASH},
@@ -2165,6 +2243,7 @@ SELECT 'nvq' AS tier, * FROM base
         # on the fixtures (pytest-asserted), rerank is exact cosine with
         # the same expression as brute force -> the brute oracle applies
         "ann_graph_topk": ann,
+        "graph_lifecycle": _graph_lifecycle_oracle(),
         "curation_pipeline": f"""
 WITH {_TOK},
 per AS (SELECT doc_id, count(*)::DOUBLE AS n, count(DISTINCT term)::DOUBLE AS u,

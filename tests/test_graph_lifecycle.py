@@ -192,6 +192,32 @@ def test_optimize_rebuilds_dirty_cells(spark, emb, mutable_index):
     _assert_rank_identical(spark, emb, path, cents)
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_driver_lifecycle_covering(spark, sf_dir):
+    """The graph_lifecycle driver query's covering contract on the REAL
+    fixtures: both phases must be rank-identical to brute-force cosine
+    over the live membership (vec_id % 7 != 3) — the guarantee that makes
+    the brute-force SQL oracle applicable."""
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("fixture missing")
+    import __spark_entry__ as e
+
+    got = e.q_graph_lifecycle(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    live = emb.where("vec_id % 7 != 3")
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as qid",
+                                                 "embedding as qvec")
+    exact = brute_force_topk(live, queries, k=10).toPandas()
+    for phase in ("masked", "purged"):
+        g = (got[got["phase"] == phase]
+             .drop(columns="phase")
+             .sort_values(["qid", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            g, exact.sort_values(["qid", "rank"]).reset_index(drop=True),
+            check_dtype=False)
+
+
 def test_insert_into_empty_cluster_seeds_medoid(spark, tmp_path):
     """A cluster receiving its FIRST members must gain a medoid and be
     searchable — the empty-cell edge Lloyd leaves behind."""
