@@ -137,11 +137,14 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
           lambda: entry.q_ann_brute_topk(spark, sf_dir).toPandas())
 
     # 6. text analysis sweep (quality + langid + winnow fingerprint —
-    # same workload as rounds 1-3, kept label-comparable across rounds)
-    from jvector_spark.operators.textstats import doc_fingerprints
+    # same workload as rounds 1-3, kept label-comparable across rounds;
+    # r5: the quality+langid table comes via its surviving gated home,
+    # quality_lang_table, after q_quality_lang merged into q_token_stats)
+    from jvector_spark.operators.textstats import (
+        doc_fingerprints, quality_lang_table)
 
     timed("text_analysis", lambda: (
-        entry.q_quality_lang(spark, sf_dir).toPandas(),
+        quality_lang_table(entry._docs(spark, sf_dir)).toPandas(),
         doc_fingerprints(entry._docs(spark, sf_dir)).toPandas()))
 
     # 6b. full fused signature family (md5 + sha256 + winnow + simhash +

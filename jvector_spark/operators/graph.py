@@ -78,35 +78,35 @@ def _robust_prune(cand_idx: np.ndarray, d_p: np.ndarray,
     return keep
 
 
-def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
-                         block: int = 2048) -> tuple[list[list[int]], int]:
-    """(adjacency lists, medoid position) for one cluster's normalized
-    vectors. Candidates = exact top-(3R) cosine neighbors via blocked
-    BLAS (deterministic — no iterative refinement to seed), then the
-    diversity prune, then reverse-edge union capped at 2R."""
-    n = len(V)
-    M = min(n - 1, 3 * R)
-    sums = np.zeros(n, dtype=np.float64)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    if n <= 1:  # empty cells happen when Lloyd leaves a centroid memberless
-        return adj, 0
-    for lo in range(0, n, block):
-        hi = min(lo + block, n)
-        S = V[lo:hi] @ V.T  # (b, n) cosine (unit vectors)
-        sums[lo:hi] = S.sum(axis=1)
+def _prune_candidate_block(V: np.ndarray, cand: np.ndarray, cs: np.ndarray,
+                           R: int, alpha: float) -> list[list[int]]:
+    """alpha-prune a BLOCK of candidate rows at once. cand/cs are (b, M)
+    candidate positions / cosine similarities, already sorted per row by
+    similarity desc (position-asc tie-break). The pairwise candidate
+    distance tensors are built batched ((b, M, d) gather + one batched
+    matmul -> (b, M, M)) so the only per-row Python left is the tiny
+    O(M·R) domination walk itself — the block-vectorized form of the
+    reference's per-insert retainDiverse."""
+    b, M = cand.shape
+    d_p = np.sqrt(np.maximum(2.0 - 2.0 * cs, 0.0))
+    out: list[list[int]] = []
+    # sub-chunk so the (pb, M, d) gather stays under ~64 MiB at any dim
+    pb = max(1, int((1 << 26) / max(1, M * V.shape[1] * 8)))
+    for lo in range(0, b, pb):
+        hi = min(lo + pb, b)
+        Vc = V[cand[lo:hi]]                      # (pb, M, d)
+        Scc = Vc @ Vc.transpose(0, 2, 1)         # (pb, M, M) batched BLAS
+        D_cc = np.sqrt(np.maximum(2.0 - 2.0 * Scc, 0.0))
         for r in range(hi - lo):
-            i = lo + r
-            s = S[r].copy()
-            s[i] = -np.inf  # no self loop
-            cand = np.argpartition(-s, min(M, n - 1) - 1)[:M]
-            # similarity desc with index-asc tie-break for determinism
-            cand = cand[np.lexsort((cand, -s[cand]))]
-            d_p = np.sqrt(np.maximum(2.0 - 2.0 * s[cand], 0.0))
-            Vc = V[cand]
-            Scc = Vc @ Vc.T
-            D_cc = np.sqrt(np.maximum(2.0 - 2.0 * Scc, 0.0))
-            adj[i] = _robust_prune(cand, d_p, D_cc, R, alpha)
-    # reverse-edge union (backlink pass), cap 2R by similarity
+            out.append(_robust_prune(cand[lo + r], d_p[lo + r],
+                                     D_cc[r], R, alpha))
+    return out
+
+
+def _backlink_and_cap(adj: list[list[int]], V: np.ndarray, R: int) -> None:
+    """Reverse-edge union (the builder's backlink pass) capped at 2R by
+    similarity (position-asc tie-break), in place."""
+    n = len(adj)
     radj: list[list[int]] = [[] for _ in range(n)]
     for i, nbrs in enumerate(adj):
         for j in nbrs:
@@ -119,6 +119,114 @@ def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
             order = np.lexsort((np.asarray(merged), -sims))[:cap]
             merged = [merged[o] for o in order]
         adj[i] = merged
+
+
+def _improve_connections(adj: list[list[int]], V: np.ndarray, R: int,
+                         alpha: float, block: int = 4096) -> list[list[int]]:
+    """One refinement sweep (GraphIndexBuilder.improveConnections:516-544
+    analog): every node re-selects its out-edges from the union of its
+    current neighbors and its neighbors' neighbors — the 2-hop frontier a
+    one-shot kNN graph never considered — via the same alpha-prune, then
+    backlinks are re-unioned.
+
+    Two regimes (tests/test_graph_ann_refine.py): on a FRESH
+    `_build_cluster_graph` output the sweep is near-neutral, because our
+    build candidates are already exact top-3R (the reference needs it on
+    fresh builds only because its insert-order candidates come from
+    approximate search paths). On a DEGRADED graph — after
+    `purge_deleted_graph`'s narrow-pool edge repair, or any edge loss —
+    one sweep measurably recovers recall (0.52 -> 0.82 on the half-degree
+    kNN fixture), which is why the purge path runs it on heavily-churned
+    cells and `optimize_graph` keeps it for rebuilds.
+
+    Vectorized the same way as the build: candidate lists are flattened
+    CSR-style per block, similarities come from ONE gathered einsum per
+    block, top-M selection + the pairwise prune reuse the batched helper.
+    """
+    n = len(V)
+    M = min(n - 1, 3 * R)
+    if n <= 2 or M < 1:
+        return adj
+    new_adj: list[list[int]] = [[] for _ in range(n)]
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        cands: list[np.ndarray] = []
+        owners: list[int] = []
+        for i in range(lo, hi):
+            two_hop: set[int] = set(adj[i])
+            for j in adj[i]:
+                two_hop.update(adj[j])
+            two_hop.discard(i)
+            c = np.fromiter(two_hop, dtype=np.int64, count=len(two_hop))
+            cands.append(c)
+            owners.append(len(c))
+        flat = np.concatenate(cands) if cands else np.zeros(0, np.int64)
+        rep = np.repeat(np.arange(lo, hi, dtype=np.int64), owners)
+        s_flat = np.einsum("nd,nd->n", V[flat], V[rep])  # one batched gather
+        off = np.concatenate([[0], np.cumsum(owners)])
+        # pad each row's top-M into a fixed (b, M) block for the batched
+        # prune; short rows pad with a self-reference at -inf similarity
+        b = hi - lo
+        cand_blk = np.zeros((b, M), dtype=np.int64)
+        cs_blk = np.full((b, M), -np.inf, dtype=np.float64)
+        for r in range(b):
+            c = cands[r]
+            s = s_flat[off[r]:off[r + 1]]
+            if len(c) > M:
+                top = np.argpartition(-s, M - 1)[:M]
+                c, s = c[top], s[top]
+            order = np.lexsort((c, -s))
+            cand_blk[r, :len(c)] = c[order]
+            cs_blk[r, :len(c)] = s[order]
+            if len(c) < M:
+                cand_blk[r, len(c):] = lo + r  # padded: dominated instantly
+        pruned = _prune_candidate_block(V, cand_blk, cs_blk, R, alpha)
+        for r in range(b):
+            new_adj[lo + r] = [p for p in pruned[r] if p != lo + r]
+    _backlink_and_cap(new_adj, V, R)
+    return new_adj
+
+
+def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
+                         block: int = 2048,
+                         refine: int = 1) -> tuple[list[list[int]], int]:
+    """(adjacency lists, medoid position) for one cluster's normalized
+    vectors. Candidates = exact top-(3R) cosine neighbors via blocked
+    BLAS (deterministic — no iterative refinement to seed), then the
+    block-vectorized diversity prune, reverse-edge union capped at 2R,
+    `refine` improve-connections sweeps, and a connectivity repair.
+
+    Cell-size contract: one cell = one task. Peak memory is
+    O(cell·d·8 + block·cell·8) for the scoring block plus O(cell·3R)
+    adjacency — a 10^6-vector 128-dim cell is ~1 GiB + 2 GiB scoring
+    buffer at block=2048, inside a normal executor. Compute is
+    O(cell²·d / block-BLAS) for exact kNN candidates; size cells via the
+    centroid count (n_clusters >= n / 2e5 keeps cells <=200k and build
+    CPU-bound, see BENCH.md graph-cell build throughput). The per-vector
+    Python cost is ONLY the O(M·R) domination walk — candidate top-M,
+    row sort, and all pairwise distances are batched numpy/BLAS."""
+    n = len(V)
+    M = min(n - 1, 3 * R)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    if n <= 1:  # empty cells happen when Lloyd leaves a centroid memberless
+        return adj, 0
+    sums = np.zeros(n, dtype=np.float64)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        b = hi - lo
+        S = V[lo:hi] @ V.T  # (b, n) cosine (unit vectors)
+        sums[lo:hi] = S.sum(axis=1)
+        S[np.arange(b), np.arange(lo, hi)] = -np.inf  # no self loops
+        # block-wide top-M + per-row sort (similarity desc, index asc)
+        cand = np.argpartition(-S, M - 1, axis=1)[:, :M]
+        cs = np.take_along_axis(S, cand, axis=1)
+        order = np.lexsort((cand, -cs), axis=1)
+        cand = np.take_along_axis(cand, order, axis=1)
+        cs = np.take_along_axis(cs, order, axis=1)
+        adj[lo:hi] = _prune_candidate_block(V, cand, cs, R, alpha)
+    _backlink_and_cap(adj, V, R)
+    for _ in range(max(0, refine)):
+        adj = _improve_connections(adj, V, R, alpha)
     medoid = int(np.argmax(sums))  # most central = best entry point
     _repair_connectivity(adj, V, medoid)
     return adj, medoid
@@ -165,11 +273,15 @@ def build_graph_index(
     alpha: float = 1.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int = 1,
 ) -> dict:
     """Write the cluster-partitioned graph layout:
     path/cluster=N/*.parquet with (vec_id, embedding, neighbors:
     array<long> of vec_ids) + _GRAPH_META.json {cluster: medoid vec_id}.
-    Returns the meta dict."""
+    `refine` = improve-connections sweeps after the one-shot build
+    (GraphIndexBuilder.improveConnections:516-544 analog; stored in meta
+    so optimize-time rebuilds use the same setting). Returns the meta
+    dict. Cell-size contract: see _build_cluster_graph."""
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
     out_schema = (f"{id_col} long, {vec_col} array<float>, "
                   "neighbors array<long>, is_medoid boolean, cluster int")
@@ -177,7 +289,7 @@ def build_graph_index(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-        adj, medoid = _build_cluster_graph(V, R, alpha)
+        adj, medoid = _build_cluster_graph(V, R, alpha, refine=refine)
         ids = pdf[id_col].to_numpy(np.int64)
         return pd.DataFrame({
             id_col: ids,
@@ -193,7 +305,8 @@ def build_graph_index(
     rows = (spark.read.parquet(path).where(F.col("is_medoid"))
             .select("cluster", id_col).collect())
     meta = {"medoids": {int(r["cluster"]): int(r[id_col]) for r in rows},
-            "R": R, "alpha": alpha, "id_col": id_col, "vec_col": vec_col}
+            "R": R, "alpha": alpha, "refine": refine,
+            "id_col": id_col, "vec_col": vec_col}
     with open(os.path.join(path, GRAPH_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -466,6 +579,12 @@ def purge_deleted_graph(spark, path: str) -> dict:
         remap[keep] = np.arange(len(keep))
         new_adj = [[int(remap[j]) for j in adj[i] if live[j]] for i in keep]
         Vk = V[keep]
+        if dead.sum() >= 0.1 * len(ids):
+            # heavy churn: the bridge pool (adj(i) ∪ adj(dead)) is narrow,
+            # so run one improve-connections sweep to re-select edges from
+            # the 2-hop frontier (recall-recovery evidence in
+            # tests/test_graph_ann_refine.py)
+            new_adj = _improve_connections(new_adj, Vk, R, alpha)
         med_id = medoids.get(cluster)
         if med_id is not None and int(med_id) in pos_of \
                 and live[pos_of[int(med_id)]]:
@@ -517,6 +636,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
     Clean cells are untouched (no IO)."""
     meta = purge_deleted_graph(spark, path)
     R, alpha = int(meta["R"]), float(meta["alpha"])
+    refine = int(meta.get("refine", 1))
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     inserted = meta.get("inserted", {})
     if not inserted:
@@ -540,7 +660,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
                    .reset_index(drop=True))
             V = _normalize(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            adj, medoid = _build_cluster_graph(V, R, alpha)
+            adj, medoid = _build_cluster_graph(V, R, alpha, refine=refine)
             ids = pdf[id_col].to_numpy(np.int64)
             return pd.DataFrame({
                 id_col: ids,
