@@ -897,13 +897,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase compressed search, BOTH compression tiers in one gated
-    query (tier column): 'pq' = ADC approximate scan + exact cosine rerank
-    (the DiskANN compressed-search pattern, SURVEY §3.2); 'nvq' =
+    """Two-phase compressed search, ALL THREE compression tiers in one
+    gated query (tier column): 'pq' = ADC approximate scan + exact cosine
+    rerank (the DiskANN compressed-search pattern, SURVEY §3.2); 'nvq' =
     per-vector 8-bit affine codes scanned via pure Catalyst dequantized
     cosine + the same exact rerank (NVQuantization.java:42-155 /
-    NVQScorer.java — the reference ships both PQ and NVQ for the same
-    two-phase contract). Each tier emits EXACT cosine ranks whenever its
+    NVQScorer.java); 'bq' = 1-bit sign codes + Hamming prefilter
+    (BinaryQuantization.java:88-110), also pure Catalyst — the reference
+    ships PQ, NVQ and BQ behind one VectorCompressor SPI with the same
+    two-phase contract. Each tier emits EXACT cosine ranks whenever its
     survivor set contains the true top-k (rerankK >= topK contract,
     GraphSearcher.search:209) — rerank_k = max(100, n/5) makes that hold
     (pytest-asserted, tests/test_pq.py + tests/test_nvq.py), so the
@@ -947,7 +949,24 @@ def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("nvq").alias("tier"), F.col("qid").cast("long"), "rank",
         F.col("vec_id").cast("long"), "score",
     )
-    return pq_res.unionByName(nvq_res)
+    # 'bq' = 1-bit/dim sign codes + Hamming prefilter + the same exact
+    # rerank (BinaryQuantization.java:88-110 / BQVectors.java:117). One
+    # sign bit per dim is the coarsest tier the reference ships — on this
+    # isotropic-Gaussian 64-dim fixture (BQ's worst case; the reference
+    # scopes BQ to specific embedding models) the covering survivor
+    # budget is 55% (asserted at all fixture SFs, tests/test_bq.py), so
+    # the win here is the 64x narrower phase-1 scan column, not the
+    # survivor count.
+    from jvector_spark.operators.bq import bq_encode, bq_topk
+
+    bq_res = bq_topk(
+        bq_encode(emb), queries, k=10,
+        rerank_k=max(256, -(-emb.count() * 11 // 20)),
+    ).select(
+        F.lit("bq").alias("tier"), F.col("qid").cast("long"), "rank",
+        F.col("vec_id").cast("long"), "score",
+    )
+    return pq_res.unionByName(nvq_res).unionByName(bq_res)
 
 
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2227,17 +2246,20 @@ UNION ALL
 SELECT 'partitioned' AS tier, * FROM base
 """,
         "embed_near_dup": _embed_lsh_oracle(),
-        # ann_compressed_rerank: BOTH tiers' rerank phases output EXACT
-        # cosine top-k whenever their survivors (rerank_k=100 of 500)
-        # cover the true top-10 — pytest-asserted on the fixtures
-        # (tests/test_pq.py, tests/test_nvq.py), so the brute-force
-        # oracle applies to each tier (k-means itself still isn't
+        # ann_compressed_rerank: all three tiers' rerank phases output
+        # EXACT cosine top-k whenever their survivors cover the true
+        # top-10 — pytest-asserted on the fixtures (tests/test_pq.py,
+        # tests/test_nvq.py, tests/test_bq.py; pq/nvq budget n/5, bq
+        # 0.55n — sign bits are coarser), so the brute-force oracle
+        # applies to each tier (k-means itself still isn't
         # SQL-expressible; exactness of the final ranks is)
         "ann_compressed_rerank": f"""
 WITH base AS ({ann})
 SELECT 'pq' AS tier, * FROM base
 UNION ALL
 SELECT 'nvq' AS tier, * FROM base
+UNION ALL
+SELECT 'bq' AS tier, * FROM base
 """,
         # ann_graph_topk: beam candidates provably cover the exact top-10
         # on the fixtures (pytest-asserted), rerank is exact cosine with
