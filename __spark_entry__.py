@@ -842,15 +842,28 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jvector_spark.operators.ann import brute_force_topk
+    """BOTH exact-search modes in one gated query (mode column):
+    'topk' = plain exact cosine top-10; 'threshold' = up to 10 results
+    with cosine >= 0.3 — the GraphSearcher threshold overload's
+    semantics (GraphSearcher.java:192-195; its probabilistic-stop beam
+    variant, TwoPhaseTracker.shouldStop:130-143, lives in
+    operators/graph.py and is pytest-gated since the early stop is not
+    SQL-expressible). 0.3 discriminates on the fixtures: some queries
+    clear it <10 times, so the filter is genuinely exercised."""
+    from jvector_spark.operators.ann import (
+        brute_force_threshold, brute_force_topk)
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return brute_force_topk(emb, queries, k=10).select(
-        F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"), "score"
-    )
+    cols = [F.col("qid").cast("long"), F.col("rank"),
+            F.col("vec_id").cast("long"), F.col("score")]
+    topk = brute_force_topk(emb, queries, k=10).select(
+        F.lit("topk").alias("mode"), *cols)
+    thr = brute_force_threshold(emb, queries, threshold=0.3, k=10).select(
+        F.lit("threshold").alias("mode"), *cols)
+    return topk.unionByName(thr)
 
 
 def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2235,7 +2248,19 @@ WHERE a.doc_id < b2.doc_id AND a.rnk <= 1000 AND b2.rnk <= 1000
         # agrees on a band) is asserted separately in tests/test_skew.py
         "lsh_jaccard_verified": _lsh_verified_oracle(),
         "near_dup_groups": _near_dup_groups_oracle(),
-        "ann_brute_topk": ann,
+        # ann_brute_topk: mode family — 'threshold' re-ranks the rows
+        # that clear the 0.3 cosine cut (rank restarts within the mode,
+        # matching brute_force_threshold's contract of ranking the
+        # above-threshold survivors)
+        "ann_brute_topk": f"""
+WITH base AS ({ann})
+SELECT 'topk' AS mode, * FROM base
+UNION ALL
+SELECT 'threshold' AS mode, qid, (row_number() OVER (
+         PARTITION BY qid ORDER BY score DESC, vec_id ASC) - 1)::INT AS rank,
+       vec_id, score
+FROM base WHERE score >= 0.3
+""",
         # both tiers are exact at nprobe == n_clusters (flat = in-plan
         # IVF, partitioned = directory-pruned layout), so the brute-force
         # oracle applies to each

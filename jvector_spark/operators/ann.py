@@ -81,6 +81,46 @@ def brute_force_topk(
     )
 
 
+def brute_force_threshold(
+    vectors: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact threshold search: up to k results per query with
+    cosine >= threshold, ranked (score desc, id asc) — the semantics of
+    GraphSearcher's threshold overload (GraphSearcher.java:192-195:
+    "results are returned... with a similarity >= threshold", bounded by
+    topK). Queries that clear the threshold fewer than k times return
+    fewer rows; queries that never clear it return none.
+
+    Same scan shape as brute_force_topk: broadcast queries, the
+    threshold filter applies BEFORE the partial per-partition top-k, so
+    at scale most rows die map-side and the shuffle carries at most
+    k rows per (query, partition)."""
+    scored = vectors.join(F.broadcast(queries)).select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col),
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
+    ).where(F.col("score") >= F.lit(float(threshold)))
+    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
+        F.col("prn") <= k
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col, "score")
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,

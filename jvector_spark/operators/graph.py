@@ -684,11 +684,63 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
     return meta
 
 
+class TwoPhaseTracker:
+    """ScoreTracker.TwoPhaseTracker analog (ScoreTracker.java:90-149):
+    a 500-score sliding window + a bounded best-100 heap. The search is
+    "in phase 2" — and may stop — when the 99th percentile of recent
+    scores falls below BOTH the worst of the best scores seen and the
+    caller's threshold (the reference's conservative variant of the
+    probabilistic-stop paper's median rule). Evaluation is gated to once
+    per 100 observations, like the reference's `observationCount % 100`.
+
+    Batch-adapted: our beam scores whole adjacencies per expansion, so
+    scores arrive in arrays; the ring buffer and the check cadence see
+    the same values a scalar loop would."""
+
+    RECENT_SCORES_TRACKED = 500
+    BEST_SCORES_TRACKED = 100
+
+    def __init__(self, threshold: float):
+        self.threshold = float(threshold)
+        self._recent = np.zeros(self.RECENT_SCORES_TRACKED)
+        self._idx = 0
+        self._count = 0
+        self._best = np.full(self.BEST_SCORES_TRACKED, -np.inf)
+
+    def track(self, scores: np.ndarray) -> None:
+        scores = np.asarray(scores, dtype=np.float64).ravel()
+        for lo in range(0, len(scores), self.RECENT_SCORES_TRACKED):
+            chunk = scores[lo:lo + self.RECENT_SCORES_TRACKED]
+            end = self._idx + len(chunk)
+            if end <= self.RECENT_SCORES_TRACKED:
+                self._recent[self._idx:end] = chunk
+            else:
+                split = self.RECENT_SCORES_TRACKED - self._idx
+                self._recent[self._idx:] = chunk[:split]
+                self._recent[:end - self.RECENT_SCORES_TRACKED] = chunk[split:]
+            self._idx = end % self.RECENT_SCORES_TRACKED
+        self._count += len(scores)
+        # bounded best-heap, batch form: merge + keep top-100
+        merged = np.concatenate([self._best, scores])
+        self._best = np.partition(merged, -self.BEST_SCORES_TRACKED)[
+            -self.BEST_SCORES_TRACKED:]
+        self._check_due = self._count >= self.RECENT_SCORES_TRACKED and (
+            self._count // 100 > (self._count - len(scores)) // 100)
+
+    def should_stop(self) -> bool:
+        if not getattr(self, "_check_due", False):
+            return False
+        p99 = float(np.percentile(self._recent, 99))
+        worst_best = float(self._best.min())
+        return p99 < worst_best and p99 < self.threshold
+
+
 def beam_search_cluster(
     ids: np.ndarray, V: np.ndarray, nbrs: list[np.ndarray],
     medoid_pos: int, q: np.ndarray, ef: int,
     seed_pos: np.ndarray | None = None,
     banned: np.ndarray | None = None,
+    threshold: float | None = None,
 ) -> tuple[np.ndarray, int]:
     """ef-bounded best-first search (GraphSearcher.java:387-451): expand
     the best unexpanded candidate, stop when it cannot beat the worst of
@@ -703,7 +755,17 @@ def beam_search_cluster(
     reference solves by accumulating search-path edges during insertion
     (GraphIndexBuilder.java:441-453). Spread seeds restore global
     navigability for a few extra evaluations (measured on a 40k clustered
-    corpus: recall@10 0.23 -> 0.96 at ~3% scan, bench.py --grid)."""
+    corpus: recall@10 0.23 -> 0.96 at ~3% scan, bench.py --grid).
+
+    `threshold`: enables the probabilistic-stop mode of the reference's
+    threshold overload (GraphSearcher.java:192-195 + TwoPhaseTracker
+    .shouldStop:130-143): once the 99th percentile of the last 500
+    evaluated scores drops below both the best-100 floor and the
+    threshold, further expansion is statistically pointless and the beam
+    exits early. Results below the threshold are NOT filtered here — the
+    caller's exact rerank applies the cut (rerank scores, not beam
+    scores, decide membership)."""
+    tracker = TwoPhaseTracker(threshold) if threshold is not None else None
     n = len(V)
     if seed_pos is None:
         seed_pos = np.asarray([medoid_pos], dtype=np.int64)
@@ -717,6 +779,8 @@ def beam_search_cluster(
     cand_score = (V[seed_pos] @ q).tolist()
     expanded = np.zeros(n, dtype=bool)
     n_evals = len(seed_pos)
+    if tracker is not None:
+        tracker.track(np.asarray(cand_score))
     while True:
         # best unexpanded candidate
         best = -1
@@ -738,6 +802,10 @@ def beam_search_cluster(
             n_evals += len(new)
             cand_pos.extend(int(p) for p in new)
             cand_score.extend(s.tolist())
+            if tracker is not None:
+                tracker.track(s)
+                if tracker.should_stop():
+                    break
     cand_pos_a = np.asarray(cand_pos)
     cand_score_a = np.asarray(cand_score)
     if banned is not None:
@@ -763,6 +831,7 @@ def graph_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     evals_acc=None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Beam-searched top-k over the graph layout: per probed cluster, an
     in-task beam from the medoid emits <=ef candidates per query; the
@@ -831,7 +900,7 @@ def graph_topk(
         for qid in qids:
             found, n_evals = beam_search_cluster(
                 ids, V, nbrs, medoid_pos, qvecs[qid], ef, seed_pos,
-                banned=banned)
+                banned=banned, threshold=threshold)
             if evals_acc is not None:
                 evals_acc.add(int(n_evals))
             outs.append(pd.DataFrame({
@@ -848,6 +917,12 @@ def graph_topk(
         F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6)
         .alias("score"),
     )
+    if threshold is not None:
+        # threshold mode: the cut applies on EXACT rerank scores
+        # (GraphSearcher.java:192-195 — results with similarity >=
+        # threshold, bounded by topK); the beam's probabilistic stop
+        # above only bounds exploration
+        scored = scored.where(F.col("score") >= F.lit(float(threshold)))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))

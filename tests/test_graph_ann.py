@@ -192,7 +192,10 @@ def test_entry_covering(spark, sf_dir):
     import __spark_entry__ as e
 
     graph = e.q_ann_graph_topk(spark, sf_dir).toPandas()
-    brute = e.q_ann_brute_topk(spark, sf_dir).toPandas()
+    # q_ann_brute_topk is a mode family since r5; topk mode is the truth
+    brute = (e.q_ann_brute_topk(spark, sf_dir).toPandas()
+             .query("mode == 'topk'").drop(columns=["mode"])
+             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         graph.sort_values(["qid", "rank"]).reset_index(drop=True),
         brute.sort_values(["qid", "rank"]).reset_index(drop=True),
