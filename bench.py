@@ -161,15 +161,21 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     server = IndexServer(spark, index_dir, mode="local")
     batch = queries.head(4).copy()
     server.search(batch)  # warm pool
-    server._result_cache.clear()
-    t0 = time.time()
-    n_batches = 25
-    for i in range(n_batches):
-        b = batch.copy()
-        b["qid"] = b["qid"] + i * 100  # distinct keys: no result-cache hits
-        server.search(b)
-    dt = time.time() - t0
-    times["_serve_warm_qps"] = round(4 * n_batches / dt, 1)
+    # best-of-3 interleaved rounds — the same drift-absorbing protocol as
+    # timed()/the scaling harness (r4's single-run number regressed 15%
+    # purely from host noise; serve was the one surface without it)
+    n_batches, best_dt = 25, None
+    for rnd in range(3):
+        server._result_cache.clear()
+        t0 = time.time()
+        for i in range(n_batches):
+            b = batch.copy()
+            # distinct keys: no result-cache hits
+            b["qid"] = b["qid"] + (rnd * n_batches + i + 1) * 100
+            server.search(b)
+        dt = time.time() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    times["_serve_warm_qps"] = round(4 * n_batches / best_dt, 1)
 
     return times
 

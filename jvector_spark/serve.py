@@ -106,11 +106,17 @@ class VectorPool:
                  vec_col: str = "embedding",
                  n_clusters: int | None = None, seed: int = 42,
                  quantize: str | None = None,
-                 graph_R: int | None = None) -> None:
+                 graph_R: int | None = None,
+                 graph_fused: bool = False) -> None:
         import pyarrow.parquet as pq_mod
 
         if quantize not in (None, "nvq"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if graph_fused and (quantize != "nvq" or not graph_R):
+            # the reference fuses COMPRESSED codes into the graph, never
+            # raw floats (duplicating float rows x2R would defeat the
+            # residency budget) — same constraint here
+            raise ValueError("graph_fused requires quantize='nvq' and graph_R")
         tbl = pq_mod.read_table(parquet_path, columns=[id_col, vec_col])
         self.ids = tbl[id_col].to_numpy().astype(np.int64)
         mat = np.vstack(
@@ -162,9 +168,42 @@ class VectorPool:
         # only (<= 2R+bridges int32 per node); beam scoring reuses the
         # pool's scoring kernel, so it works over NVQ codes too.
         self.graph_R = graph_R
+        self.graph_fused = bool(graph_fused)
         self._graph = None
+        self._fused = None
         if graph_R:
             self._build_graph(mat, graph_R)
+            if self.graph_fused:
+                self._build_fused()
+
+    def _build_fused(self) -> None:
+        """FusedADC analog (graph/disk/feature/FusedADC.java:39-59): pack
+        each node's NEIGHBORS' compressed codes into one contiguous block
+        laid out in adjacency order, CSR-style per cell. An expansion then
+        scores its whole neighborhood with ONE contiguous-slice matmul —
+        no fancy-indexed gather across the code matrix — exactly the
+        reference's "read the neighborhood's codes sequentially alongside
+        the adjacency" trade: duplicated codes (~R x 1 byte/dim/node) buy
+        gather-free bulk scoring."""
+        self._fused = []
+        for members, nbrs, _seeds in self._graph:
+            if len(members) == 0 or not nbrs:
+                self._fused.append(None)
+                continue
+            degs = np.asarray([len(a) for a in nbrs], dtype=np.int64)
+            off = np.zeros(len(nbrs) + 1, dtype=np.int64)
+            np.cumsum(degs, out=off[1:])
+            flat = (np.concatenate(nbrs) if off[-1]
+                    else np.empty(0, dtype=np.int64))
+            gpos = members[flat]
+            self._fused.append({
+                "off": off,
+                "nbr": flat,  # cell-local neighbor positions, block order
+                "codes": np.ascontiguousarray(self._codes[gpos]),
+                "vmin": self._vmin[gpos].astype(np.float64),
+                "delta": self._delta[gpos].astype(np.float64),
+                "norms": self.norms[gpos],
+            })
 
     def _build_graph(self, mat: np.ndarray, R: int) -> None:
         from jvector_spark.operators.graph import _build_cluster_graph
@@ -232,6 +271,8 @@ class VectorPool:
         m = len(members)
         if m == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0), 0)
+        fz = self._fused[cell] if self._fused is not None else None
+        qsum = float(q.sum())
         visited = np.zeros(m, dtype=bool)
         visited[seeds] = True
         sims0 = self._score_positions(members[seeds], q, qn)
@@ -251,10 +292,27 @@ class VectorPool:
                 if best_s < kth:
                     break
             expanded[best] = True
-            new = nbrs[best][~visited[nbrs[best]]]
+            if fz is not None:
+                # fused neighborhood scoring: ONE contiguous-slice matmul
+                # over the whole adjacency block (visited rows are scored
+                # and discarded — the FusedADC bulk-then-filter shape),
+                # the NVQScorer shift/scale identity on the fused copies
+                lo, hi = int(fz["off"][best]), int(fz["off"][best + 1])
+                nbr = fz["nbr"][lo:hi]
+                mask = ~visited[nbr]
+                if mask.any():
+                    block = (fz["vmin"][lo:hi] * qsum
+                             + fz["delta"][lo:hi] * (fz["codes"][lo:hi] @ q))
+                    sims_all = block / (qn * fz["norms"][lo:hi])
+                    new, s = nbr[mask], sims_all[mask]
+                else:
+                    new = nbr[:0]
+            else:
+                new = nbrs[best][~visited[nbrs[best]]]
+                if len(new):
+                    s = self._score_positions(members[new], q, qn)
             if len(new):
                 visited[new] = True
-                s = self._score_positions(members[new], q, qn)
                 n_evals += len(new)
                 cand_pos.extend(int(p) for p in new)
                 cand_sim.extend(s.tolist())
@@ -326,7 +384,8 @@ class IndexServer:
                  mode: str = "local", vectors: str | None = None,
                  vector_clusters: int | None = None,
                  vector_quantize: str | None = None,
-                 vector_graph_R: int | None = None) -> None:
+                 vector_graph_R: int | None = None,
+                 vector_fused: bool = False) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
@@ -335,7 +394,8 @@ class IndexServer:
         self.pool = SearcherPool()
         self.vectors = (
             VectorPool(vectors, n_clusters=vector_clusters,
-                       quantize=vector_quantize, graph_R=vector_graph_R)
+                       quantize=vector_quantize, graph_R=vector_graph_R,
+                       graph_fused=vector_fused)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
         # bounded result cache, GENERATION-scoped: identical (queries,
@@ -616,6 +676,13 @@ class IndexServer:
                     members.nbytes + seeds.nbytes
                     + sum(a.nbytes for a in nbrs)
                     for members, nbrs, seeds in v._graph)
+            if v._fused is not None:
+                # fused neighborhoods duplicate ~R codes/node by design
+                resident += sum(
+                    fz["off"].nbytes + fz["nbr"].nbytes + fz["codes"].nbytes
+                    + fz["vmin"].nbytes + fz["delta"].nbytes
+                    + fz["norms"].nbytes
+                    for fz in v._fused if fz is not None)
             vec_kb = (resident + v.ids.nbytes + v.norms.nbytes) // 1024
         return {
             "rss_kb": rss_kb,

@@ -324,6 +324,39 @@ def test_vector_pool_graph_tier(tmp_path_factory):
             & set(nfast[nfast["qid"] == i]["vec_id"])) for i in range(10))
     assert nhits / 100 >= 0.7, nhits / 100
 
+    # fused neighborhood blocks (the FusedADC analog,
+    # graph/disk/feature/FusedADC.java:39-59): contiguous per-node
+    # neighbor-code slabs must change NOTHING about results or eval
+    # counts — only the memory layout the expansion matmul reads
+    fpool = VectorPool(path, n_clusters=6, graph_R=8, quantize="nvq",
+                       graph_fused=True)
+    ffast = fpool.knn(q, 10, nprobe=2, ef=48)
+    assert ffast.equals(nfast)
+    assert fpool.last_graph_evals == npool.last_graph_evals
+    fcov = fpool.knn(q, 10, ef=n)
+    ncov = npool.knn(q, 10, ef=n)
+    assert fcov.equals(ncov)
+
+
+def test_vector_pool_fused_requires_nvq_graph(tmp_path_factory):
+    """graph_fused without nvq codes (or without a graph) must refuse —
+    the reference only fuses compressed codes into the adjacency."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(size=(50, 8)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("gf")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(50, dtype=np.int64), "embedding": list(X)}),
+        path)
+    with pytest.raises(ValueError, match="graph_fused"):
+        VectorPool(path, graph_R=4, graph_fused=True)
+    with pytest.raises(ValueError, match="graph_fused"):
+        VectorPool(path, quantize="nvq", graph_fused=True)
+
 
 def test_serve_crud_ops(spark, corpus_df, corpus_pdf, tmp_path_factory):
     """CRUD through one warm session (IPCService WRITE/DELETE analog):
