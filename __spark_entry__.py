@@ -1149,54 +1149,74 @@ LIFECYCLE_QUERY_SET: list[tuple[int, list[str], int]] = [
 
 
 def q_lifecycle_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The §2.9 write path gated end-to-end by one oracle query: build ->
-    2-phase DELETE (doc_id % 17) -> REPLACE (doc_id % 23: tombstone old
-    copy + append new content, RESURRECTING the %391 overlap ids deleted
-    in the prior step) -> in-place COMPACTION (purge + dense renumber +
-    epoch flip) -> BM25 search over the surviving corpus. The DuckDB twin
-    mirrors every mutation in SQL: new docids = max(doc_id)+1 + rank of
-    the replaced doc_id (micro_segments' row_number-over-key contract),
-    final docids = rank over pre-compact docid (dense order-preserving
-    renumbering, TestOnDiskGraphIndex.testRenumberingOnDelete:94-143).
+    """The §2.9 write path gated end-to-end by one oracle query, BOTH
+    mutation regimes as phases: build -> 2-phase DELETE (doc_id % 17) ->
+    REPLACE (doc_id % 23: new content, RESURRECTING the %391 overlap ids
+    deleted in the prior step) -> COMPACTION (purge + dense renumber +
+    epoch flip) -> BM25 search over the surviving corpus.
+
+    phase='crud' = tombstone-journal replace_docs then compact_in_place
+    (the addGraphNode/markNodeDeleted incremental regime); phase='bulk' =
+    replace_docs_bulk (the buildAndMergeNewNodes MERGE-INTO regime: the
+    doomed set never touches the driver; compact-with-doomed THEN
+    append). The two regimes converge to the SAME final index — survivors
+    keep their relative order, replacements land at the tail in key
+    order — so one DuckDB twin gates both (new docids = max(doc_id)+1 +
+    rank of the replaced doc_id, final docids = rank over pre-compact
+    docid; TestOnDiskGraphIndex.testRenumberingOnDelete:94-143).
 
     Deliberately NOT cached: the whole point is exercising mutations, so
-    the index builds fresh in a temp dir and the result materializes
-    before cleanup."""
+    the indexes build fresh in temp dirs and results materialize before
+    cleanup."""
     import shutil
     import tempfile
 
     from jvector_spark.operators.wand import search_index
     from jvector_spark.plans.merge import (
-        compact_in_place, mark_deleted, replace_docs)
+        compact_in_place, mark_deleted, replace_docs, replace_docs_bulk)
     from jvector_spark.sources.segment import build_index
 
-    idx = tempfile.mkdtemp(prefix="jv_lifecycle_")
-    try:
-        base = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("docid"),
-            F.col("doc_id").cast("long"), "text")
-        build_index(base, idx, mode="simple", num_segments=4,
-                    content_col="text", key_cols=("doc_id",))
-        doomed = [int(r[0]) for r in _docs(spark, sf_dir)
-                  .where(F.col("doc_id") % 17 == 0)
-                  .select("doc_id").collect()]
-        mark_deleted(idx, doomed)
-        new_docs = (_docs(spark, sf_dir)
-                    .where(F.col("doc_id") % 23 == 0)
-                    .select(F.col("doc_id").cast("long"),
-                            F.concat(F.col("text"),
-                                     F.lit(" lifecyclemarker"))
-                            .alias("text")))
-        # mode / positions / key_cols default from the live index config
-        replace_docs(spark, idx, new_docs, content_col="text")
-        compact_in_place(spark, idx, vacuum_min_age_sec=0)
-        out = search_index(spark, idx, _qpdf(query_set=LIFECYCLE_QUERY_SET))
-        pdf = _rerank_rounded(
-            out, query_set=LIFECYCLE_QUERY_SET).toPandas()
-    finally:
-        shutil.rmtree(idx, ignore_errors=True)
+    def mutate_and_search(strategy: str) -> pd.DataFrame:
+        root = tempfile.mkdtemp(prefix=f"jv_lifecycle_{strategy}_")
+        idx = os.path.join(root, "v1")
+        try:
+            base = _docs(spark, sf_dir).select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.col("doc_id").cast("long"), "text")
+            build_index(base, idx, mode="simple", num_segments=4,
+                        content_col="text", key_cols=("doc_id",))
+            doomed = [int(r[0]) for r in _docs(spark, sf_dir)
+                      .where(F.col("doc_id") % 17 == 0)
+                      .select("doc_id").collect()]
+            mark_deleted(idx, doomed)
+            new_docs = (_docs(spark, sf_dir)
+                        .where(F.col("doc_id") % 23 == 0)
+                        .select(F.col("doc_id").cast("long"),
+                                F.concat(F.col("text"),
+                                         F.lit(" lifecyclemarker"))
+                                .alias("text")))
+            if strategy == "crud":
+                # mode / positions / key_cols default from the live config
+                replace_docs(spark, idx, new_docs, content_col="text")
+                compact_in_place(spark, idx, vacuum_min_age_sec=0)
+                final = idx
+            else:
+                final = os.path.join(root, "v2")
+                replace_docs_bulk(spark, idx, new_docs, final,
+                                  content_col="text")
+            out = search_index(spark, final,
+                               _qpdf(query_set=LIFECYCLE_QUERY_SET))
+            return _rerank_rounded(
+                out, query_set=LIFECYCLE_QUERY_SET).toPandas()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    pdf = pd.concat([mutate_and_search("crud").assign(phase="crud"),
+                     mutate_and_search("bulk").assign(phase="bulk")],
+                    ignore_index=True)
     return spark.createDataFrame(
-        pdf, "qid long, rank int, docid long, score double")
+        pdf[["phase", "qid", "rank", "docid", "score"]],
+        "phase string, qid long, rank int, docid long, score double")
 
 
 # --------------------------------------------------------------------------
@@ -2324,7 +2344,14 @@ SELECT doc_id, frame_idx,
        md5(psha || ':' || frame_idx::VARCHAR) AS frame_sha
 FROM f
 """,
-        "lifecycle_search": _lifecycle_oracle(),
+        # both mutation regimes converge to the same final index (see
+        # q_lifecycle_search), so one twin gates both phases
+        "lifecycle_search": f"""
+WITH base AS ({_lifecycle_oracle()})
+SELECT 'crud' AS phase, * FROM base
+UNION ALL
+SELECT 'bulk' AS phase, * FROM base
+""",
         "events_rollups": """
 SELECT 'hourly' AS grain, floor(epoch(ts) / 3600)::BIGINT AS k1,
        event_type AS k2, count(*)::BIGINT AS n_events,

@@ -35,6 +35,7 @@ brute-force SQL oracle applicable (tests/test_graph_ann.py).
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 
@@ -777,31 +778,45 @@ def beam_search_cluster(
     visited[seed_pos] = True
     cand_pos = [int(p) for p in seed_pos]
     cand_score = (V[seed_pos] @ q).tolist()
-    expanded = np.zeros(n, dtype=bool)
     n_evals = len(seed_pos)
     if tracker is not None:
         tracker.track(np.asarray(cand_score))
-    while True:
-        # best unexpanded candidate
-        best = -1
-        best_s = -np.inf
-        for i, p in enumerate(cand_pos):
-            if not expanded[p] and cand_score[i] > best_s:
-                best, best_s = p, cand_score[i]
-        if best < 0:
-            break
-        if len(cand_pos) >= ef:
-            kth = np.partition(np.asarray(cand_score), -ef)[-ef]
-            if best_s < kth:
-                break  # cannot improve the ef held results
-        expanded[best] = True
+    # heap-based best-first (the reference's NodeQueue pair,
+    # GraphSearcher.java:54-60): `frontier` is a max-heap of unexpanded
+    # candidates ((-score, insertion seq) — seq reproduces the
+    # earliest-inserted-wins tie-break of the former linear scan, so
+    # expansion order and therefore results are bit-identical); `held`
+    # is the bounded min-heap of the ef best scores seen, whose root is
+    # the old kth-partition threshold in O(1). Each position enters the
+    # frontier exactly once (visited-gated), so no stale entries.
+    frontier = [(-s, i, p) for i, (p, s) in enumerate(zip(cand_pos,
+                                                          cand_score))]
+    heapq.heapify(frontier)
+    held: list[float] = []
+    for s in cand_score:
+        if len(held) < ef:
+            heapq.heappush(held, s)
+        else:
+            heapq.heappushpop(held, s)
+    seq = len(cand_pos)
+    while frontier:
+        neg_s, _, best = heapq.heappop(frontier)
+        if len(held) == ef and -neg_s < held[0]:
+            break  # cannot improve the ef held results
         new = nbrs[best][~visited[nbrs[best]]]
         if len(new):
             visited[new] = True
             s = V[new] @ q
             n_evals += len(new)
-            cand_pos.extend(int(p) for p in new)
-            cand_score.extend(s.tolist())
+            for p, sv in zip(new.tolist(), s.tolist()):
+                cand_pos.append(p)
+                cand_score.append(sv)
+                heapq.heappush(frontier, (-sv, seq, p))
+                seq += 1
+                if len(held) < ef:
+                    heapq.heappush(held, sv)
+                else:
+                    heapq.heappushpop(held, sv)
             if tracker is not None:
                 tracker.track(s)
                 if tracker.should_stop():

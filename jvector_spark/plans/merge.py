@@ -38,7 +38,8 @@ from typing import Iterator, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from jvector_spark import BLOCK_SIZE
 from jvector_spark.sources.segment import (
@@ -671,6 +672,25 @@ def vacuum_index(index_dir: str, dry_run: bool = False,
     return removed
 
 
+def _seg_digest(seg_path: str) -> str:
+    """The 20-hex segment identity used by both the tombstone shard tree
+    and the bulk-doomed partition dirs."""
+    return _shard_name(seg_path)[: -len(".parquet")]
+
+
+def _load_bulk_doomed(doomed_dir: str, seg_path: str) -> np.ndarray | None:
+    """Executor-side: one segment's bulk-doomed docids (written by
+    replace_docs_bulk as segd=<digest> parquet partitions). None if the
+    segment has no doomed rows."""
+    part = os.path.join(doomed_dir, f"segd={_seg_digest(seg_path)}")
+    if not os.path.isdir(part):
+        return None
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(part, columns=["docid"])["docid"].to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -678,6 +698,8 @@ def compact_index(
     target_segments: int | None = None,
     block_size: int = BLOCK_SIZE,
     target_bytes: int | None = None,
+    doomed_dir: str | None = None,
+    doomed_counts: dict[str, int] | None = None,
 ) -> pd.DataFrame:
     """Sort-merge-compact an index: group docid-adjacent segments, purge
     tombstones, renumber docids densely, write a fresh index + docid_map
@@ -691,10 +713,18 @@ def compact_index(
     prefix-sums one scalar per segment. Groups with zero live docs are
     dropped up front, so output seg-{offset} dirs are strictly increasing
     (no collisions) and no task ever builds an empty segment.
-    """
+
+    `doomed_dir` / `doomed_counts` (replace_docs_bulk): an EXTRA doomed
+    set that never touched the journal — parquet partitions
+    doomed_dir/segd=<digest>/ written distributed, resolved per segment
+    INSIDE each merge task (the driver sees only the per-segment counts
+    needed for offsets). The caller guarantees doomed ∩ journal = ∅, or
+    the metadata-only live counts double-subtract and docid offsets
+    collide."""
     manifest = load_manifest(index_dir)
     segs = sorted(manifest["segments"], key=lambda s: s["min_docid"])
     tomb_u = np.unique(np.array(load_tombstones(index_dir), dtype=np.int64))
+    doomed_counts = doomed_counts or {}
     if target_bytes is not None:
         # size-bounded policy (the LSM merge-policy surface): greedily
         # pack ADJACENT segments (groups must stay docid-contiguous for
@@ -728,7 +758,8 @@ def compact_index(
     def seg_live(s: dict) -> int:
         lo = int(np.searchsorted(tomb_u, s["min_docid"], side="left"))
         hi = int(np.searchsorted(tomb_u, s["max_docid"], side="right"))
-        return int(s["n_docs"]) - (hi - lo)
+        return (int(s["n_docs"]) - (hi - lo)
+                - doomed_counts.get(_seg_digest(s["path"]), 0))
 
     live_counts = [sum(seg_live(s) for s in g) for g in groups]
     groups = [g for g, n in zip(groups, live_counts) if n > 0]
@@ -761,9 +792,20 @@ def compact_index(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples():
+                paths = json.loads(row.paths)
+                tomb_task = b_tomb.value
+                if doomed_dir is not None:
+                    # bulk-doomed resolution is PER TASK: each group reads
+                    # only its own segments' doomed partitions
+                    extra = [d for p in paths
+                             if (d := _load_bulk_doomed(doomed_dir, p))
+                             is not None]
+                    if extra:
+                        tomb_task = np.unique(
+                            np.concatenate([tomb_task, *extra]))
                 man, dmap = _merge_group(
-                    json.loads(row.paths), out_dir, int(row.group_id),
-                    int(row.offset), b_tomb.value, block_size,
+                    paths, out_dir, int(row.group_id),
+                    int(row.offset), tomb_task, block_size,
                 )
                 if man is None:  # defensive: group emptied under our feet
                     continue
@@ -933,3 +975,126 @@ def replace_docs(
         content_col=content_col, key_cols=key_cols, positions=positions,
     )
     return {"replaced": n_replaced, "appended": True}
+
+
+def replace_docs_bulk(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    out_dir: str,
+    segments_per_batch: int = 8,
+    block_size: int = BLOCK_SIZE,
+    mode: str | None = None,
+    positions: bool | None = None,
+    key_cols: tuple[str, ...] | None = None,
+    content_col: str | None = None,
+) -> dict:
+    """Bulk upsert — the MERGE-INTO-shaped big sibling of replace_docs
+    (the buildAndMergeNewNodes regime, GraphIndexBuilder.java:992-1029,
+    vs addGraphNode's incremental one). replace_docs journals a tombstone
+    per replaced doc and is therefore driver-bounded by the journal (its
+    stated serving-sized-CRUD contract); THIS path never materializes the
+    doomed set on the driver:
+
+    1. doomed = existing ⋉ incoming-keys, computed AND WRITTEN
+       distributed as parquet partitions doomed/segd=<digest>/ — the
+       driver collects only one COUNT per affected segment (needed for
+       the compaction's metadata-only docid offsets).
+    2. compact_index(doomed_dir=...) rewrites the index into `out_dir`
+       with each merge task resolving its own segments' doomed ids
+       executor-side (journal tombstones purge in the same pass).
+    3. the new docs append to the fresh index (multi-segment build; the
+       old copies are gone, so the committed-key dedup passes them).
+
+    Cost model: O(index) rewrite like any major compaction — right when
+    the incoming batch is a meaningful fraction of the corpus (a 10^8-key
+    re-ingest), wrong for point updates (use replace_docs). Docids
+    renumber (epoch bump via the fresh manifest), same contract as
+    compact_index; out_dir/docid_map preserves old->new. Crash-safe: the
+    source index is read-only throughout; a crash leaves it intact and
+    out_dir incomplete (no _SUCCESS-equivalent manifest until the end).
+
+    `new_docs` must be key-unique; duplicate keys would both survive
+    (first-writer-wins is not defined for a bulk batch).
+    """
+    from jvector_spark.sources.segment import key_join_cond
+    from jvector_spark.streaming.micro_segments import append_micro_segment
+
+    cfg = index_config(index_dir)
+    # same default discipline as replace_docs: the LIVE index's own
+    # config, explicit arguments override (the config-drift guard)
+    if mode is None:
+        mode = cfg["tokenizer_mode"]
+    if positions is None:
+        positions = cfg["has_positions"]
+    if key_cols is None:
+        key_cols = cfg["key_cols"]
+    if content_col is None:
+        content_col = cfg["content_col"]
+    manifest = load_manifest(index_dir)
+    if not manifest["segments"]:
+        raise ValueError("replace_docs_bulk needs a non-empty index; "
+                         "bulk-load an empty one instead")
+    segs = manifest["segments"]
+    doomed_dir = out_dir.rstrip("/") + "._doomed"
+
+    # --- 1. distributed doomed set ------------------------------------
+    # segment identity travels WITH each row (input_file_name -> segment
+    # dir -> digest via a broadcast map); the driver never sees docids
+    existing = (
+        spark.read.parquet(
+            *[os.path.join(s["path"], "docs.parquet") for s in segs])
+        .withColumn(
+            "_segdir",
+            F.regexp_replace(
+                F.regexp_extract(F.input_file_name(),
+                                 r"(.*)/docs\.parquet", 1),
+                "^file:/+", "/"))
+        .select("docid", "_segdir", *key_cols)
+    )
+    seg_map = F.broadcast(spark.createDataFrame(
+        [(os.path.normpath(s["path"]), _seg_digest(s["path"]))
+         for s in segs],
+        "_segdir string, segd string"))
+    incoming = new_docs.select(*key_cols).distinct()
+    hits = existing.join(incoming,
+                         on=key_join_cond(existing, incoming, key_cols),
+                         how="left_semi")
+    tomb = load_tombstones(index_dir)
+    if tomb:
+        # keep doomed ∩ journal = ∅ (compact_index's offset contract);
+        # the journal is driver-resident by design, so isin is bounded
+        hits = hits.where(~F.col("docid").isin([int(t) for t in tomb]))
+    doomed = hits.join(seg_map, "_segdir").select("docid", "segd")
+    doomed.write.mode("overwrite").partitionBy("segd").parquet(doomed_dir)
+    # read the counts back from the COMMITTED files (what the merge tasks
+    # will actually see); explicit schema — an all-new-keys batch commits
+    # zero doomed rows and inference has nothing to look at
+    back = spark.read.schema("docid long, segd string").parquet(doomed_dir)
+    counts = {r["segd"]: int(r["n"])
+              for r in back.groupBy("segd").agg(
+                  F.count("*").alias("n")).collect()}
+    n_doomed = int(sum(counts.values()))
+    # every hit must have mapped to a known segment dir: a URI-vs-path
+    # normalization drift between input_file_name and the manifest would
+    # otherwise silently drop doomed rows and resurrect old copies
+    n_hits = hits.count()
+    if n_hits != n_doomed:
+        raise RuntimeError(
+            f"segment-dir mapping dropped {n_hits - n_doomed} of "
+            f"{n_hits} doomed rows (path normalization drift between "
+            "input_file_name and the manifest)")
+
+    # --- 2. rewrite, purging doomed + journal tombstones in-task -------
+    compact_index(spark, index_dir, out_dir, block_size=block_size,
+                  doomed_dir=doomed_dir, doomed_counts=counts)
+
+    # --- 3. append the replacements to the fresh index -----------------
+    append_micro_segment(
+        new_docs, batch_id=-2, index_dir=out_dir,
+        mode=mode, content_col=content_col,
+        key_cols=tuple(key_cols), positions=positions,
+        segments_per_batch=segments_per_batch,
+    )
+    shutil.rmtree(doomed_dir, ignore_errors=True)
+    return {"replaced": n_doomed, "index": out_dir}

@@ -30,6 +30,7 @@ generation — the read-while-write snapshot contract.
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 from typing import IO
@@ -278,20 +279,25 @@ class VectorPool:
         sims0 = self._score_positions(members[seeds], q, qn)
         cand_pos = [int(p) for p in seeds]
         cand_sim = sims0.tolist()
-        expanded = np.zeros(m, dtype=bool)
         n_evals = len(seeds)
-        while True:
-            best, best_s = -1, -np.inf
-            for i, p in enumerate(cand_pos):
-                if not expanded[p] and cand_sim[i] > best_s:
-                    best, best_s = p, cand_sim[i]
-            if best < 0:
+        # heap-based best-first (NodeQueue pair analog, see
+        # beam_search_cluster in operators/graph.py for the tie-break and
+        # threshold equivalence argument): max-heap frontier of unexpanded
+        # candidates + bounded min-heap of the ef best scores seen
+        frontier = [(-s, i, p) for i, (p, s) in enumerate(zip(cand_pos,
+                                                              cand_sim))]
+        heapq.heapify(frontier)
+        held: list[float] = []
+        for s in cand_sim:
+            if len(held) < ef:
+                heapq.heappush(held, s)
+            else:
+                heapq.heappushpop(held, s)
+        seq = len(cand_pos)
+        while frontier:
+            neg_s, _, best = heapq.heappop(frontier)
+            if len(held) == ef and -neg_s < held[0]:
                 break
-            if len(cand_pos) >= ef:
-                kth = np.partition(np.asarray(cand_sim), -ef)[-ef]
-                if best_s < kth:
-                    break
-            expanded[best] = True
             if fz is not None:
                 # fused neighborhood scoring: ONE contiguous-slice matmul
                 # over the whole adjacency block (visited rows are scored
@@ -314,8 +320,15 @@ class VectorPool:
             if len(new):
                 visited[new] = True
                 n_evals += len(new)
-                cand_pos.extend(int(p) for p in new)
-                cand_sim.extend(s.tolist())
+                for p, sv in zip(new.tolist(), s.tolist()):
+                    cand_pos.append(p)
+                    cand_sim.append(sv)
+                    heapq.heappush(frontier, (-sv, seq, p))
+                    seq += 1
+                    if len(held) < ef:
+                        heapq.heappush(held, sv)
+                    else:
+                        heapq.heappushpop(held, sv)
         cp = np.asarray(cand_pos, dtype=np.int64)
         cs = np.asarray(cand_sim)
         keep = np.lexsort((self.ids[members[cp]], -cs))[:ef]
