@@ -132,9 +132,19 @@ def run_suite(spark, sf_dir: str, index_dir: str) -> dict[str, float]:
     timed("dedup_minhash_lsh",
           lambda: entry.q_minhash_lsh_pairs(spark, sf_dir).toPandas())
 
-    # 5. ANN: brute-force cosine top-k
+    # 5. ANN: brute-force cosine top-k. The gated query became a mode
+    # FAMILY in r5 (topk + threshold); time the modes separately so
+    # ann_brute_topk stays label-comparable with rounds 1-4.
+    from jvector_spark.operators.ann import (
+        brute_force_threshold, brute_force_topk)
+
+    emb = entry._emb(spark, sf_dir)
+    annq = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     timed("ann_brute_topk",
-          lambda: entry.q_ann_brute_topk(spark, sf_dir).toPandas())
+          lambda: brute_force_topk(emb, annq, k=10).toPandas())
+    timed("ann_threshold",
+          lambda: brute_force_threshold(emb, annq, 0.3, k=10).toPandas())
 
     # 6. text analysis sweep (quality + langid + winnow fingerprint —
     # same workload as rounds 1-3, kept label-comparable across rounds;

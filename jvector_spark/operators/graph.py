@@ -190,7 +190,7 @@ def _improve_connections(adj: list[list[int]], V: np.ndarray, R: int,
 
 def _build_cluster_graph(V: np.ndarray, R: int, alpha: float,
                          block: int = 2048,
-                         refine: int = 1) -> tuple[list[list[int]], int]:
+                         refine: int = 0) -> tuple[list[list[int]], int]:
     """(adjacency lists, medoid position) for one cluster's normalized
     vectors. Candidates = exact top-(3R) cosine neighbors via blocked
     BLAS (deterministic — no iterative refinement to seed), then the
@@ -274,15 +274,20 @@ def build_graph_index(
     alpha: float = 1.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    refine: int = 1,
+    refine: int = 0,
 ) -> dict:
     """Write the cluster-partitioned graph layout:
     path/cluster=N/*.parquet with (vec_id, embedding, neighbors:
     array<long> of vec_ids) + _GRAPH_META.json {cluster: medoid vec_id}.
     `refine` = improve-connections sweeps after the one-shot build
     (GraphIndexBuilder.improveConnections:516-544 analog; stored in meta
-    so optimize-time rebuilds use the same setting). Returns the meta
-    dict. Cell-size contract: see _build_cluster_graph."""
+    so optimize-time rebuilds use the same setting). Default 0: this
+    build's candidates are already EXACT top-3R, and the sweep is
+    measured exactly neutral on fresh builds (recall AND evals identical,
+    +50% build time, 8k-cell probe) — its consumer is delete-repair
+    recovery, where purge_deleted_graph applies it unconditionally on
+    heavily-churned cells. Returns the meta dict. Cell-size contract:
+    see _build_cluster_graph."""
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
     out_schema = (f"{id_col} long, {vec_col} array<float>, "
                   "neighbors array<long>, is_medoid boolean, cluster int")
@@ -637,7 +642,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
     Clean cells are untouched (no IO)."""
     meta = purge_deleted_graph(spark, path)
     R, alpha = int(meta["R"]), float(meta["alpha"])
-    refine = int(meta.get("refine", 1))
+    refine = int(meta.get("refine", 0))
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     inserted = meta.get("inserted", {})
     if not inserted:
