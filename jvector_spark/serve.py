@@ -264,10 +264,17 @@ class VectorPool:
         return dots / (qn * self.norms[pos])
 
     def _beam_cell(self, cell: int, q: np.ndarray, qn: float,
-                   ef: int) -> tuple[np.ndarray, np.ndarray, int]:
+                   ef: int,
+                   threshold: float | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, int]:
         """ef-bounded best-first beam inside one graph cell (the warm
         GraphSearcher.java:387-451 loop). Returns (global positions,
-        their sims, evals)."""
+        their sims, evals). `threshold` arms the TwoPhaseTracker
+        probabilistic stop (see operators/graph.beam_search_cluster)."""
+        from jvector_spark.operators.graph import TwoPhaseTracker
+
+        tracker = (TwoPhaseTracker(threshold)
+                   if threshold is not None else None)
         members, nbrs, seeds = self._graph[cell]
         m = len(members)
         if m == 0:
@@ -280,6 +287,8 @@ class VectorPool:
         cand_pos = [int(p) for p in seeds]
         cand_sim = sims0.tolist()
         n_evals = len(seeds)
+        if tracker is not None:
+            tracker.track(sims0)
         # heap-based best-first (NodeQueue pair analog, see
         # beam_search_cluster in operators/graph.py for the tie-break and
         # threshold equivalence argument): max-heap frontier of unexpanded
@@ -329,6 +338,10 @@ class VectorPool:
                         heapq.heappush(held, sv)
                     else:
                         heapq.heappushpop(held, sv)
+                if tracker is not None:
+                    tracker.track(np.asarray(s))
+                    if tracker.should_stop():
+                        break
         cp = np.asarray(cand_pos, dtype=np.int64)
         cs = np.asarray(cand_sim)
         keep = np.lexsort((self.ids[members[cp]], -cs))[:ef]
@@ -336,7 +349,8 @@ class VectorPool:
 
     def knn(self, qvecs: np.ndarray, k: int,
             nprobe: int | None = None,
-            ef: int | None = None) -> pd.DataFrame:
+            ef: int | None = None,
+            threshold: float | None = None) -> pd.DataFrame:
         """(n_queries, dim) -> (qid, rank, vec_id, score), qid = row
         index of the query batch. nprobe (with an IVF-enabled pool)
         limits the exact scoring to the members of the nprobe nearest
@@ -345,7 +359,12 @@ class VectorPool:
         ef (with a graph-enabled pool, graph_R=...) switches the probed
         cells from full scans to multi-seed beam searches — the fastest
         tier; evals land in self.last_graph_evals for observability
-        (SearchResult.getVisitedCount)."""
+        (SearchResult.getVisitedCount).
+
+        `threshold`: the GraphSearcher threshold overload on the warm
+        surface (GraphSearcher.java:192-195) — up to k results with
+        score >= threshold; with a graph-enabled pool the beam also gets
+        the TwoPhaseTracker probabilistic stop (operators/graph.py)."""
         q = np.asarray(qvecs, dtype=np.float64)
         qn = np.maximum(np.sqrt((q * q).sum(axis=1)), 1e-12)
         outs = []
@@ -365,7 +384,8 @@ class VectorPool:
                 ps, ss = [], []
                 for c in cells:
                     gp, gs, ne = self._beam_cell(int(c), q[qid],
-                                                 float(qn[qid]), ef)
+                                                 float(qn[qid]), ef,
+                                                 threshold=threshold)
                     ps.append(gp)
                     ss.append(gs)
                     self.last_graph_evals += ne
@@ -381,6 +401,10 @@ class VectorPool:
                 sims = np.round(
                     self._score_positions(cand, q[qid], float(qn[qid])), 6)
                 ids = self.ids[cand]
+            if threshold is not None:
+                keep = sims >= threshold
+                pos_keep = np.flatnonzero(keep)
+                ids, sims = ids[pos_keep], sims[pos_keep]
             top = np.lexsort((ids, -sims))[:k]
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid),
@@ -443,13 +467,15 @@ class IndexServer:
 
     def knn(self, qvecs, k: int = 10,
             nprobe: int | None = None,
-            ef: int | None = None) -> pd.DataFrame:
+            ef: int | None = None,
+            threshold: float | None = None) -> pd.DataFrame:
         if self.vectors is None:
             raise ValueError(
                 "server started without a vector table (vectors=...)")
         self.requests_served += 1
         return self.vectors.knn(
-            np.asarray(qvecs, dtype=np.float64), k, nprobe=nprobe, ef=ef)
+            np.asarray(qvecs, dtype=np.float64), k, nprobe=nprobe, ef=ef,
+            threshold=threshold)
 
     def _load_manifest(self) -> None:
         self.manifest = load_manifest(self.index_dir)
@@ -942,6 +968,7 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
       {"op": "cursor_close", "cursor_id": "c0"}
       {"op": "phrase", "queries": [{"qid": 0, "phrase": "...", "k": 10}, ...]}
       {"op": "knn", "queries": [[...vec...], ...], "k": 10?, "nprobe": N?,
+       "threshold": T?,  # score>=T filter + probabilistic beam stop
        "ef": E?}  # ef + a graph-enabled pool = beam-searched cells
       {"op": "delete", "docids": [3, 17, ...]}
       {"op": "replace", "docs": [{...row...}, ...]}   # 2-phase upsert
@@ -1011,9 +1038,12 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
             elif op == "knn":
                 npb = req.get("nprobe")
                 efq = req.get("ef")
+                thr = req.get("threshold")
                 res = server.knn(req["queries"], k=int(req.get("k", 10)),
                                  nprobe=int(npb) if npb else None,
-                                 ef=int(efq) if efq else None)
+                                 ef=int(efq) if efq else None,
+                                 threshold=(float(thr)
+                                            if thr is not None else None))
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "delete":
                 resp = {"ok": True, **server.delete(req["docids"])}

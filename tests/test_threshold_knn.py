@@ -137,6 +137,41 @@ def test_tracker_stops_and_keeps_results():
     assert rec_tight >= 0.97, rec_tight
 
 
+def test_warm_pool_threshold_mode(tmp_path_factory):
+    """The warm surface's threshold overload: VectorPool.knn(threshold=t)
+    returns only score>=t rows (up to k), matching the numpy truth on a
+    full probe, for both the brute and the graph-beam tiers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(11)
+    X = rng.normal(size=(800, 24))
+    Xn = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("thr")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(800, dtype=np.int64),
+        "embedding": list(Xn)}), path)
+    pool = VectorPool(path, n_clusters=4, graph_R=8)
+    q = Xn[rng.randint(0, 800, 6)].astype(np.float64)
+    t = 0.6
+    Xd = Xn.astype(np.float64)
+    Xd /= np.linalg.norm(Xd, axis=1, keepdims=True)
+    for kw in ({}, {"ef": 800}):  # brute and covering graph beam
+        res = pool.knn(q, 10, threshold=t, **kw)
+        assert (res["score"] >= t).all()
+        saw_partial = False
+        for qi in range(6):
+            s = np.round(Xd @ (q[qi] / np.linalg.norm(q[qi])), 6)
+            keep = np.flatnonzero(s >= t)
+            want = keep[np.lexsort((keep, -s[keep]))][:10].tolist()
+            got = res[res.qid == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == want, (kw, qi)
+            saw_partial = saw_partial or len(want) < 10
+        assert saw_partial  # the cut is genuinely exercised
+
+
 def test_tracker_unit_semantics():
     """Unit contract of the tracker itself: no stop before 500
     observations (ScoreTracker.java:133-135); stop requires the recent
