@@ -741,12 +741,69 @@ class TwoPhaseTracker:
         return p99 < worst_best and p99 < self.threshold
 
 
+class RelaxedMonotonicityTracker:
+    """ScoreTracker.RelaxedMonotonicityTracker analog
+    (ScoreTracker.java:152-271; VBase §3.1): detect when the beam has
+    left phase 1 (climbing toward the local maximum) and is mostly
+    finding worse options. The recent-score distribution is modeled as
+    Normal via a sliding-window Welford mean/variance; stop once
+    mean + 1.75·std (≈ the 96th percentile) falls below the worst of the
+    best `best_tracked` scores seen. Window size follows the reference's
+    empirical rule: 200 · round(sqrt(best_tracked / 2)).
+
+    This is the `usePruning(true)` searcher mode — NOT rank-exact (the
+    reference likewise defaults builders' searchers to pruning OFF,
+    GraphIndexBuilder.java:330-334); callers opt in for the eval cut and
+    accept the measured recall trade (tests/test_threshold_knn.py)."""
+
+    SIGMA_FACTOR = 1.75
+    BASE_RECENT_SCORES_SIZE = 200
+
+    def __init__(self, best_tracked: int = 100):
+        factor = max(1, int(round(np.sqrt(best_tracked / 2.0))))
+        self._size = self.BASE_RECENT_SCORES_SIZE * factor
+        self._recent = np.zeros(self._size)
+        self._idx = 0
+        self._count = 0
+        self._mean = 0.0
+        self._dsq = 0.0
+        self._best = np.full(max(1, best_tracked), -np.inf)
+
+    def track(self, scores: np.ndarray) -> None:
+        scores = np.asarray(scores, dtype=np.float64).ravel()
+        # sliding-window Welford is inherently sequential; adjacency
+        # batches are O(R) so the per-score loop is bounded per expansion
+        for s in scores.tolist():
+            self._count += 1
+            if self._count <= self._size:
+                d = (s - self._mean) / self._count
+                new_mean = self._mean + d
+                self._dsq += (s - new_mean) * (s - self._mean)
+            else:
+                old = self._recent[self._idx]
+                d = (s - old) / self._size
+                new_mean = self._mean + d
+                self._dsq += (s - old) * (s - new_mean + old - self._mean)
+            self._mean = new_mean
+            self._recent[self._idx] = s
+            self._idx = (self._idx + 1) % self._size
+        merged = np.concatenate([self._best, scores])
+        self._best = np.partition(merged, -len(self._best))[-len(self._best):]
+
+    def should_stop(self) -> bool:
+        if self._count < self._size:
+            return False
+        std = np.sqrt(max(self._dsq, 0.0) / (self._size - 1))
+        return self._mean + self.SIGMA_FACTOR * std < float(self._best.min())
+
+
 def beam_search_cluster(
     ids: np.ndarray, V: np.ndarray, nbrs: list[np.ndarray],
     medoid_pos: int, q: np.ndarray, ef: int,
     seed_pos: np.ndarray | None = None,
     banned: np.ndarray | None = None,
     threshold: float | None = None,
+    use_pruning: bool = False,
 ) -> tuple[np.ndarray, int]:
     """ef-bounded best-first search (GraphSearcher.java:387-451): expand
     the best unexpanded candidate, stop when it cannot beat the worst of
@@ -770,8 +827,20 @@ def beam_search_cluster(
     threshold, further expansion is statistically pointless and the beam
     exits early. Results below the threshold are NOT filtered here — the
     caller's exact rerank applies the cut (rerank scores, not beam
-    scores, decide membership)."""
-    tracker = TwoPhaseTracker(threshold) if threshold is not None else None
+    scores, decide membership).
+
+    `use_pruning`: the reference's usePruning(true) searcher mode — the
+    RelaxedMonotonicityTracker replaces the threshold tracker (same
+    precedence as ScoreTrackerFactory.getScoreTracker: a threshold wins),
+    trading exactness of the candidate set for an eval cut once the beam
+    is statistically past its local maximum. Default off (rank-identical
+    mode, matching GraphIndexBuilder.java:330-334)."""
+    if threshold is not None:
+        tracker = TwoPhaseTracker(threshold)
+    elif use_pruning:
+        tracker = RelaxedMonotonicityTracker(best_tracked=min(ef, 100))
+    else:
+        tracker = None
     n = len(V)
     if seed_pos is None:
         seed_pos = np.asarray([medoid_pos], dtype=np.int64)

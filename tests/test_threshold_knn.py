@@ -137,6 +137,37 @@ def test_tracker_stops_and_keeps_results():
     assert rec_tight >= 0.97, rec_tight
 
 
+def test_relaxed_monotonicity_pruning():
+    """usePruning(true) mode (RelaxedMonotonicityTracker, VBase §3.1):
+    on the clustered 6k cell the pruned beam must cut evaluations while
+    keeping recall@10 >= 0.9 of the unpruned beam's — the reference's
+    own trade (pruning is off by default in both engines)."""
+    rng = np.random.default_rng(21)
+    centers = _normalize(rng.normal(size=(20, 32))) * 4
+    X = centers[rng.integers(0, 20, 6000)] + rng.normal(size=(6000, 32))
+    V = _normalize(X)
+    adj, medoid = _build_cluster_graph(V, R=12, alpha=1.2)
+    nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
+    ids = np.arange(6000, dtype=np.int64)
+    seed_pos = np.arange(0, 6000, 6000 // 64, dtype=np.int64)[:64]
+    queries = _normalize(rng.normal(size=(20, 32)))
+
+    ev_plain = ev_pruned = 0
+    hits_plain = hits_pruned = 0
+    for q in queries:
+        truth = set(np.argsort(-(V @ q))[:10].tolist())
+        f0, n0 = beam_search_cluster(ids, V, nbrs, medoid, q, ef=512,
+                                     seed_pos=seed_pos)
+        f1, n1 = beam_search_cluster(ids, V, nbrs, medoid, q, ef=512,
+                                     seed_pos=seed_pos, use_pruning=True)
+        ev_plain += n0
+        ev_pruned += n1
+        hits_plain += len(truth & set(f0[:10].tolist()))
+        hits_pruned += len(truth & set(f1[:10].tolist()))
+    assert ev_pruned < 0.9 * ev_plain, (ev_pruned, ev_plain)
+    assert hits_pruned >= 0.9 * hits_plain, (hits_pruned, hits_plain)
+
+
 def test_warm_pool_threshold_mode(tmp_path_factory):
     """The warm surface's threshold overload: VectorPool.knn(threshold=t)
     returns only score>=t rows (up to k), matching the numpy truth on a
