@@ -89,6 +89,34 @@ def test_two_phase_exact_rank_parity(spark, vectors_df, vectors_pdf):
         assert got == truth, f"q{qi}: {got} != {truth}"
 
 
+def test_phase1_scan_prunes_to_codes(spark, vectors_df, tmp_path_factory):
+    """The 64x-narrower-scan claim, plan-asserted: with codes PERSISTED
+    next to the floats, bq_topk's phase-1 scan must read ONLY
+    (vec_id, bq_code) — the float embedding column appears in the rerank
+    scan, never the Hamming scan."""
+    path = str(tmp_path_factory.mktemp("bqidx")) + "/codes.parquet"
+    bq_encode(vectors_df).write.parquet(path)
+    enc = spark.read.parquet(path)
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=48)
+    qdf = spark.createDataFrame([(0, [float(x) for x in q])],
+                                "qid long, qvec array<float>")
+    plan = bq_topk(enc, qdf, k=5, rerank_k=50)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    scans = [s for s in plan.split("Scan parquet")[1:]]
+    read_schemas = []
+    for s in scans:
+        seg = s.split("ReadSchema:")[1].split("\n")[0] if "ReadSchema:" in s \
+            else ""
+        read_schemas.append(seg)
+    # at least one scan reads codes without the embedding (phase 1) and
+    # one reads the embedding (rerank fetch)
+    assert any("bq_code" in r and "embedding" not in r
+               for r in read_schemas), read_schemas
+    assert any("embedding" in r for r in read_schemas), read_schemas
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_entry_budget_covers_fixture(sf):
     """The entry contract's bq survivor budget (max(256, ceil(0.55n)))
