@@ -140,47 +140,78 @@ def _improve_connections(adj: list[list[int]], V: np.ndarray, R: int,
     kNN fixture), which is why the purge path runs it on heavily-churned
     cells and `optimize_graph` keeps it for rebuilds.
 
-    Vectorized the same way as the build: candidate lists are flattened
-    CSR-style per block, similarities come from ONE gathered einsum per
-    block, top-M selection + the pairwise prune reuse the batched helper.
+    Vectorized the same way as the build: the 2-hop frontier is built by
+    a CSR multi-range gather (no per-node Python sets — the cumsum-delta
+    trick expands all adj[adj[i]] ranges in one shot, then one np.unique
+    over (owner, cand) keys dedups every node's frontier at once);
+    similarities come from ONE gathered einsum per block; top-M selection
+    + the pairwise prune reuse the batched helper. Peak temp memory per
+    block is O(sum over the block of deg²) int64 — bound `block` down if
+    cells carry extreme degrees.
     """
     n = len(V)
     M = min(n - 1, 3 * R)
     if n <= 2 or M < 1:
         return adj
+    # global CSR of the adjacency, built once per sweep
+    deg = np.fromiter((len(a) for a in adj), dtype=np.int64, count=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = (np.concatenate([np.asarray(a, dtype=np.int64) for a in adj])
+               if indptr[-1] else np.zeros(0, np.int64))
+
+    def _gather_ranges(js: np.ndarray) -> np.ndarray:
+        """indices[indptr[j]:indptr[j+1]] for every j, concatenated —
+        the standard vectorized multi-range gather (cumsum-delta)."""
+        lens = deg[js]
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        keep = lens > 0
+        starts, lens_k = indptr[js[keep]], lens[keep]
+        step = np.ones(total, dtype=np.int64)
+        step[0] = starts[0]
+        ends = np.cumsum(lens_k)
+        step[ends[:-1]] = starts[1:] - (starts[:-1] + lens_k[:-1]) + 1
+        return indices[np.cumsum(step)]
+
     new_adj: list[list[int]] = [[] for _ in range(n)]
     for lo in range(0, n, block):
         hi = min(lo + block, n)
-        cands: list[np.ndarray] = []
-        owners: list[int] = []
-        for i in range(lo, hi):
-            two_hop: set[int] = set(adj[i])
-            for j in adj[i]:
-                two_hop.update(adj[j])
-            two_hop.discard(i)
-            c = np.fromiter(two_hop, dtype=np.int64, count=len(two_hop))
-            cands.append(c)
-            owners.append(len(c))
-        flat = np.concatenate(cands) if cands else np.zeros(0, np.int64)
-        rep = np.repeat(np.arange(lo, hi, dtype=np.int64), owners)
-        s_flat = np.einsum("nd,nd->n", V[flat], V[rep])  # one batched gather
-        off = np.concatenate([[0], np.cumsum(owners)])
-        # pad each row's top-M into a fixed (b, M) block for the batched
-        # prune; short rows pad with a self-reference at -inf similarity
         b = hi - lo
-        cand_blk = np.zeros((b, M), dtype=np.int64)
-        cs_blk = np.full((b, M), -np.inf, dtype=np.float64)
-        for r in range(b):
-            c = cands[r]
-            s = s_flat[off[r]:off[r + 1]]
-            if len(c) > M:
-                top = np.argpartition(-s, M - 1)[:M]
-                c, s = c[top], s[top]
-            order = np.lexsort((c, -s))
-            cand_blk[r, :len(c)] = c[order]
-            cs_blk[r, :len(c)] = s[order]
-            if len(c) < M:
-                cand_blk[r, len(c):] = lo + r  # padded: dominated instantly
+        own_ids = np.arange(lo, hi, dtype=np.int64)
+        hop1 = _gather_ranges(own_ids)                    # adj[i]
+        own1 = np.repeat(own_ids, deg[lo:hi])
+        hop2 = _gather_ranges(hop1)                       # adj[adj[i]]
+        own2 = np.repeat(own1, deg[hop1])
+        owner_all = np.concatenate([own1, own2])
+        cand_all = np.concatenate([hop1, hop2])
+        m_self = cand_all != owner_all
+        # dedup per owner in one pass: unique (owner, cand) composite keys
+        keys = np.unique(owner_all[m_self] * np.int64(n) + cand_all[m_self])
+        rep = keys // n
+        flat = keys - rep * n
+        owners = np.bincount(rep - lo, minlength=b)
+        s_flat = np.einsum("nd,nd->n", V[flat], V[rep])  # one batched gather
+        off = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(owners, out=off[1:])
+        # batched top-M: scatter the variable-length frontiers into one
+        # padded (b, Lmax) block (pads = self-reference at -inf, dominated
+        # instantly) and run ONE argpartition + lexsort over the block —
+        # the per-row loop here was the sweep's hot spot (~80% of wall)
+        lmax = max(M, int(owners.max())) if b else M
+        row_of = rep - lo
+        col_of = np.arange(len(flat), dtype=np.int64) - off[row_of]
+        s_pad = np.full((b, lmax), -np.inf)
+        c_pad = np.repeat(own_ids[:, None], lmax, axis=1)
+        s_pad[row_of, col_of] = s_flat
+        c_pad[row_of, col_of] = flat
+        top = np.argpartition(-s_pad, M - 1, axis=1)[:, :M]
+        cs_sel = np.take_along_axis(s_pad, top, axis=1)
+        cand_sel = np.take_along_axis(c_pad, top, axis=1)
+        order = np.lexsort((cand_sel, -cs_sel), axis=1)
+        cand_blk = np.take_along_axis(cand_sel, order, axis=1)
+        cs_blk = np.take_along_axis(cs_sel, order, axis=1)
         pruned = _prune_candidate_block(V, cand_blk, cs_blk, R, alpha)
         for r in range(b):
             new_adj[lo + r] = [p for p in pruned[r] if p != lo + r]
