@@ -50,6 +50,34 @@ def test_encode_parity_spark_vs_numpy(spark, vectors_df, vectors_pdf):
                for i in range(len(want)))
 
 
+def test_multiword_encode_and_hamming(spark):
+    """Dims > 64 pack into MULTIPLE little-endian words (the fixture dims
+    are single-word, so this is the only coverage of the word-boundary
+    arithmetic): parity with the numpy encoder at d=100, and Hamming over
+    the 2-word codes equals the bit-level truth."""
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(60, 100))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i].astype(np.float32)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: list(r["bq_code"])
+           for r in bq_encode(df).collect()}
+    want = encode_query_codes(X.astype(np.float32).astype(np.float64))
+    assert all(len(got[i]) == 2 for i in range(60))
+    assert all(got[i] == want[i] for i in range(60))
+    enc = bq_encode(df)
+    ref = got[0]
+    h = {r["vec_id"]: r["h"] for r in enc.select(
+        "vec_id",
+        hamming_expr(F.col("bq_code"),
+                     F.array(*[F.lit(int(w)) for w in ref])).alias("h")
+    ).collect()}
+    bits = X.astype(np.float32) > 0
+    for i in range(60):
+        assert h[i] == int((bits[i] ^ bits[0]).sum()), i
+
+
 def test_hamming_expr_matches_numpy_popcount(spark, vectors_df, vectors_pdf):
     enc = bq_encode(vectors_df)
     a = enc.where(F.col("vec_id") == 0).select(
