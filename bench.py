@@ -473,16 +473,20 @@ def grid_run() -> None:
             gpath = f"{INDEX_DIR}_graph_{tag}"
             shutil.rmtree(gpath, ignore_errors=True)
             build_graph_index(emb, gpath, cents, R=16, alpha=1.2)
-            for nprobe, ef in ((1, 64), (2, 64), (4, 64), (4, 128)):
+            for nprobe, ef, prune in ((1, 64, False), (2, 64, False),
+                                      (4, 64, False), (4, 128, False),
+                                      (4, 512, False), (4, 512, True)):
                 acc = spark.sparkContext.accumulator(0)
                 t0 = time.time()
                 approx = graph_topk(spark, gpath, queries, cents, k=10,
                                     nprobe=nprobe, ef=ef, n_seeds=64,
-                                    evals_acc=acc).toPandas()
+                                    evals_acc=acc,
+                                    use_pruning=prune).toPandas()
                 sec = time.time() - t0
                 configs.append({
                     "dataset": tag,
-                    "config": f"graph_R16_seed64_nprobe{nprobe}_ef{ef}",
+                    "config": (f"graph_R16_seed64_nprobe{nprobe}_ef{ef}"
+                               + ("_prune" if prune else "")),
                     "recall_at_10": _recall_at_k(
                         approx.sort_values(["qid", "rank"]), exact, 10),
                     "qps": round(nq / sec, 1),

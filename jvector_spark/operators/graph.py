@@ -952,6 +952,7 @@ def graph_topk(
     qvec_col: str = "qvec",
     evals_acc=None,
     threshold: float | None = None,
+    use_pruning: bool = False,
 ) -> DataFrame:
     """Beam-searched top-k over the graph layout: per probed cluster, an
     in-task beam from the medoid emits <=ef candidates per query; the
@@ -1020,7 +1021,8 @@ def graph_topk(
         for qid in qids:
             found, n_evals = beam_search_cluster(
                 ids, V, nbrs, medoid_pos, qvecs[qid], ef, seed_pos,
-                banned=banned, threshold=threshold)
+                banned=banned, threshold=threshold,
+                use_pruning=use_pruning)
             if evals_acc is not None:
                 evals_acc.add(int(n_evals))
             outs.append(pd.DataFrame({
