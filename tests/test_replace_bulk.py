@@ -59,15 +59,20 @@ def test_bulk_replace_rewrites_and_appends(spark, idx, tmp_path_factory):
         {"repo": "r", "path": f"{i:03d}", "commit": "c0", "lang": "python",
          "content": f"alpha zz_bulk{i} shared"}
         for i in range(0, 30, 3)
+    ] + [
+        # a brand-new key: upsert semantics — pure insert, nothing doomed
+        {"repo": "r", "path": "999", "commit": "c0", "lang": "python",
+         "content": "alpha zz_fresh shared"}
     ])
     res = replace_docs_bulk(spark, idx, new, out_dir)
-    assert res["replaced"] == 10
+    assert res["replaced"] == 10  # the fresh key dooms nothing
     assert _live_count(spark, out_dir, "token0") == 0      # replaced
     assert _live_count(spark, out_dir, "token3") == 0
     assert _live_count(spark, out_dir, "zz_bulk0") == 1    # new live
     assert _live_count(spark, out_dir, "zz_bulk27") == 1
     assert _live_count(spark, out_dir, "token1") == 1      # untouched
-    assert _live_count(spark, out_dir, "alpha") == 30      # one per key
+    assert _live_count(spark, out_dir, "zz_fresh") == 1    # pure insert
+    assert _live_count(spark, out_dir, "alpha") == 31      # one per key
     assert os.path.isdir(os.path.join(out_dir, "docid_map"))
     assert not os.path.exists(out_dir.rstrip("/") + "._doomed")
     # the source index is untouched (read-only contract)
