@@ -723,7 +723,30 @@ def compact_index(
     collide."""
     manifest = load_manifest(index_dir)
     segs = sorted(manifest["segments"], key=lambda s: s["min_docid"])
-    tomb_u = np.unique(np.array(load_tombstones(index_dir), dtype=np.int64))
+    # journal regime mirrors the SEARCH path's (tombstone_view): a small
+    # journal parses and broadcasts inline; a large one never
+    # materializes on the driver — seg_live counts come from the shard
+    # files' parquet FOOTERS (num_rows, metadata-only reads) and each
+    # merge task reads its own segments' shards
+    tv = tombstone_view(index_dir)
+    sharded_tomb = tv.inline is None
+    if sharded_tomb:
+        tomb_u = _EMPTY_TOMB
+        shard_epoch = tv.epoch
+
+        def seg_tomb_count(s: dict) -> int:
+            p = os.path.join(_shard_dir(index_dir, shard_epoch),
+                             _shard_name(s["path"]))
+            if not os.path.exists(p):
+                return 0
+            return int(pq.ParquetFile(p).metadata.num_rows)
+    else:
+        tomb_u = np.unique(tv.inline)
+
+        def seg_tomb_count(s: dict) -> int:
+            lo = int(np.searchsorted(tomb_u, s["min_docid"], side="left"))
+            hi = int(np.searchsorted(tomb_u, s["max_docid"], side="right"))
+            return hi - lo
     doomed_counts = doomed_counts or {}
     if target_bytes is not None:
         # size-bounded policy (the LSM merge-policy surface): greedily
@@ -756,9 +779,7 @@ def compact_index(
     # live-doc count per group from manifest metadata + the (tiny, sorted)
     # tombstone array — zero data reads on the driver
     def seg_live(s: dict) -> int:
-        lo = int(np.searchsorted(tomb_u, s["min_docid"], side="left"))
-        hi = int(np.searchsorted(tomb_u, s["max_docid"], side="right"))
-        return (int(s["n_docs"]) - (hi - lo)
+        return (int(s["n_docs"]) - seg_tomb_count(s)
                 - doomed_counts.get(_seg_digest(s["path"]), 0))
 
     live_counts = [sum(seg_live(s) for s in g) for g in groups]
@@ -794,6 +815,12 @@ def compact_index(
             for row in pdf.itertuples():
                 paths = json.loads(row.paths)
                 tomb_task = b_tomb.value
+                if sharded_tomb:
+                    shards = [load_segment_tombstones(
+                        index_dir, shard_epoch, p) for p in paths]
+                    shards = [a for a in shards if len(a)]
+                    if shards:
+                        tomb_task = np.unique(np.concatenate(shards))
                 if doomed_dir is not None:
                     # bulk-doomed resolution is PER TASK: each group reads
                     # only its own segments' doomed partitions

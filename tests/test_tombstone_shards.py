@@ -155,3 +155,44 @@ def test_compaction_moves_shards_to_new_epoch_and_vacuum_gcs(
         removed = vacuum_index(d, min_age_sec=0, lease_timeout_sec=0)
         assert old_dir in removed
         assert not os.path.isdir(old_dir)
+
+
+def test_compaction_sharded_regime_matches_inline(spark, corpus_df,
+                                                  tmp_path_factory,
+                                                  monkeypatch):
+    """compact_index under the SHARDED journal regime (inline budget 0)
+    must produce the same surviving index as the inline regime: seg_live
+    offsets come from shard parquet FOOTERS and each merge task reads its
+    own segments' shards — the driver never parses the journal."""
+    import jvector_spark.plans.merge as merge_mod
+    from jvector_spark.plans.merge import compact_index
+
+    d1 = str(tmp_path_factory.mktemp("idx_cshard_a"))
+    d2 = str(tmp_path_factory.mktemp("idx_cshard_b"))
+    for d in (d1, d2):
+        build_index(assign_dense_docids(corpus_df), d, num_segments=4)
+        mark_deleted(d, [3, 7, 20, 21, 22, 150])
+    out1 = str(tmp_path_factory.mktemp("out_inline")) + "/v"
+    out2 = str(tmp_path_factory.mktemp("out_shard")) + "/v"
+    m1 = compact_index(spark, d1, out1, target_segments=2)
+
+    monkeypatch.setattr(merge_mod, "TOMBSTONE_INLINE_MAX_BYTES", 0)
+    # guard: the sharded path must not read the journal on the driver
+    orig = merge_mod.load_tombstones
+    calls = []
+
+    def spy(path):
+        calls.append(path)
+        return orig(path)
+
+    monkeypatch.setattr(merge_mod, "load_tombstones", spy)
+    m2 = compact_index(spark, d2, out2, target_segments=2)
+    assert not any(c == d2 for c in calls), "journal parsed on the driver"
+
+    assert m1["n_docs"].tolist() == m2["n_docs"].tolist()
+    assert m1["min_docid"].tolist() == m2["min_docid"].tolist()
+    q = pd.DataFrame({"qid": [0], "terms": [["import"]], "k": [50]})
+    r1 = search_index(spark, out1, q, merge="driver")
+    r2 = search_index(spark, out2, q, merge="driver")
+    assert r1["docid"].tolist() == r2["docid"].tolist()
+    assert np.allclose(r1["score"], r2["score"], atol=0)
