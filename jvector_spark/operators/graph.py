@@ -835,6 +835,7 @@ def beam_search_cluster(
     banned: np.ndarray | None = None,
     threshold: float | None = None,
     use_pruning: bool = False,
+    scorer=None,
 ) -> tuple[np.ndarray, int]:
     """ef-bounded best-first search (GraphSearcher.java:387-451): expand
     the best unexpanded candidate, stop when it cannot beat the worst of
@@ -872,7 +873,14 @@ def beam_search_cluster(
         tracker = RelaxedMonotonicityTracker(best_tracked=min(ef, 100))
     else:
         tracker = None
-    n = len(V)
+    # `scorer` (positions -> similarity scores) abstracts the score
+    # representation: float rows by default, or NVQ codes via the
+    # shift/scale identity (graph_topk_nvq) — the ScoreFunction SPI
+    # (similarity/ScoreFunction.java:31-69) of the beam
+    if scorer is None:
+        def scorer(pos):
+            return V[pos] @ q
+    n = len(ids)
     if seed_pos is None:
         seed_pos = np.asarray([medoid_pos], dtype=np.int64)
     else:
@@ -882,7 +890,7 @@ def beam_search_cluster(
     visited = np.zeros(n, dtype=bool)
     visited[seed_pos] = True
     cand_pos = [int(p) for p in seed_pos]
-    cand_score = (V[seed_pos] @ q).tolist()
+    cand_score = np.asarray(scorer(seed_pos)).tolist()
     n_evals = len(seed_pos)
     if tracker is not None:
         tracker.track(np.asarray(cand_score))
@@ -911,7 +919,7 @@ def beam_search_cluster(
         new = nbrs[best][~visited[nbrs[best]]]
         if len(new):
             visited[new] = True
-            s = V[new] @ q
+            s = np.asarray(scorer(new))
             n_evals += len(new)
             for p, sv in zip(new.tolist(), s.tolist()):
                 cand_pos.append(p)
@@ -935,6 +943,168 @@ def beam_search_cluster(
         cand_pos_a, cand_score_a = cand_pos_a[keep], cand_score_a[keep]
     top = np.lexsort((ids[cand_pos_a], -cand_score_a))[:ef]
     return cand_pos_a[top], n_evals
+
+
+def quantize_graph_vectors(spark, path: str) -> str:
+    """Write the NVQ codes SIDECAR for a graph layout:
+    path_codes/cluster=N/*.parquet with (vec_id, codes binary, vmin,
+    delta, dq_norm) — the DiskANN memory split the reference ships
+    (compressed vectors drive the beam, full-precision lives elsewhere
+    for the rerank; README.md:25-39, BuildScoreProvider
+    .pqBuildScoreProvider:155-192). Derived deterministically from the
+    layout's float column; regenerate after any purge/optimize (the
+    sidecar carries the graph meta's epoch-free content, so a stale
+    sidecar is detected by missing vec_ids at read time — search joins
+    on vec_id within the cluster)."""
+    codes_path = path.rstrip("/") + "_codes"
+    from jvector_spark.operators.nvq import nvq_encode_np
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        meta = load_graph_meta(path)
+        vec_col = meta["vec_col"]
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = _normalize(X)
+        codes, vmin, delta = nvq_encode_np(Xn)
+        from jvector_spark.operators.nvq import nvq_dequant_np
+
+        dq = nvq_dequant_np(codes, vmin, delta)
+        return pd.DataFrame({
+            meta["id_col"]: pdf[meta["id_col"]].to_numpy(np.int64),
+            "codes": [c.tobytes() for c in codes],
+            "vmin": vmin.astype(np.float64),
+            "delta": delta.astype(np.float64),
+            "dq_norm": np.sqrt((dq * dq).sum(axis=1)),
+            "cluster": pdf["cluster"].to_numpy(np.int32),
+        })
+
+    meta = load_graph_meta(path)
+    id_col = meta["id_col"]
+    (spark.read.parquet(path)
+     .groupBy("cluster")
+     .applyInPandas(enc, f"{id_col} long, codes binary, vmin double, "
+                         "delta double, dq_norm double, cluster int")
+     .write.mode("overwrite").partitionBy("cluster").parquet(codes_path))
+    return codes_path
+
+
+def graph_topk_nvq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    ef: int = 64,
+    n_seeds: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    evals_acc=None,
+) -> DataFrame:
+    """Beam-searched top-k where the probed clusters are scored from the
+    NVQ codes sidecar (quantize_graph_vectors) — the float column is
+    NEVER read on the scan path: the graph layout scan prunes to
+    (id, neighbors, is_medoid) and the codes scan carries 1 byte/dim, so
+    probed-cluster IO drops ~8x vs graph_topk. The beam scores through
+    the NVQScorer shift/scale identity (scorer callback); the exact
+    rerank joins the candidate union back to `vectors` (the
+    full-precision source of truth) — the reference's "compressed in
+    memory, full-precision fetched for rerank" split (README.md:25-39).
+    With covering ef the candidate union is the whole probed membership
+    and the result is rank-identical to graph_topk/brute force
+    (pytest-asserted)."""
+    meta = load_graph_meta(path)
+    codes_path = path.rstrip("/") + "_codes"
+    qpdf = queries.select(qid_col, qvec_col).toPandas()
+    qc = assign_probes(queries, centroids, nprobe, qvec_col)
+    probe_rows = qc.select(qid_col, "probes").collect()
+    cluster_qids: dict[int, list[int]] = {}
+    for r in probe_rows:
+        for c in r["probes"]:
+            cluster_qids.setdefault(int(c), []).append(int(r[qid_col]))
+    probed = sorted(cluster_qids)
+    qvecs = {
+        int(row[qid_col]): _normalize(
+            np.asarray(row[qvec_col], dtype=np.float64)[None, :])[0]
+        for _, row in qpdf.iterrows()}
+    medoids = meta["medoids"]
+
+    # column-pruned graph scan: NO embedding column
+    graph_side = (spark.read.parquet(path)
+                  .where(F.col("cluster").isin(probed))
+                  .select(id_col, "neighbors", "is_medoid", "cluster"))
+    codes_side = (spark.read.parquet(codes_path)
+                  .where(F.col("cluster").isin(probed))
+                  .select(id_col, "codes", "vmin", "delta", "dq_norm"))
+    corpus = graph_side.join(codes_side, id_col)
+    tomb = load_graph_tombstones(spark, path, id_col)
+    if tomb is not None:
+        corpus = (corpus.join(tomb.withColumn("_del", F.lit(True)),
+                              id_col, "left")
+                  .withColumn("_del", F.coalesce("_del", F.lit(False))))
+    else:
+        corpus = corpus.withColumn("_del", F.lit(False))
+    out_schema = f"qid long, {id_col} long"
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        qids = cluster_qids.get(cluster, [])
+        if not qids:
+            return pd.DataFrame(columns=["qid", id_col])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(np.int64)
+        dim = len(pdf["codes"].iloc[0])
+        codes = np.frombuffer(
+            b"".join(pdf["codes"].to_numpy()), dtype=np.uint8
+        ).reshape(len(pdf), dim)
+        vmin = pdf["vmin"].to_numpy(np.float64)
+        delta = pdf["delta"].to_numpy(np.float64)
+        norms = np.maximum(pdf["dq_norm"].to_numpy(np.float64), 1e-12)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
+                           dtype=np.int64)
+                for row in pdf["neighbors"]]
+        medoid_pos = pos[int(medoids[cluster])]
+        banned = pdf["_del"].to_numpy(bool)
+        banned = banned if banned.any() else None
+        m = len(ids)
+        seed_pos = (np.arange(0, m, max(1, m // n_seeds),
+                              dtype=np.int64)[:n_seeds]
+                    if n_seeds > 0 else None)
+        outs = []
+        for qid in qids:
+            q = qvecs[qid]
+            qsum = float(q.sum())
+
+            def nvq_score(p):
+                return ((vmin[p] * qsum + delta[p] * (codes[p] @ q))
+                        / norms[p])
+
+            found, n_evals = beam_search_cluster(
+                ids, None, nbrs, medoid_pos, q, ef, seed_pos,
+                banned=banned, scorer=nvq_score)
+            if evals_acc is not None:
+                evals_acc.add(int(n_evals))
+            outs.append(pd.DataFrame({
+                "qid": np.int64(qid), id_col: ids[found]}))
+        return pd.concat(outs, ignore_index=True)
+
+    cands = corpus.groupBy("cluster").applyInPandas(search, out_schema)
+    qdf = queries.select(F.col(qid_col).alias("qid"), qvec_col)
+    scored = (cands.join(vectors.select(id_col, vec_col), id_col)
+              .join(F.broadcast(qdf), "qid")
+              .select("qid", F.col(id_col),
+                      F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)),
+                              6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
+                id_col, "score")
+    )
 
 
 class CentroidRouter:
