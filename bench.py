@@ -493,7 +493,29 @@ def grid_run() -> None:
                     "scan_fraction": round(
                         acc.value / max(1, nq * n_total), 3),
                 })
+            # quantized graph scan tier: NVQ codes sidecar drives the
+            # beam, floats join only for the rerank (~8x less IO per
+            # probed cluster)
+            from jvector_spark.operators.graph import (
+                graph_topk_nvq, quantize_graph_vectors)
+
+            quantize_graph_vectors(spark, gpath)
+            acc = spark.sparkContext.accumulator(0)
+            t0 = time.time()
+            approx = graph_topk_nvq(spark, gpath, queries, cents, emb,
+                                    k=10, nprobe=4, ef=128, n_seeds=64,
+                                    evals_acc=acc).toPandas()
+            sec = time.time() - t0
+            configs.append({
+                "dataset": tag,
+                "config": "graph_nvq_R16_seed64_nprobe4_ef128",
+                "recall_at_10": _recall_at_k(
+                    approx.sort_values(["qid", "rank"]), exact, 10),
+                "qps": round(nq / sec, 1),
+                "scan_fraction": round(acc.value / max(1, nq * n_total), 3),
+            })
             shutil.rmtree(gpath, ignore_errors=True)
+            shutil.rmtree(gpath + "_codes", ignore_errors=True)
 
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         sweep(os.path.basename(os.path.normpath(SF_DIR)), emb,
