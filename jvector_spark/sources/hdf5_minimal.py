@@ -14,11 +14,14 @@ exactly that shape with `libver='earliest'` defaults and no compression:
   * dataspace v1 (simple, any rank), datatype class 0 (fixed-point) and
     class 1 (IEEE float), little-endian, 1/2/4/8-byte widths;
   * data layout v3 class 1 (contiguous) — ann-benchmarks datasets are
-    written uncompressed/contiguous.
+    typically written uncompressed/contiguous;
+  * data layout v3 class 2 (chunked, UNfiltered) — `h5py ... chunks=...`
+    without a compression filter: the chunk v1 B-tree (node type 1) is
+    walked and edge-padded chunks are assembled into the full array.
 
-Anything outside that subset (chunked/filtered data, v2 superblocks,
-dense-link groups, big-endian types) raises a clear error naming the
-unsupported feature rather than mis-parsing.
+Anything outside that subset (filtered/compressed chunks, compact
+layout, v2 superblocks, dense-link groups, big-endian types) raises a
+clear error naming the unsupported feature rather than mis-parsing.
 
 The writer exists so the loader is testable in-container AND as the
 export path for recall fixtures; it emits the same subset (checked
@@ -131,9 +134,37 @@ class _Reader:
                     hdr = self.u(e + 8, 8)
                     yield self._heap_str(heap_data, name_off), hdr
 
+    def _walk_chunk_btree(self, addr: int, ndims: int):
+        """Walk a v1 B-tree of node type 1 (raw data chunks), yielding
+        (dim_offsets, chunk_addr, stored_nbytes, filter_mask) per chunk.
+        Keys are 8 (size+mask) + 8*ndims bytes; the trailing
+        greater-than-all key after the last child is skipped."""
+        keysize = 8 + 8 * ndims
+        stack = [addr]
+        while stack:
+            a = stack.pop()
+            if self.b[a:a + 4] != b"TREE":
+                raise ValueError("bad chunk B-tree signature")
+            ntype, level = self.b[a + 4], self.b[a + 5]
+            if ntype != 1:
+                raise ValueError("chunk index is not a raw-data-chunk "
+                                 f"B-tree (node type {ntype})")
+            n = self.u(a + 6, 2)
+            p = a + 24
+            for i in range(n):
+                koff = p + i * (keysize + 8)
+                child = self.u(koff + keysize, 8)
+                if level > 0:
+                    stack.append(child)
+                else:
+                    yield ([self.u(koff + 8 + 8 * j, 8)
+                            for j in range(ndims)],
+                           child, self.u(koff, 4), self.u(koff + 4, 4))
+
     def _parse_dataset(self, hdr_addr: int) -> dict:
         dims = dtype = None
         data_addr = data_size = None
+        chunk_btree = chunk_dims = None
         for mtype, body in self._object_header(hdr_addr):
             if mtype == 0x0001:  # dataspace
                 if body[0] != 1:
@@ -161,17 +192,30 @@ class _Reader:
                 if body[0] != 3:
                     raise ValueError("unsupported layout version "
                                      f"{body[0]} (only v3)")
-                if body[1] != 1:
-                    raise ValueError("unsupported layout class "
-                                     f"{body[1]} (only contiguous — "
-                                     "chunked/compact unsupported)")
-                data_addr = int.from_bytes(body[2:10], "little")
-                data_size = int.from_bytes(body[10:18], "little")
-        if dims is None or dtype is None or data_addr is None:
+                if body[1] == 1:  # contiguous
+                    data_addr = int.from_bytes(body[2:10], "little")
+                    data_size = int.from_bytes(body[10:18], "little")
+                elif body[1] == 2:  # chunked: ndims, btree addr, chunk dims
+                    ndims = body[2]  # dataset rank + 1 (element-size dim)
+                    chunk_btree = int.from_bytes(body[3:11], "little")
+                    chunk_dims = [
+                        int.from_bytes(body[11 + 4 * i:15 + 4 * i],
+                                       "little") for i in range(ndims)]
+                else:
+                    raise ValueError(f"unsupported layout class {body[1]} "
+                                     "(only contiguous/chunked — compact "
+                                     "unsupported)")
+            elif mtype == 0x000B:  # filter pipeline
+                raise ValueError("filtered (compressed) chunked data "
+                                 "unsupported — rewrite without filters "
+                                 "or use h5py")
+        if dims is None or dtype is None or (
+                data_addr is None and chunk_btree is None):
             raise ValueError("dataset header missing dataspace/datatype/"
                              "layout message")
         return {"shape": tuple(dims), "dtype": dtype,
-                "addr": data_addr, "nbytes": data_size}
+                "addr": data_addr, "nbytes": data_size,
+                "chunk_btree": chunk_btree, "chunk_dims": chunk_dims}
 
 
 def read_hdf5(path: str, dataset: str | None = None):
@@ -188,10 +232,41 @@ def read_hdf5(path: str, dataset: str | None = None):
                        f"(has: {sorted(dsets)})")
     d = dsets[dataset]
     n = int(np.prod(d["shape"])) if d["shape"] else 1
+    if d["chunk_btree"] is not None:
+        return _assemble_chunked(r, buf, d)
     if d["addr"] == _UNDEF:
         return np.zeros(d["shape"], d["dtype"])
     arr = np.frombuffer(buf, dtype=d["dtype"], count=n, offset=d["addr"])
     return arr.reshape(d["shape"]).copy()
+
+
+def _assemble_chunked(r: _Reader, buf: bytes, d: dict) -> np.ndarray:
+    """Gather an unfiltered chunked dataset: every stored chunk is a
+    full chunk-shaped block (edge chunks zero-padded by the writer), so
+    each is clipped to the dataset bounds and scattered into place."""
+    shape, dtype = d["shape"], d["dtype"]
+    cdims = d["chunk_dims"][:-1]  # drop the trailing element-size dim
+    if len(cdims) != len(shape):
+        raise ValueError("chunk rank does not match dataspace rank")
+    out = np.zeros(shape, dtype)
+    per_chunk = int(np.prod(cdims)) if cdims else 1
+    if d["chunk_btree"] == _UNDEF:  # no chunks ever written
+        return out
+    for offs, addr, nbytes, fmask in r._walk_chunk_btree(
+            d["chunk_btree"], len(d["chunk_dims"])):
+        if fmask:
+            raise ValueError("chunk has filtered lanes (filter mask "
+                             f"{fmask:#x}) — compression unsupported")
+        if nbytes != per_chunk * dtype.itemsize:
+            raise ValueError("stored chunk size mismatch (filtered or "
+                             "torn chunk)")
+        block = np.frombuffer(buf, dtype, count=per_chunk,
+                              offset=addr).reshape(cdims)
+        dst = tuple(slice(o, min(o + c, s))
+                    for o, c, s in zip(offs[:-1], cdims, shape))
+        src = tuple(slice(0, sl.stop - sl.start) for sl in dst)
+        out[dst] = block[src]
+    return out
 
 
 # ---------------------------------------------------------------- writer
@@ -232,6 +307,24 @@ def _layout_msg(addr: int, nbytes: int) -> bytes:
     return struct.pack("<BBQQ", 3, 1, addr, nbytes)
 
 
+def _chunked_layout_msg(btree_addr: int, cdims: tuple[int, ...],
+                        itemsize: int) -> bytes:
+    # v3 class 2: dimensionality counts the trailing element-size dim
+    body = struct.pack("<BBBQ", 3, 2, len(cdims) + 1, btree_addr)
+    for c in cdims:
+        body += struct.pack("<I", c)
+    return body + struct.pack("<I", itemsize)
+
+
+def _chunk_starts(shape: tuple[int, ...],
+                  cdims: tuple[int, ...]) -> list[tuple[int, ...]]:
+    """Chunk origin coordinates in row-major order — ascending key
+    order, the v1 B-tree invariant."""
+    import itertools
+    return list(itertools.product(
+        *[range(0, max(s, 1), c) for s, c in zip(shape, cdims)]))
+
+
 def _msg(mtype: int, body: bytes) -> bytes:
     pad = (-len(body)) % 8
     return struct.pack("<HHB3x", mtype, len(body) + pad, 0) + body + b"\x00" * pad
@@ -242,14 +335,29 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
 
 
-def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
+def write_hdf5(path: str, datasets: dict[str, np.ndarray],
+               chunks: dict[str, tuple[int, ...]] | None = None) -> None:
     """Write root-level datasets in the reader's subset (superblock v0,
-    v1 headers, symbol-table group, contiguous little-endian data)."""
+    v1 headers, symbol-table group, little-endian data). Datasets named
+    in `chunks` are written with layout v3 class 2 — unfiltered chunks
+    of the given shape indexed by a type-1 v1 B-tree, edge chunks
+    zero-padded to full chunk size, exactly as libhdf5 stores
+    `chunks=..., compression=None` — so the chunked read path is
+    round-trip testable without h5py in the container."""
+    chunks = dict(chunks or {})
     names = sorted(datasets)
     arrays = {n: np.ascontiguousarray(datasets[n]) for n in names}
     for n, a in arrays.items():
         if a.dtype.byteorder == ">":
             arrays[n] = a.astype(a.dtype.newbyteorder("<"))
+    for n, cd in chunks.items():
+        if n not in arrays:
+            raise KeyError(f"chunks given for unknown dataset {n!r}")
+        if (len(cd) != arrays[n].ndim
+                or any(int(c) <= 0 for c in cd)):
+            raise ValueError(f"chunk shape {cd} invalid for dataset "
+                             f"{n!r} of rank {arrays[n].ndim}")
+        chunks[n] = tuple(int(c) for c in cd)
 
     # ---- local heap: name strings, 8-aligned, offset 0 reserved ("")
     heap_entries = b"\x00" * 8
@@ -270,16 +378,32 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
         pos += nbytes
         return start
 
-    # dataset object headers come first (sizes known up front)
+    # dataset object headers come first (sizes known up front — the
+    # chunked layout msg has the same size with a placeholder address)
     ds_hdr_sizes = {}
     for n in names:
         a = arrays[n]
+        lay = (_chunked_layout_msg(0, chunks[n], a.itemsize)
+               if n in chunks else _layout_msg(0, a.nbytes))
         msgs = [_msg(0x0001, _dataspace_msg(a.shape)),
                 _msg(0x0003, _datatype_msg(a.dtype)),
-                _msg(0x0008, _layout_msg(0, a.nbytes))]
+                _msg(0x0008, lay)]
         ds_hdr_sizes[n] = 16 + sum(len(m) for m in msgs)
     ds_hdr_addr = {n: take(ds_hdr_sizes[n]) for n in names}
-    data_addr = {n: take(max(arrays[n].nbytes, 1)) for n in names}
+    data_addr = {}
+    chunk_plan = {}  # name -> (starts, chunk_addrs, btree_addr)
+    for n in names:
+        a = arrays[n]
+        if n not in chunks:
+            data_addr[n] = take(max(a.nbytes, 1))
+            continue
+        cd = chunks[n]
+        starts = _chunk_starts(a.shape, cd)
+        per_bytes = int(np.prod(cd)) * a.itemsize
+        caddrs = [take(max(per_bytes, 1)) for _ in starts]
+        keysize = 8 + 8 * (a.ndim + 1)
+        bt = take(24 + len(starts) * (keysize + 8) + keysize)
+        chunk_plan[n] = (starts, caddrs, bt)
     heap_hdr = take(32)
     heap_data = take(heap_data_size)
     snod = take(8 + 40 * max(len(names), 1))
@@ -303,11 +427,37 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
 
     for n in names:
         a = arrays[n]
+        if n in chunks:
+            starts, caddrs, bt = chunk_plan[n]
+            cd = chunks[n]
+            lay = _chunked_layout_msg(bt, cd, a.itemsize)
+            per_bytes = int(np.prod(cd)) * a.itemsize
+            ent = b""
+            for st, caddr in zip(starts, caddrs):
+                block = np.zeros(cd, a.dtype)
+                dst = tuple(slice(o, min(o + c, s))
+                            for o, c, s in zip(st, cd, a.shape))
+                block[tuple(slice(0, sl.stop - sl.start)
+                            for sl in dst)] = a[dst]
+                put(caddr, block.tobytes())
+                key = struct.pack("<II", per_bytes, 0)
+                key += b"".join(struct.pack("<Q", o) for o in st)
+                key += struct.pack("<Q", 0)  # element-size dim offset
+                ent += key + struct.pack("<Q", caddr)
+            # greater-than-all key: first chunk origin past the data
+            over = [((s + c - 1) // c) * c for s, c in zip(a.shape, cd)]
+            ent += struct.pack("<II", per_bytes, 0)
+            ent += b"".join(struct.pack("<Q", o) for o in over)
+            ent += struct.pack("<Q", 0)
+            put(bt, b"TREE" + struct.pack("<BBHQQ", 1, 0, len(starts),
+                                          _UNDEF, _UNDEF) + ent)
+        else:
+            lay = _layout_msg(data_addr[n], a.nbytes)
+            put(data_addr[n], a.tobytes())
         msgs = [_msg(0x0001, _dataspace_msg(a.shape)),
                 _msg(0x0003, _datatype_msg(a.dtype)),
-                _msg(0x0008, _layout_msg(data_addr[n], a.nbytes))]
+                _msg(0x0008, lay)]
         put(ds_hdr_addr[n], _object_header(msgs))
-        put(data_addr[n], a.tobytes())
 
     # local heap: header + data (free block at tail, head offset = used)
     put(heap_hdr, b"HEAP" + struct.pack("<B3xQQQ", 0, heap_data_size,
