@@ -322,7 +322,8 @@ def score_query_on_segment(
             stats["blocks_gen"] = stats.get("blocks_gen", 0) + int(mask.sum())
         if mask.all():
             d, tf = decode_full(t)
-        elif ("full", t) in cache or t in cache.get("_hot", ()) or mask.mean() > 0.5:
+        elif (("full", t) in cache or t in cache.get("_hot", ())
+              or cache.get("_pooled") or mask.mean() > 0.5):
             # slice the masked blocks out of the (cached) full decode —
             # pruning semantics preserved, decode amortized across queries
             d_full, tf_full = decode_full(t)
@@ -353,7 +354,8 @@ def score_query_on_segment(
     scores = np.zeros(len(candidates), dtype=np.float64)
     for t in terms:
         r = rows[t]
-        if ("full", t) in cache or t in cache.get("_hot", ()):
+        if (("full", t) in cache or t in cache.get("_hot", ())
+                or cache.get("_pooled")):
             d, c = contrib_full(t)
             pos = np.searchsorted(candidates, d)
             valid = pos < len(candidates)
@@ -681,6 +683,13 @@ def search_partition(
             reader = pool.reader(path)
             seg_cache = pool.cache(path)
             seg_cache["_hot"] = hot  # hot set is per request batch
+            # pooled caches outlive the batch: partial block decodes of a
+            # term would repeat every request, so pooled mode decodes
+            # terms FULLY into the generation-scoped cache and scores
+            # from cached per-term contributions thereafter — the warm
+            # in-memory index trade (results identical; only which bytes
+            # get decoded when changes)
+            seg_cache["_pooled"] = True
         else:
             reader = SegmentReader(path)
             seg_cache = {"_hot": hot}  # shared across this segment's queries
