@@ -906,11 +906,22 @@ def beam_search_cluster(
                                                           cand_score))]
     heapq.heapify(frontier)
     held: list[float] = []
-    for s in cand_score:
+
+    def admit(p: int, sv: float) -> None:
+        # only RETURNABLE nodes occupy ef result slots: tombstoned nodes
+        # stay navigable (frontier) but must not raise the termination
+        # floor, or the beam stops before finding ef live results — the
+        # reference pushes acceptOrds-filtered nodes to candidates but
+        # not results (GraphSearcher.java:425-434)
+        if banned is not None and banned[p]:
+            return
         if len(held) < ef:
-            heapq.heappush(held, s)
+            heapq.heappush(held, sv)
         else:
-            heapq.heappushpop(held, s)
+            heapq.heappushpop(held, sv)
+
+    for p, s in zip(cand_pos, cand_score):
+        admit(p, s)
     seq = len(cand_pos)
     while frontier:
         neg_s, _, best = heapq.heappop(frontier)
@@ -926,10 +937,7 @@ def beam_search_cluster(
                 cand_score.append(sv)
                 heapq.heappush(frontier, (-sv, seq, p))
                 seq += 1
-                if len(held) < ef:
-                    heapq.heappush(held, sv)
-                else:
-                    heapq.heappushpop(held, sv)
+                admit(p, sv)
             if tracker is not None:
                 tracker.track(s)
                 if tracker.should_stop():

@@ -112,6 +112,34 @@ def test_beam_visits_fraction_of_cluster():
     assert n_evals < 600  # <30% of a full scan
 
 
+def test_banned_nodes_do_not_raise_termination_floor():
+    """Tombstoned nodes stay navigable but must not occupy ef result
+    slots (GraphSearcher.java:425-434: filtered ords go to candidates,
+    not results): with every node nearest the query banned, the beam
+    must keep expanding until it holds ef LIVE results — an early stop
+    against a banned-inflated floor silently loses live neighbors."""
+    rng = np.random.default_rng(31)
+    V = _normalize(rng.normal(size=(800, DIM)))
+    q = _normalize(rng.normal(size=(1, DIM)))[0]
+    sims = V @ q
+    order = np.argsort(-sims)
+    banned = np.zeros(800, dtype=bool)
+    banned[order[:40]] = True  # the entire best neighborhood is deleted
+    adj, medoid = _build_cluster_graph(V, R=8, alpha=1.2)
+    ids = np.arange(800, dtype=np.int64)
+    nbrs = [np.asarray(a, dtype=np.int64) for a in adj]
+    ef = 20
+    found, _ = beam_search_cluster(ids, V, nbrs, medoid, q, ef=ef,
+                                   banned=banned)
+    assert len(found) == ef
+    assert not banned[found].any()
+    # live ground truth: the ef best NON-banned nodes; beam recall over
+    # them must be high — a banned-raised floor typically halves it
+    live_top = [p for p in order if not banned[p]][:ef]
+    recall = len(set(found.tolist()) & set(live_top)) / ef
+    assert recall >= 0.9, recall
+
+
 def test_graph_recall_and_rerank_covering(spark, emb, gindex):
     """With nprobe=all and generous ef, graph_topk must be RANK-IDENTICAL
     to brute force (the covering contract that lets the driver's SQL
