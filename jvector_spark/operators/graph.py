@@ -472,6 +472,24 @@ def insert_into_graph(spark, path: str, new_vectors: DataFrame,
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     assigned = assign_clusters(
         new_vectors.select(id_col, vec_col), centroids, id_col, vec_col)
+    # fresh-id contract (the reference's addGraphNode takes fresh
+    # ordinals, GraphIndexBuilder.java:594-600): a duplicate id — within
+    # the batch or vs the index, INCLUDING tombstoned-not-yet-purged rows
+    # — would collide in the cell's id->position remap and silently
+    # corrupt adjacencies. Both checks are distributed counts (the id
+    # probe is a column-pruned scan; insert is CRUD-sized by contract).
+    n_in = assigned.count()
+    if assigned.select(id_col).distinct().count() != n_in:
+        raise ValueError("insert_into_graph: duplicate ids within the "
+                         "insert batch")
+    n_dup = assigned.select(id_col).join(
+        assigned.sparkSession.read.parquet(path).select(id_col),
+        id_col, "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"insert_into_graph: {n_dup} incoming id(s) already exist in "
+            "the index (insert requires fresh ids; for upsert, "
+            "mark_deleted_graph + purge_deleted_graph the old rows first)")
     affected = sorted(int(r[0]) for r in
                       assigned.select("cluster").distinct().collect())
     if not affected:

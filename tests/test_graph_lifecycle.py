@@ -102,6 +102,26 @@ def _structural_invariants(spark, path, meta):
     return pdf
 
 
+def test_insert_rejects_duplicate_ids(spark, emb, mutable_index):
+    """addGraphNode takes FRESH ordinals (GraphIndexBuilder.java:594-600):
+    re-inserting an existing id (or a batch with internal duplicates)
+    must raise, not silently produce two rows whose edges collide in the
+    cell's id->position remap."""
+    import pyspark.sql.functions as F
+
+    path, cents, _ = mutable_index
+    existing = emb.where("vec_id % 5 != 2").limit(1)
+    with pytest.raises(ValueError, match="already exist"):
+        insert_into_graph(spark, path, existing, cents)
+    fresh = emb.where("vec_id % 5 = 2").limit(1)
+    with pytest.raises(ValueError, match="duplicate ids within"):
+        insert_into_graph(spark, path, fresh.unionAll(fresh), cents)
+    # index untouched by the rejected inserts
+    pdf = spark.read.parquet(path).select("vec_id").toPandas()
+    assert pdf["vec_id"].is_unique
+    assert len(pdf) == emb.where("vec_id % 5 != 2").count()
+
+
 def test_insert_then_search_exact(spark, emb, mutable_index):
     path, cents, _ = mutable_index
     batch = emb.where("vec_id % 5 = 2")
