@@ -343,7 +343,12 @@ def build_graph_index(
             .select("cluster", id_col).collect())
     meta = {"medoids": {int(r["cluster"]): int(r[id_col]) for r in rows},
             "R": R, "alpha": alpha, "refine": refine,
-            "id_col": id_col, "vec_col": vec_col}
+            "id_col": id_col, "vec_col": vec_col,
+            # bumped by every row-rewriting mutation (insert/purge/
+            # optimize); derived artifacts (the NVQ codes sidecar) stamp
+            # the generation they were built from and refuse to serve a
+            # newer graph (quantize_graph_vectors / graph_topk_nvq)
+            "mutation_gen": 0}
     with open(os.path.join(path, GRAPH_META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -565,7 +570,8 @@ def insert_into_graph(spark, path: str, new_vectors: DataFrame,
     for c, k in counts.items():
         inserted[c] = inserted.get(c, 0) + k
     meta.update(medoids={int(k): int(v) for k, v in medoids.items()},
-                inserted=inserted)
+                inserted=inserted,
+                mutation_gen=int(meta.get("mutation_gen", 0)) + 1)
     _save_graph_meta(path, meta)
     return meta
 
@@ -668,6 +674,7 @@ def purge_deleted_graph(spark, path: str) -> dict:
         else:
             medoids.pop(c, None)
     meta["medoids"] = medoids
+    meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
     _save_graph_meta(path, meta)
     _clear_graph_tombstones(path)
     return meta
@@ -733,6 +740,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
                 .select("cluster", id_col).collect())
         for r in rows:
             meta["medoids"][int(r["cluster"])] = int(r[id_col])
+        meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
     meta["inserted"] = {c: k for c, k in inserted.items() if c not in
                         set(dirty)}
     _save_graph_meta(path, meta)
@@ -978,10 +986,11 @@ def quantize_graph_vectors(spark, path: str) -> str:
     (compressed vectors drive the beam, full-precision lives elsewhere
     for the rerank; README.md:25-39, BuildScoreProvider
     .pqBuildScoreProvider:155-192). Derived deterministically from the
-    layout's float column; regenerate after any purge/optimize (the
-    sidecar carries the graph meta's epoch-free content, so a stale
-    sidecar is detected by missing vec_ids at read time — search joins
-    on vec_id within the cluster)."""
+    layout's float column; regenerate after any insert/purge/optimize.
+    The sidecar records the graph meta's mutation_gen it was built from;
+    graph_topk_nvq refuses a sidecar whose generation is behind the
+    graph's — an id join would otherwise silently DROP nodes added
+    since quantization (missing from codes), an invisible recall hole."""
     codes_path = path.rstrip("/") + "_codes"
     from jvector_spark.operators.nvq import nvq_encode_np
 
@@ -1010,6 +1019,8 @@ def quantize_graph_vectors(spark, path: str) -> str:
      .applyInPandas(enc, f"{id_col} long, codes binary, vmin double, "
                          "delta double, dq_norm double, cluster int")
      .write.mode("overwrite").partitionBy("cluster").parquet(codes_path))
+    with open(os.path.join(codes_path, "_CODES_META.json"), "w") as f:
+        json.dump({"mutation_gen": int(meta.get("mutation_gen", 0))}, f)
     return codes_path
 
 
@@ -1043,6 +1054,19 @@ def graph_topk_nvq(
     (pytest-asserted)."""
     meta = load_graph_meta(path)
     codes_path = path.rstrip("/") + "_codes"
+    # staleness gate: an id join against an out-of-date sidecar silently
+    # DROPS nodes inserted since quantization — refuse instead
+    graph_gen = int(meta.get("mutation_gen", 0))
+    codes_meta = os.path.join(codes_path, "_CODES_META.json")
+    codes_gen = -1
+    if os.path.exists(codes_meta):
+        with open(codes_meta) as f:
+            codes_gen = int(json.load(f).get("mutation_gen", -1))
+    if codes_gen != graph_gen:
+        raise ValueError(
+            f"NVQ codes sidecar at {codes_path} was built from graph "
+            f"generation {codes_gen} but the graph is at {graph_gen} — "
+            "re-run quantize_graph_vectors after mutations")
     qpdf = queries.select(qid_col, qvec_col).toPandas()
     qc = assign_probes(queries, centroids, nprobe, qvec_col)
     probe_rows = qc.select(qid_col, "probes").collect()

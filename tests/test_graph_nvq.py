@@ -113,3 +113,30 @@ def test_tombstones_respected(spark, setup, tmp_path_factory):
     after = graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
                            ef=900).toPandas()
     assert victim not in set(after[after.qid == 0]["vec_id"])
+
+
+def test_stale_sidecar_rejected_after_mutation(spark, setup,
+                                               tmp_path_factory):
+    """A codes sidecar built before a row-rewriting mutation must be
+    REFUSED, not silently joined: the id join would drop nodes inserted
+    since quantization (an invisible recall hole). Re-quantizing clears
+    the gate and the inserted node becomes searchable."""
+    from jvector_spark.operators.graph import insert_into_graph
+
+    df, cents, _, qdf = setup
+    path = str(tmp_path_factory.mktemp("gnvq_stale")) + "/g"
+    keep = df.where("vec_id != 7")
+    build_graph_index(keep, path, cents, R=8)
+    quantize_graph_vectors(spark, path)
+    insert_into_graph(spark, path, df.where("vec_id = 7"), cents)
+    with pytest.raises(ValueError, match="re-run quantize_graph_vectors"):
+        graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                       ef=900)
+    quantize_graph_vectors(spark, path)
+    res = graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                         ef=900).toPandas()
+    assert len(res)  # serves again, covering scan sees the full corpus
+    want = graph_topk(spark, path, qdf, cents, k=10, nprobe=4,
+                      ef=900).toPandas()
+    assert (res.sort_values(["qid", "rank"])["vec_id"].tolist()
+            == want.sort_values(["qid", "rank"])["vec_id"].tolist())
