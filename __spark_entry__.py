@@ -951,7 +951,8 @@ def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor budget scales with the corpus (20% scan floor at 100) so
     # the ADC set keeps covering the exact top-10 at every fixture sf —
     # still a 5x+ scan reduction vs brute force
-    rerank_k = max(100, emb.count() // 5)
+    n_emb = emb.count()
+    rerank_k = max(100, n_emb // 5)
     pq_res = pq_adc_topk(enc, queries, books, k=10, rerank_k=rerank_k).select(
         F.lit("pq").alias("tier"), F.col("qid").cast("long"), "rank",
         F.col("vec_id").cast("long"), "score",
@@ -974,7 +975,7 @@ def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bq_res = bq_topk(
         bq_encode(emb), queries, k=10,
-        rerank_k=max(256, -(-emb.count() * 11 // 20)),
+        rerank_k=max(256, -(-n_emb * 11 // 20)),
     ).select(
         F.lit("bq").alias("tier"), F.col("qid").cast("long"), "rank",
         F.col("vec_id").cast("long"), "score",

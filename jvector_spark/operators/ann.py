@@ -55,18 +55,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (qid, rank, vec_id, score).
 
     queries is broadcast (small); the corpus scan never shuffles — only the
-    partial top-k rows do.
+    partial top-k rows do (partial top-k per (qid, input partition)
+    bounds the shuffle). `threshold` adds the score floor BEFORE the
+    partial cut, so at scale most rows die map-side.
     """
     scored = vectors.join(F.broadcast(queries)).select(
         F.col(qid_col).alias("qid"),
         F.col(id_col),
         F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
     )
-    # partial top-k per (qid, input partition) bounds the shuffle
+    if threshold is not None:
+        scored = scored.where(F.col("score") >= F.lit(float(threshold)))
     wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -96,29 +100,10 @@ def brute_force_threshold(
     GraphSearcher's threshold overload (GraphSearcher.java:192-195:
     "results are returned... with a similarity >= threshold", bounded by
     topK). Queries that clear the threshold fewer than k times return
-    fewer rows; queries that never clear it return none.
-
-    Same scan shape as brute_force_topk: broadcast queries, the
-    threshold filter applies BEFORE the partial per-partition top-k, so
-    at scale most rows die map-side and the shuffle carries at most
-    k rows per (query, partition)."""
-    scored = vectors.join(F.broadcast(queries)).select(
-        F.col(qid_col).alias("qid"),
-        F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
-    ).where(F.col("score") >= F.lit(float(threshold)))
-    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
-        F.desc("score"), F.asc(id_col)
-    )
-    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
-        F.col("prn") <= k
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col, "score")
-    )
+    fewer rows; queries that never clear it return none. One plan with
+    brute_force_topk — the floor applies before its partial cut."""
+    return brute_force_topk(vectors, queries, k, id_col, vec_col,
+                            qid_col, qvec_col, threshold=threshold)
 
 
 def train_centroids(

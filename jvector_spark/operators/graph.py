@@ -414,15 +414,32 @@ def _rewrite_partitions(df: DataFrame, path: str, clusters: list[int]) -> None:
     import uuid
 
     tmp = f"{os.path.normpath(path)}.mut-{uuid.uuid4().hex[:12]}"
+    swapped: list[tuple[str, str]] = []  # (old-aside dir, original dst)
     try:
         df.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+        # swap via rename-aside, never delete-then-move: at every instant
+        # each cluster's data exists at SOME path, so a crash or a failed
+        # move can always be rolled back (the old dirs are removed only
+        # after every swap succeeded)
         for c in clusters:
             src = os.path.join(tmp, f"cluster={c}")
             dst = os.path.join(path, f"cluster={c}")
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                aside = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(dst, aside)
+                swapped.append((aside, dst))
             if os.path.isdir(src):
                 shutil.move(src, dst)
+        for aside, _ in swapped:
+            shutil.rmtree(aside, ignore_errors=True)
+    except BaseException:
+        # roll back: restore every old dir whose replacement is absent
+        # or partial; staged output is abandoned (source stays intact)
+        for aside, dst in swapped:
+            if os.path.isdir(aside):
+                shutil.rmtree(dst, ignore_errors=True)
+                os.rename(aside, dst)
+        raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -446,14 +463,17 @@ def mark_deleted_graph(spark, path: str, doomed) -> int:
 
 
 def load_graph_tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+    """Deleted-id DataFrame, or None when no delete was ever recorded.
+    Only the no-shards case maps to None — a read error on EXISTING
+    shards must propagate, not silently resurrect deleted vectors (a
+    swallowed corrupt-shard read would serve tombstoned ids as live and
+    make purge a no-op with no symptom)."""
     tdir = os.path.join(path, GRAPH_TOMBSTONES)
-    if not os.path.isdir(tdir):
+    if not os.path.isdir(tdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(tdir)):
         return None
-    try:
-        df = spark.read.parquet(tdir).select(F.col(id_col).cast("long"))
-    except Exception:
-        return None
-    return df.distinct()
+    return (spark.read.parquet(tdir)
+            .select(F.col(id_col).cast("long")).distinct())
 
 
 def insert_into_graph(spark, path: str, new_vectors: DataFrame,
@@ -707,8 +727,13 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
              spark.read.parquet(path)
              .where(F.col("cluster").isin(sorted(inserted)))
              .groupBy("cluster").count().collect()}
+    # counters for clusters purged to zero rows are dead — drop them so
+    # meta doesn't accumulate them forever (a purge does not decrement
+    # live counters: it cannot know how many purged rows were inserts,
+    # and its own rewrite already re-pruned the survivors' edges)
+    inserted = {c: k for c, k in inserted.items() if sizes.get(c, 0)}
     dirty = sorted(c for c, k in inserted.items()
-                   if sizes.get(c, 0) and k / sizes[c] > max_dirty)
+                   if k / sizes[c] > max_dirty)
     if dirty:
         sub = (spark.read.parquet(path)
                .where(F.col("cluster").isin(dirty))
@@ -992,28 +1017,26 @@ def quantize_graph_vectors(spark, path: str) -> str:
     graph's — an id join would otherwise silently DROP nodes added
     since quantization (missing from codes), an invisible recall hole."""
     codes_path = path.rstrip("/") + "_codes"
-    from jvector_spark.operators.nvq import nvq_encode_np
+    meta = load_graph_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        meta = load_graph_meta(path)
-        vec_col = meta["vec_col"]
+        # column names captured in the closure — no per-group meta-file
+        # read, no executor dependence on the driver's filesystem
+        from jvector_spark.operators.nvq import nvq_dequant_np, nvq_encode_np
+
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         Xn = _normalize(X)
         codes, vmin, delta = nvq_encode_np(Xn)
-        from jvector_spark.operators.nvq import nvq_dequant_np
-
         dq = nvq_dequant_np(codes, vmin, delta)
         return pd.DataFrame({
-            meta["id_col"]: pdf[meta["id_col"]].to_numpy(np.int64),
+            id_col: pdf[id_col].to_numpy(np.int64),
             "codes": [c.tobytes() for c in codes],
             "vmin": vmin.astype(np.float64),
             "delta": delta.astype(np.float64),
             "dq_norm": np.sqrt((dq * dq).sum(axis=1)),
             "cluster": pdf["cluster"].to_numpy(np.int32),
         })
-
-    meta = load_graph_meta(path)
-    id_col = meta["id_col"]
     (spark.read.parquet(path)
      .groupBy("cluster")
      .applyInPandas(enc, f"{id_col} long, codes binary, vmin double, "
@@ -1068,17 +1091,10 @@ def graph_topk_nvq(
             f"generation {codes_gen} but the graph is at {graph_gen} — "
             "re-run quantize_graph_vectors after mutations")
     qpdf = queries.select(qid_col, qvec_col).toPandas()
-    qc = assign_probes(queries, centroids, nprobe, qvec_col)
-    probe_rows = qc.select(qid_col, "probes").collect()
-    cluster_qids: dict[int, list[int]] = {}
-    for r in probe_rows:
-        for c in r["probes"]:
-            cluster_qids.setdefault(int(c), []).append(int(r[qid_col]))
+    cluster_qids = _probe_map(queries, centroids, nprobe,
+                              qid_col, qvec_col)
     probed = sorted(cluster_qids)
-    qvecs = {
-        int(row[qid_col]): _normalize(
-            np.asarray(row[qvec_col], dtype=np.float64)[None, :])[0]
-        for _, row in qpdf.iterrows()}
+    qvecs = _unit_query_vecs(qpdf, qid_col, qvec_col)
     medoids = meta["medoids"]
 
     # column-pruned graph scan: NO embedding column
@@ -1088,14 +1104,8 @@ def graph_topk_nvq(
     codes_side = (spark.read.parquet(codes_path)
                   .where(F.col("cluster").isin(probed))
                   .select(id_col, "codes", "vmin", "delta", "dq_norm"))
-    corpus = graph_side.join(codes_side, id_col)
-    tomb = load_graph_tombstones(spark, path, id_col)
-    if tomb is not None:
-        corpus = (corpus.join(tomb.withColumn("_del", F.lit(True)),
-                              id_col, "left")
-                  .withColumn("_del", F.coalesce("_del", F.lit(False))))
-    else:
-        corpus = corpus.withColumn("_del", F.lit(False))
+    corpus = _flag_tombstones(spark, graph_side.join(codes_side, id_col),
+                              path, id_col)
     out_schema = f"qid long, {id_col} long"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1199,6 +1209,39 @@ class CentroidRouter:
         return found[:nprobe], evals
 
 
+def _probe_map(queries, centroids: np.ndarray, nprobe: int,
+               qid_col: str, qvec_col: str) -> dict[int, list[int]]:
+    """cluster -> [qids probing it], from brute centroid assignment
+    (shared by the float and NVQ graph tiers)."""
+    qc = assign_probes(queries, centroids, nprobe, qvec_col)
+    cluster_qids: dict[int, list[int]] = {}
+    for r in qc.select(qid_col, "probes").collect():
+        for c in r["probes"]:
+            cluster_qids.setdefault(int(c), []).append(int(r[qid_col]))
+    return cluster_qids
+
+
+def _unit_query_vecs(qpdf: pd.DataFrame, qid_col: str,
+                     qvec_col: str) -> dict[int, np.ndarray]:
+    return {int(row[qid_col]): _normalize(
+                np.asarray(row[qvec_col], dtype=np.float64)[None, :])[0]
+            for _, row in qpdf.iterrows()}
+
+
+def _flag_tombstones(spark, corpus: DataFrame, path: str,
+                     id_col: str) -> DataFrame:
+    """Flag — don't drop — tombstoned rows (`_del` bool column): they
+    stay navigable for the beam but are masked from results (FreshDiskANN
+    lazy delete). The join is Catalyst-planned (AQE broadcasts
+    serving-sized delete sets; a bulk set shuffles like any equi-join)."""
+    tomb = load_graph_tombstones(spark, path, id_col)
+    if tomb is None:
+        return corpus.withColumn("_del", F.lit(False))
+    return (corpus.join(tomb.withColumn("_del", F.lit(True)),
+                        id_col, "left")
+            .withColumn("_del", F.coalesce("_del", F.lit(False))))
+
+
 def graph_topk(
     spark,
     path: str,
@@ -1248,30 +1291,16 @@ def graph_topk(
                 cluster_qids.setdefault(int(c), []).append(
                     int(row[qid_col]))
     else:
-        qc = assign_probes(queries, centroids, nprobe, qvec_col)
-        probe_rows = qc.select(qid_col, "probes").collect()
-        for r in probe_rows:
-            for c in r["probes"]:
-                cluster_qids.setdefault(int(c), []).append(int(r[qid_col]))
+        cluster_qids = _probe_map(queries, centroids, nprobe,
+                                  qid_col, qvec_col)
     probed = sorted(cluster_qids)
-    qvecs = {
-        int(row[qid_col]): _normalize(
-            np.asarray(row[qvec_col], dtype=np.float64)[None, :])[0]
-        for _, row in qpdf.iterrows()}
+    qvecs = _unit_query_vecs(qpdf, qid_col, qvec_col)
     medoids = meta["medoids"]
 
-    corpus = spark.read.parquet(path).where(F.col("cluster").isin(probed))
-    tomb = load_graph_tombstones(spark, path, id_col)
-    if tomb is not None:
-        # flag — don't drop — tombstoned rows: they stay navigable for the
-        # beam but are masked from results (FreshDiskANN lazy delete). The
-        # join is Catalyst-planned (AQE broadcasts serving-sized delete
-        # sets; a bulk set shuffles like any equi-join).
-        corpus = (corpus.join(tomb.withColumn("_del", F.lit(True)),
-                              id_col, "left")
-                  .withColumn("_del", F.coalesce("_del", F.lit(False))))
-    else:
-        corpus = corpus.withColumn("_del", F.lit(False))
+    corpus = _flag_tombstones(
+        spark,
+        spark.read.parquet(path).where(F.col("cluster").isin(probed)),
+        path, id_col)
     out_schema = f"qid long, {id_col} long, {vec_col} array<float>"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1087,12 +1087,28 @@ def replace_docs_bulk(
     hits = existing.join(incoming,
                          on=key_join_cond(existing, incoming, key_cols),
                          how="left_semi")
-    tomb = load_tombstones(index_dir)
-    if tomb:
-        # keep doomed ∩ journal = ∅ (compact_index's offset contract);
-        # the journal is driver-resident by design, so isin is bounded
-        hits = hits.where(~F.col("docid").isin([int(t) for t in tomb]))
-    doomed = hits.join(seg_map, "_segdir").select("docid", "segd")
+    # keep doomed ∩ journal = ∅ (compact_index's offset contract) WITHOUT
+    # materializing a large journal on the driver: the inline regime
+    # broadcast-anti-joins the small array, the sharded regime anti-joins
+    # the shard parquet read distributed (tombstone_view picks the regime
+    # and handles the crash-window stamp check)
+    view = tombstone_view(index_dir)
+    if view.inline is not None:
+        if len(view.inline):
+            tomb_df = spark.createDataFrame(
+                [(int(t),) for t in view.inline], "docid long")
+            hits = hits.join(F.broadcast(tomb_df), "docid", "left_anti")
+    else:
+        shard_df = (spark.read.schema("docid long")
+                    .parquet(_shard_dir(index_dir, view.epoch))
+                    .select("docid").distinct())
+        hits = hits.join(shard_df, "docid", "left_anti")
+    # LEFT join so a hit whose _segdir maps to no known segment survives
+    # into a sentinel partition — the path-normalization drift check
+    # rides the same job as the doomed write instead of re-running the
+    # full scan + semi-join for a second count
+    doomed = hits.join(seg_map, "_segdir", "left").select(
+        "docid", F.coalesce("segd", F.lit("__unmapped__")).alias("segd"))
     doomed.write.mode("overwrite").partitionBy("segd").parquet(doomed_dir)
     # read the counts back from the COMMITTED files (what the merge tasks
     # will actually see); explicit schema — an all-new-keys batch commits
@@ -1101,16 +1117,16 @@ def replace_docs_bulk(
     counts = {r["segd"]: int(r["n"])
               for r in back.groupBy("segd").agg(
                   F.count("*").alias("n")).collect()}
-    n_doomed = int(sum(counts.values()))
     # every hit must have mapped to a known segment dir: a URI-vs-path
     # normalization drift between input_file_name and the manifest would
     # otherwise silently drop doomed rows and resurrect old copies
-    n_hits = hits.count()
-    if n_hits != n_doomed:
+    n_unmapped = counts.pop("__unmapped__", 0)
+    if n_unmapped:
         raise RuntimeError(
-            f"segment-dir mapping dropped {n_hits - n_doomed} of "
-            f"{n_hits} doomed rows (path normalization drift between "
-            "input_file_name and the manifest)")
+            f"segment-dir mapping dropped {n_unmapped} doomed rows "
+            "(path normalization drift between input_file_name and the "
+            "manifest)")
+    n_doomed = int(sum(counts.values()))
 
     # --- 2. rewrite, purging doomed + journal tombstones in-task -------
     compact_index(spark, index_dir, out_dir, block_size=block_size,

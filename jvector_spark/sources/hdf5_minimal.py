@@ -399,6 +399,13 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray],
             continue
         cd = chunks[n]
         starts = _chunk_starts(a.shape, cd)
+        if len(starts) > 0xFFFF:
+            # single-leaf writer: entries-used is a u16 field. The READER
+            # walks multi-level trees fine; only this writer is bounded.
+            raise ValueError(
+                f"dataset {n!r} would need {len(starts)} chunks — this "
+                "writer emits one B-tree leaf (max 65535); use larger "
+                "chunks")
         per_bytes = int(np.prod(cd)) * a.itemsize
         caddrs = [take(max(per_bytes, 1)) for _ in starts]
         keysize = 8 + 8 * (a.ndim + 1)
