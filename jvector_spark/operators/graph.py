@@ -376,6 +376,22 @@ def _medoid_pos(V: np.ndarray) -> int:
     return int(np.argmax(V @ V.sum(axis=0)))
 
 
+def _entry_pos(pos: dict, medoids: dict, cluster: int,
+               is_medoid: np.ndarray) -> int:
+    """Beam entry position for a cell: the meta medoid when it is live in
+    this cell, else the cell's on-disk is_medoid row, else position 0.
+    The fallbacks only fire when meta lags a crash-interrupted mutation
+    (a partition rewrite committed but the follow-up medoid save did
+    not — see the durability ordering in insert/purge): any live entry
+    point is semantically valid for a best-first beam; it only shifts
+    which candidates are explored first."""
+    med_id = medoids.get(int(cluster))
+    if med_id is not None and int(med_id) in pos:
+        return pos[int(med_id)]
+    flagged = np.flatnonzero(is_medoid)
+    return int(flagged[0]) if len(flagged) else 0
+
+
 def _prune_from_scores(V: np.ndarray, s: np.ndarray, mask: np.ndarray,
                        R: int, alpha: float) -> list[int]:
     """alpha-prune the positions allowed by `mask` given similarity row
@@ -402,6 +418,32 @@ def _prune_from_scores(V: np.ndarray, s: np.ndarray, mask: np.ndarray,
 GRAPH_TOMBSTONES = "_tombstones"
 
 
+def _recover_asides(path: str) -> None:
+    """Sweep rename-aside dirs left by a _rewrite_partitions that died
+    mid-swap. The rule is decidable per aside: if the original
+    `cluster=N` dir exists the swap completed (the aside is the
+    superseded copy) — remove it; if not, the crash landed between
+    rename-aside and move-in and the aside is the ONLY copy — restore
+    it. Called from the single writer (the next mutation), never from
+    readers: a reader-side sweep could race an in-flight swap and
+    restore an aside the writer is about to replace. Until the sweep
+    runs, leftover asides are harmless to readers — the dot prefix
+    makes Spark/Hadoop partition discovery skip them."""
+    import re
+    import shutil
+
+    for name in sorted(os.listdir(path)):
+        m = re.match(r"\.old-[0-9a-f]+-(cluster=\d+)$", name)
+        if not m:
+            continue
+        aside = os.path.join(path, name)
+        dst = os.path.join(path, m.group(1))
+        if os.path.isdir(dst):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, dst)
+
+
 def _rewrite_partitions(df: DataFrame, path: str, clusters: list[int]) -> None:
     """Rewrite ONLY the cluster partitions in `clusters` — a mutation
     touching 3 of 10k cells must not rewrite the other 9,997. The job
@@ -409,12 +451,22 @@ def _rewrite_partitions(df: DataFrame, path: str, clusters: list[int]) -> None:
     tmp -> rename discipline of sources/segment.py), because the plan
     READS the same parquet path it replaces: staging fully materializes
     the output before any source file moves. A cluster absent from the
-    output (fully deleted) gets its dir dropped."""
+    output (fully deleted) gets its dir dropped.
+
+    Crash containment: asides are dot-prefixed (`.old-<hex>-cluster=N`)
+    so a hard crash mid-swap can never leave a dir that partition
+    discovery would read as a duplicate partition; the next mutation's
+    _recover_asides sweep restores or removes them. An in-process
+    failure rolls back both swapped dirs AND dirs created where none
+    existed (a first-time cluster), so a failed insert into a brand-new
+    cell leaves no uncommitted partition behind."""
     import shutil
     import uuid
 
+    _recover_asides(path)
     tmp = f"{os.path.normpath(path)}.mut-{uuid.uuid4().hex[:12]}"
     swapped: list[tuple[str, str]] = []  # (old-aside dir, original dst)
+    created: list[str] = []  # dsts moved in where NO old dir existed
     try:
         df.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
         # swap via rename-aside, never delete-then-move: at every instant
@@ -424,17 +476,24 @@ def _rewrite_partitions(df: DataFrame, path: str, clusters: list[int]) -> None:
         for c in clusters:
             src = os.path.join(tmp, f"cluster={c}")
             dst = os.path.join(path, f"cluster={c}")
-            if os.path.isdir(dst):
-                aside = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+            had_old = os.path.isdir(dst)
+            if had_old:
+                aside = os.path.join(
+                    path, f".old-{uuid.uuid4().hex[:8]}-cluster={c}")
                 os.rename(dst, aside)
                 swapped.append((aside, dst))
             if os.path.isdir(src):
                 shutil.move(src, dst)
+                if not had_old:
+                    created.append(dst)
         for aside, _ in swapped:
             shutil.rmtree(aside, ignore_errors=True)
     except BaseException:
-        # roll back: restore every old dir whose replacement is absent
-        # or partial; staged output is abandoned (source stays intact)
+        # roll back: drop fresh dirs that had no prior copy, then restore
+        # every old dir whose replacement is absent or partial; staged
+        # output is abandoned (source stays intact)
+        for dst in created:
+            shutil.rmtree(dst, ignore_errors=True)
         for aside, dst in swapped:
             if os.path.isdir(aside):
                 shutil.rmtree(dst, ignore_errors=True)
@@ -497,12 +556,26 @@ def insert_into_graph(spark, path: str, new_vectors: DataFrame,
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     assigned = assign_clusters(
         new_vectors.select(id_col, vec_col), centroids, id_col, vec_col)
+    # the assignment UDF output feeds six downstream actions (validation
+    # counts, the dup probe, the staged write, the counter aggregation) —
+    # cache it once instead of re-clustering per action
+    assigned.persist()
     # fresh-id contract (the reference's addGraphNode takes fresh
     # ordinals, GraphIndexBuilder.java:594-600): a duplicate id — within
     # the batch or vs the index, INCLUDING tombstoned-not-yet-purged rows
     # — would collide in the cell's id->position remap and silently
     # corrupt adjacencies. Both checks are distributed counts (the id
     # probe is a column-pruned scan; insert is CRUD-sized by contract).
+    try:
+        return _insert_into_graph_cached(
+            spark, path, assigned, meta, R, alpha, id_col, vec_col)
+    finally:
+        assigned.unpersist()
+
+
+def _insert_into_graph_cached(spark, path: str, assigned: DataFrame,
+                              meta: dict, R: int, alpha: float,
+                              id_col: str, vec_col: str) -> dict:
     n_in = assigned.count()
     if assigned.select(id_col).distinct().count() != n_in:
         raise ValueError("insert_into_graph: duplicate ids within the "
@@ -578,20 +651,31 @@ def insert_into_graph(spark, path: str, new_vectors: DataFrame,
 
     merged = existing.unionByName(incoming).groupBy("cluster").applyInPandas(
         ins, out_schema)
+    # durability order: bump mutation_gen (and the dirt counters, both
+    # computable pre-swap) BEFORE the partition rewrite. A crash anywhere
+    # after this point leaves the generation AHEAD of any NVQ codes
+    # sidecar, so graph_topk_nvq's staleness gate refuses the sidecar
+    # (loud, safe) instead of silently dropping the inserted rows from
+    # the beam — the unsafe direction when the bump followed the
+    # rewrite. A crash between this save and the swap merely records
+    # counters for an insert that never landed (optimize may rebuild a
+    # clean cell once — harmless); the retry passes the fresh-id probe
+    # because no rows were written.
+    counts = {int(r[0]): int(r[1]) for r in
+              assigned.groupBy("cluster").count().collect()}
+    inserted = dict(meta.get("inserted", {}))
+    for c, k in counts.items():
+        inserted[c] = inserted.get(c, 0) + k
+    meta.update(inserted=inserted,
+                mutation_gen=int(meta.get("mutation_gen", 0)) + 1)
+    _save_graph_meta(path, meta)
     _rewrite_partitions(merged, path, affected)
     rows = (spark.read.parquet(path)
             .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
             .select("cluster", id_col).collect())
     for r in rows:
         medoids[int(r["cluster"])] = int(r[id_col])
-    counts = {int(r[0]): int(r[1]) for r in
-              assigned.groupBy("cluster").count().collect()}
-    inserted = dict(meta.get("inserted", {}))
-    for c, k in counts.items():
-        inserted[c] = inserted.get(c, 0) + k
-    meta.update(medoids={int(k): int(v) for k, v in medoids.items()},
-                inserted=inserted,
-                mutation_gen=int(meta.get("mutation_gen", 0)) + 1)
+    meta.update(medoids={int(k): int(v) for k, v in medoids.items()})
     _save_graph_meta(path, meta)
     return meta
 
@@ -616,6 +700,20 @@ def purge_deleted_graph(spark, path: str) -> dict:
                       .join(tomb, id_col, "left_semi")
                       .select("cluster").distinct().collect())
     if not affected:
+        # none of the marked ids are in the corpus — either the marks
+        # were for never-present ids, or a previous purge crashed
+        # between its partition rewrite and its meta save. Re-sync
+        # medoids from the on-disk is_medoid rows (the rewrite's source
+        # of truth) before clearing the marks, so a crash-interrupted
+        # purge cannot leave a purged id as a cluster's entry point in
+        # meta. (Searches also tolerate a stale entry via the in-task
+        # medoid fallback; this repairs the metadata itself.)
+        got = {int(r["cluster"]): int(r[id_col]) for r in
+               spark.read.parquet(path).where(F.col("is_medoid"))
+               .select("cluster", id_col).collect()}
+        if got != meta["medoids"]:
+            meta["medoids"] = got
+            _save_graph_meta(path, meta)
         _clear_graph_tombstones(path)
         return meta
     flagged = (corpus.where(F.col("cluster").isin(affected))
@@ -683,6 +781,14 @@ def purge_deleted_graph(spark, path: str) -> dict:
         })
 
     repaired = flagged.groupBy("cluster").applyInPandas(repair, out_schema)
+    # same durability order as insert: the generation bump is durable
+    # BEFORE membership changes, so a stale NVQ sidecar is refused (not
+    # silently joined against) whatever instant a crash hits. Tombstone
+    # shards clear only after the final meta save — the mark journal
+    # stays the commit point and a crash anywhere re-purges idempotently
+    # (the not-affected branch above re-syncs medoids on that replay).
+    meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
+    _save_graph_meta(path, meta)
     _rewrite_partitions(repaired, path, affected)
     rows = (spark.read.parquet(path)
             .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
@@ -694,7 +800,6 @@ def purge_deleted_graph(spark, path: str) -> dict:
         else:
             medoids.pop(c, None)
     meta["medoids"] = medoids
-    meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
     _save_graph_meta(path, meta)
     _clear_graph_tombstones(path)
     return meta
@@ -757,6 +862,12 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
                 "cluster": pdf["cluster"].to_numpy(np.int32),
             })
 
+        # gen bump durable before the rewrite (same ordering argument as
+        # insert/purge; a rebuild keeps membership, so a stale sidecar
+        # would still be content-correct, but one generation discipline
+        # for every mutation is simpler to reason about than three)
+        meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
+        _save_graph_meta(path, meta)
         _rewrite_partitions(
             sub.groupBy("cluster").applyInPandas(rebuild, out_schema),
             path, dirty)
@@ -765,7 +876,6 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
                 .select("cluster", id_col).collect())
         for r in rows:
             meta["medoids"][int(r["cluster"])] = int(r[id_col])
-        meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
     meta["inserted"] = {c: k for c, k in inserted.items() if c not in
                         set(dirty)}
     _save_graph_meta(path, meta)
@@ -1126,7 +1236,8 @@ def graph_topk_nvq(
         nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
                            dtype=np.int64)
                 for row in pdf["neighbors"]]
-        medoid_pos = pos[int(medoids[cluster])]
+        medoid_pos = _entry_pos(pos, medoids, cluster,
+                                pdf["is_medoid"].to_numpy(bool))
         banned = pdf["_del"].to_numpy(bool)
         banned = banned if banned.any() else None
         m = len(ids)
@@ -1315,7 +1426,8 @@ def graph_topk(
         nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
                            dtype=np.int64)
                 for row in pdf["neighbors"]]
-        medoid_pos = pos[int(medoids[cluster])]
+        medoid_pos = _entry_pos(pos, medoids, cluster,
+                                pdf["is_medoid"].to_numpy(bool))
         banned = pdf["_del"].to_numpy(bool)
         banned = banned if banned.any() else None
         m = len(ids)

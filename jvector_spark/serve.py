@@ -266,11 +266,16 @@ class VectorPool:
     def _beam_cell(self, cell: int, q: np.ndarray, qn: float,
                    ef: int,
                    threshold: float | None = None
-                   ) -> tuple[np.ndarray, np.ndarray, int]:
+                   ) -> tuple[np.ndarray, np.ndarray, int, int]:
         """ef-bounded best-first beam inside one graph cell (the warm
         GraphSearcher.java:387-451 loop). Returns (global positions,
-        their sims, evals). `threshold` arms the TwoPhaseTracker
-        probabilistic stop (see operators/graph.beam_search_cluster)."""
+        their sims, evals, scored). `evals` counts unique nodes visited
+        (SearchResult.getVisitedCount semantics — fused and gather paths
+        agree by construction); `scored` counts score computations,
+        which in fused mode exceeds evals because the bulk matmul
+        re-scores already-visited rows in each adjacency block.
+        `threshold` arms the TwoPhaseTracker probabilistic stop (see
+        operators/graph.beam_search_cluster)."""
         from jvector_spark.operators.graph import TwoPhaseTracker
 
         tracker = (TwoPhaseTracker(threshold)
@@ -278,7 +283,7 @@ class VectorPool:
         members, nbrs, seeds = self._graph[cell]
         m = len(members)
         if m == 0:
-            return (np.empty(0, dtype=np.int64), np.empty(0), 0)
+            return (np.empty(0, dtype=np.int64), np.empty(0), 0, 0)
         fz = self._fused[cell] if self._fused is not None else None
         qsum = float(q.sum())
         visited = np.zeros(m, dtype=bool)
@@ -287,6 +292,7 @@ class VectorPool:
         cand_pos = [int(p) for p in seeds]
         cand_sim = sims0.tolist()
         n_evals = len(seeds)
+        n_scored = len(seeds)
         if tracker is not None:
             tracker.track(sims0)
         # heap-based best-first (NodeQueue pair analog, see
@@ -320,6 +326,10 @@ class VectorPool:
                              + fz["delta"][lo:hi] * (fz["codes"][lo:hi] @ q))
                     sims_all = block / (qn * fz["norms"][lo:hi])
                     new, s = nbr[mask], sims_all[mask]
+                    # the bulk matmul scored the whole block — visited
+                    # rows included — so the work counter takes hi-lo
+                    # while the visited counter below takes len(new)
+                    n_scored += int(hi - lo) - len(new)
                 else:
                     new = nbr[:0]
             else:
@@ -329,6 +339,7 @@ class VectorPool:
             if len(new):
                 visited[new] = True
                 n_evals += len(new)
+                n_scored += len(new)
                 for p, sv in zip(new.tolist(), s.tolist()):
                     cand_pos.append(p)
                     cand_sim.append(sv)
@@ -345,7 +356,7 @@ class VectorPool:
         cp = np.asarray(cand_pos, dtype=np.int64)
         cs = np.asarray(cand_sim)
         keep = np.lexsort((self.ids[members[cp]], -cs))[:ef]
-        return members[cp[keep]], cs[keep], n_evals
+        return members[cp[keep]], cs[keep], n_evals, n_scored
 
     def knn(self, qvecs: np.ndarray, k: int,
             nprobe: int | None = None,
@@ -370,6 +381,7 @@ class VectorPool:
         outs = []
         use_graph = ef is not None and self._graph is not None
         self.last_graph_evals = 0
+        self.last_graph_scored = 0
         for qid in range(len(q)):
             if self.centroids is not None and (
                     nprobe is not None or use_graph):
@@ -383,12 +395,13 @@ class VectorPool:
                          else np.arange(len(self._graph)))
                 ps, ss = [], []
                 for c in cells:
-                    gp, gs, ne = self._beam_cell(int(c), q[qid],
-                                                 float(qn[qid]), ef,
-                                                 threshold=threshold)
+                    gp, gs, ne, ns = self._beam_cell(int(c), q[qid],
+                                                     float(qn[qid]), ef,
+                                                     threshold=threshold)
                     ps.append(gp)
                     ss.append(gs)
                     self.last_graph_evals += ne
+                    self.last_graph_scored += ns
                 pos = np.concatenate(ps)
                 sims = np.round(np.concatenate(ss), 6)
                 ids = self.ids[pos]

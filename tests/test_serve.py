@@ -333,6 +333,11 @@ def test_vector_pool_graph_tier(tmp_path_factory):
     ffast = fpool.knn(q, 10, nprobe=2, ef=48)
     assert ffast.equals(nfast)
     assert fpool.last_graph_evals == npool.last_graph_evals
+    # the visited count is layout-independent, but the WORK counter is
+    # honest about fused mode's bulk-then-filter shape: the block matmul
+    # re-scores already-visited rows, the gather path never does
+    assert fpool.last_graph_scored >= fpool.last_graph_evals
+    assert npool.last_graph_scored == npool.last_graph_evals
     fcov = fpool.knn(q, 10, ef=n)
     ncov = npool.knn(q, 10, ef=n)
     assert fcov.equals(ncov)
