@@ -85,6 +85,43 @@ def brute_force_topk(
     )
 
 
+def exact_rerank(
+    cands: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Shared exact-cosine rerank epilogue of every two-phase ANN tier
+    (graph float beam, NVQ-coded beam, BQ Hamming prefilter): broadcast
+    the query vectors, score the candidate set with the SAME rounded
+    cosine expression as brute_force_topk, optionally apply the exact
+    score floor (GraphSearcher threshold semantics — the cut happens on
+    exact rerank scores; approximate phases only bound exploration),
+    then the bounded per-query window top-k under the (score desc, id
+    asc) tie-break contract. `cands` carries (qid_col, id_col, vec_col);
+    output is (qid_col, rank, id_col, score). One definition so the
+    rerank contract (rounding, tie-break, threshold placement) cannot
+    drift between tiers."""
+    scored = cands.join(
+        F.broadcast(queries.select(qid_col, qvec_col)), qid_col).select(
+        qid_col, F.col(id_col),
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6)
+        .alias("score"))
+    if threshold is not None:
+        scored = scored.where(F.col("score") >= F.lit(float(threshold)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(qid_col, (F.col("rn") - 1).cast("int").alias("rank"),
+                id_col, "score")
+    )
+
+
 def brute_force_threshold(
     vectors: DataFrame,
     queries: DataFrame,

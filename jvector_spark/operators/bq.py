@@ -158,20 +158,9 @@ def bq_topk(
         .where(F.col("rn2") <= rerank_k)
         .select(qid_col, id_col)
     )
-    from jvector_spark.operators.ann import cosine_expr
+    from jvector_spark.operators.ann import exact_rerank
 
-    exact = (
-        survivors.join(encoded.select(id_col, vec_col), id_col)
-        .join(qdf.select(qid_col, "_qv"), qid_col)
-        .select(
-            qid_col, id_col,
-            F.round(cosine_expr(F.col("_qv"), F.col(vec_col)), 6).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k)
-        .select(qid_col, (F.col("rn") - 1).cast("int").alias("rank"), id_col,
-                "score")
-    )
+    return exact_rerank(
+        survivors.join(encoded.select(id_col, vec_col), id_col),
+        qdf.select(qid_col, "_qv"), k, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col, qvec_col="_qv")

@@ -41,13 +41,13 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jvector_spark.operators.ann import (
     assign_clusters,
     assign_probes,
-    cosine_expr,
+    exact_rerank,
 )
 
 GRAPH_META = "_GRAPH_META.json"
@@ -390,6 +390,32 @@ def _entry_pos(pos: dict, medoids: dict, cluster: int,
         return pos[int(med_id)]
     flagged = np.flatnonzero(is_medoid)
     return int(flagged[0]) if len(flagged) else 0
+
+
+def _cell_search_state(pdf: pd.DataFrame, id_col: str, medoids: dict,
+                       cluster: int, n_seeds: int):
+    """Shared per-cell prologue of every beam-search task (float and NVQ
+    tiers): id-sorted rows, position-space adjacency, entry point (with
+    the stale-meta fallback of _entry_pos), tombstone bans, and the
+    deterministic stride seed sample. Returns (pdf, ids, nbrs,
+    medoid_pos, banned, seed_pos) with pdf re-sorted/re-indexed — one
+    definition so the tie-break-bearing sort and the seed layout cannot
+    drift between tiers."""
+    pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    ids = pdf[id_col].to_numpy(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
+                       dtype=np.int64)
+            for row in pdf["neighbors"]]
+    medoid_pos = _entry_pos(pos, medoids, cluster,
+                            pdf["is_medoid"].to_numpy(bool))
+    banned = pdf["_del"].to_numpy(bool)
+    banned = banned if banned.any() else None
+    m = len(ids)
+    seed_pos = (np.arange(0, m, max(1, m // n_seeds),
+                          dtype=np.int64)[:n_seeds]
+                if n_seeds > 0 else None)
+    return pdf, ids, nbrs, medoid_pos, banned, seed_pos
 
 
 def _prune_from_scores(V: np.ndarray, s: np.ndarray, mask: np.ndarray,
@@ -1223,8 +1249,8 @@ def graph_topk_nvq(
         qids = cluster_qids.get(cluster, [])
         if not qids:
             return pd.DataFrame(columns=["qid", id_col])
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = pdf[id_col].to_numpy(np.int64)
+        pdf, ids, nbrs, medoid_pos, banned, seed_pos = _cell_search_state(
+            pdf, id_col, medoids, cluster, n_seeds)
         dim = len(pdf["codes"].iloc[0])
         codes = np.frombuffer(
             b"".join(pdf["codes"].to_numpy()), dtype=np.uint8
@@ -1232,18 +1258,6 @@ def graph_topk_nvq(
         vmin = pdf["vmin"].to_numpy(np.float64)
         delta = pdf["delta"].to_numpy(np.float64)
         norms = np.maximum(pdf["dq_norm"].to_numpy(np.float64), 1e-12)
-        pos = {int(v): i for i, v in enumerate(ids)}
-        nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
-                           dtype=np.int64)
-                for row in pdf["neighbors"]]
-        medoid_pos = _entry_pos(pos, medoids, cluster,
-                                pdf["is_medoid"].to_numpy(bool))
-        banned = pdf["_del"].to_numpy(bool)
-        banned = banned if banned.any() else None
-        m = len(ids)
-        seed_pos = (np.arange(0, m, max(1, m // n_seeds),
-                              dtype=np.int64)[:n_seeds]
-                    if n_seeds > 0 else None)
         outs = []
         for qid in qids:
             q = qvecs[qid]
@@ -1263,19 +1277,13 @@ def graph_topk_nvq(
         return pd.concat(outs, ignore_index=True)
 
     cands = corpus.groupBy("cluster").applyInPandas(search, out_schema)
-    qdf = queries.select(F.col(qid_col).alias("qid"), qvec_col)
-    scored = (cands.join(vectors.select(id_col, vec_col), id_col)
-              .join(F.broadcast(qdf), "qid")
-              .select("qid", F.col(id_col),
-                      F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)),
-                              6).alias("score")))
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
-                id_col, "score")
-    )
+    # the exact rerank fetches full-precision rows for candidates only
+    # (the "compressed in memory, floats for rerank" split)
+    return exact_rerank(
+        cands.join(vectors.select(id_col, vec_col), id_col),
+        queries.select(F.col(qid_col).alias("qid"), qvec_col),
+        k, id_col=id_col, vec_col=vec_col, qid_col="qid",
+        qvec_col=qvec_col)
 
 
 class CentroidRouter:
@@ -1419,21 +1427,9 @@ def graph_topk(
         qids = cluster_qids.get(cluster, [])
         if not qids:
             return pd.DataFrame(columns=["qid", id_col, vec_col])
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = pdf[id_col].to_numpy(np.int64)
+        pdf, ids, nbrs, medoid_pos, banned, seed_pos = _cell_search_state(
+            pdf, id_col, medoids, cluster, n_seeds)
         V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-        pos = {int(v): i for i, v in enumerate(ids)}
-        nbrs = [np.asarray([pos[int(x)] for x in row if int(x) in pos],
-                           dtype=np.int64)
-                for row in pdf["neighbors"]]
-        medoid_pos = _entry_pos(pos, medoids, cluster,
-                                pdf["is_medoid"].to_numpy(bool))
-        banned = pdf["_del"].to_numpy(bool)
-        banned = banned if banned.any() else None
-        m = len(ids)
-        seed_pos = (np.arange(0, m, max(1, m // n_seeds),
-                              dtype=np.int64)[:n_seeds]
-                    if n_seeds > 0 else None)
         outs = []
         for qid in qids:
             found, n_evals = beam_search_cluster(
@@ -1450,22 +1446,11 @@ def graph_topk(
         return pd.concat(outs, ignore_index=True)
 
     cands = corpus.groupBy("cluster").applyInPandas(search, out_schema)
-    qdf = queries.select(F.col(qid_col).alias("qid"), qvec_col)
-    scored = cands.join(F.broadcast(qdf), "qid").select(
-        "qid", F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6)
-        .alias("score"),
-    )
-    if threshold is not None:
-        # threshold mode: the cut applies on EXACT rerank scores
-        # (GraphSearcher.java:192-195 — results with similarity >=
-        # threshold, bounded by topK); the beam's probabilistic stop
-        # above only bounds exploration
-        scored = scored.where(F.col("score") >= F.lit(float(threshold)))
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"),
-                id_col, "score")
-    )
+    # threshold mode: the cut applies on EXACT rerank scores
+    # (GraphSearcher.java:192-195 — results with similarity >= threshold,
+    # bounded by topK); the beam's probabilistic stop above only bounds
+    # exploration
+    return exact_rerank(
+        cands, queries.select(F.col(qid_col).alias("qid"), qvec_col),
+        k, id_col=id_col, vec_col=vec_col, qid_col="qid",
+        qvec_col=qvec_col, threshold=threshold)

@@ -275,7 +275,15 @@ class VectorPool:
         which in fused mode exceeds evals because the bulk matmul
         re-scores already-visited rows in each adjacency block.
         `threshold` arms the TwoPhaseTracker probabilistic stop (see
-        operators/graph.beam_search_cluster)."""
+        operators/graph.beam_search_cluster).
+
+        DELIBERATE TWIN of operators/graph.beam_search_cluster: the warm
+        path keeps its own loop for the fused-slab layout and because it
+        returns scores for reuse (the batch beam's callers rerank). Any
+        semantic change to either loop (tie-break, termination floor,
+        banned handling, tracker wiring) must land in BOTH —
+        tests/test_serve.py::test_beam_cell_matches_batch_beam runs them
+        over identical cell arrays and fails on any divergence."""
         from jvector_spark.operators.graph import TwoPhaseTracker
 
         tracker = (TwoPhaseTracker(threshold)
