@@ -31,6 +31,17 @@ union computed with the SAME JVM expression as brute_force_topk (the
 rerankK >= topK contract, GraphSearcher.search:209) — pytest asserts the
 candidate set covers the true top-k on the fixtures, making the
 brute-force SQL oracle applicable (tests/test_graph_ann.py).
+
+Concurrency contract: the layout is SINGLE-WRITER (mutations serialize
+externally, like the reference's single GraphIndexBuilder owner). For
+readers, each mutation is atomic per cluster dir (staged write, then
+rename swap — see _rewrite_partitions, including its crash containment),
+and queries PLANNED after a mutation commits see it in full. A search
+already in flight across a swap may fail on a replaced file and should
+be retried — the layout deliberately does not implement cross-cluster
+snapshot isolation (that is a table-format concern: at real scale this
+layout sits behind Iceberg/Delta snapshots, or behind the serving pools,
+which pin a generation in memory and swap on SearcherPool.reset()).
 """
 
 from __future__ import annotations
