@@ -444,6 +444,26 @@ def grid_run() -> None:
                 })
             enc.unpersist()
 
+            # anisotropic PQ (ScaNN-weighted train + coordinate-descent
+            # encode, ProductQuantization.encodeAnisotropic analog) at
+            # the tightest rerank budgets, where ADC ordering quality
+            # dominates recall
+            books_a = train_pq(emb, m=m, seed=42, anisotropic_threshold=0.2)
+            enc_a = pq_encode(emb, books_a, anisotropic_threshold=0.2).cache()
+            enc_a.count()
+            for rerank_k in (10, 20):
+                t0 = time.time()
+                approx = pq_adc_topk(enc_a, queries, books_a, k=10,
+                                     rerank_k=rerank_k).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag, "config": f"pq{m}_aniso0.2_rerank{rerank_k}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                })
+            enc_a.unpersist()
+
             # NVQ tier (per-vector 8-bit codes, Catalyst dequantized scan
             # + exact rerank — NVQuantization/NVQScorer analog)
             from jvector_spark.operators.nvq import (

@@ -14,6 +14,10 @@ Direct analog of `quantization/ProductQuantization.java` (SURVEY §2.8):
                  PQVectors.java:191-202), then exact rerank of the top
                  rerank_k survivors (the DiskANN two-phase pattern,
                  README.md:25-34)
+  * anisotropic mode — ScaNN-style weighted training + coordinate-descent
+                 encoding (encodeAnisotropic:248-285, KMeansPlusPlusClusterer
+                 anisotropic phase; Guo et al. 2020), opt-in via
+                 anisotropic_threshold on train_pq/pq_encode
 
 Codebooks are small ((M, 256, dim/M) float64) and broadcast; encode is one
 map-side pass; ADC scoring is numpy matrix work per partition with a
@@ -44,32 +48,58 @@ TRAIN_CAP = 16384
 # analog, ref quantization/ProductQuantization.java:550-589,639-683 —
 # magic + version header, refuse-newer/accept-older): our own magic,
 # little-endian header (magic, version, m, n_clusters, sub_dim) then the
-# float64 codebook tensor
+# float64 codebook tensor. Version 2 appends the anisotropic threshold
+# (float64; NaN = unweighted) after the header — mirroring the reference
+# persisting anisotropicThreshold from PQ format version 3 on
+# (ProductQuantization.write:558-567, TestProductQuantization's
+# version round-trip tests). Version-1 files still load (accept-older).
 PQ_MAGIC = 0x4A565051  # "JVPQ"
-PQ_FORMAT_VERSION = 1
+PQ_FORMAT_VERSION = 2
 
 
-def save_codebooks(path: str, codebooks: np.ndarray) -> None:
+def save_codebooks(path: str, codebooks: np.ndarray,
+                   anisotropic_threshold: float | None = None) -> None:
     """Atomically persist codebooks (m, n_clusters, sub_dim) float64."""
     m, k, sub = codebooks.shape
+    t = float("nan") if anisotropic_threshold is None else float(
+        anisotropic_threshold)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(struct.pack("<IIIII", PQ_MAGIC, PQ_FORMAT_VERSION, m, k, sub))
+        f.write(struct.pack("<d", t))
         f.write(np.ascontiguousarray(codebooks, dtype="<f8").tobytes())
     os.replace(tmp, path)
 
 
-def load_codebooks(path: str) -> np.ndarray:
+def load_codebooks(path: str, return_threshold: bool = False):
     with open(path, "rb") as f:
         magic, ver, m, k, sub = struct.unpack("<IIIII", f.read(20))
         if magic != PQ_MAGIC:
             raise ValueError(f"not a codebook file (magic {magic:#x})")
         if ver > PQ_FORMAT_VERSION:
             raise ValueError(f"codebook version {ver} too new")
+        thr = None
+        if ver >= 2:
+            (t,) = struct.unpack("<d", f.read(8))
+            thr = None if np.isnan(t) else float(t)
         data = np.frombuffer(f.read(), dtype="<f8")
     if data.size != m * k * sub:
         raise ValueError("codebook file truncated")
-    return data.reshape(m, k, sub).copy()
+    books = data.reshape(m, k, sub).copy()
+    return (books, thr) if return_threshold else books
+
+
+def parallel_cost_multiplier(threshold: float, dim: int) -> float:
+    """ScaNN's parallel-vs-orthogonal cost ratio from a dot-product
+    relevance threshold T (KMeansPlusPlusClusterer.computeParallelCostMultiplier:116-124):
+    parallel cost T², perpendicular cost (1-T²)/(d-1), clamped at 1
+    (weighting below plain L2 never helps). Valid for unit-normalized
+    training data; -1 < T < 1."""
+    if not (-1.0 < threshold < 1.0):
+        raise ValueError(f"anisotropic threshold must be in (-1, 1), got {threshold}")
+    pc = threshold * threshold
+    perp = (1.0 - pc) / max(dim - 1, 1)
+    return max(1.0, pc / perp)
 
 
 def kmeanspp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
@@ -94,6 +124,54 @@ def kmeanspp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray
     return centers
 
 
+def _anisotropic_refine(Xs: np.ndarray, cent: np.ndarray, pcm: float,
+                        iters: int) -> np.ndarray:
+    """Anisotropic k-means refinement of one subspace's centroids
+    (KMeansPlusPlusClusterer.cluster:131-146 second phase; ScaNN paper
+    "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization", Guo et al. 2020, appendix 7.5).
+
+    Assignment: weighted distance pcm·par + perp with
+    par = ((c·x − x·x))², perp = ‖c−x‖² − par (weightedDistance:315-325).
+    Update: closed-form solve per cluster,
+      c = (ocm·I + (1−ocm)/|L| · Σ xxᵀ/‖x‖²)⁻¹ · mean(L),  ocm = 1/pcm
+    (updateCentroidsAnisotropic:378-431). Empty clusters keep their old
+    centroid (the reference re-seeds to a random point; we stay
+    deterministic — a centroid nothing chose is harmless padding).
+    Stops early when <1% of points change cluster."""
+    n, sub = Xs.shape
+    k = len(cent)
+    ocm = 1.0 / pcm
+    xN = (Xs * Xs).sum(1)  # (n,)
+    # per-point normalized outer-product weights, guarded for zero vectors
+    safe = np.maximum(xN, 1e-30)
+    assign = np.full(n, -1, dtype=np.intp)
+    for _ in range(iters):
+        cDotX = Xs @ cent.T                     # (n, k)
+        cN = (cent * cent).sum(1)[None, :]      # (1, k)
+        par = (cDotX - xN[:, None]) ** 2
+        resid = cN - 2.0 * cDotX + xN[:, None]
+        cost = pcm * par + (resid - par)
+        new_assign = cost.argmin(1)
+        changed = int((new_assign != assign).sum())
+        assign = new_assign
+        # closed-form weighted centroid per cluster
+        for c in range(k):
+            mask = assign == c
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue
+            L = Xs[mask]
+            mean = L.mean(0)
+            W = L / safe[mask, None]            # rows x/‖x‖²
+            M = (L.T @ W) * ((1.0 - ocm) / cnt)
+            M[np.diag_indices(sub)] += ocm
+            cent[c] = np.linalg.solve(M, mean)
+        if changed <= max(1, n // 100):
+            break
+    return cent
+
+
 def train_pq(
     vectors: DataFrame,
     m: int = 8,
@@ -102,11 +180,17 @@ def train_pq(
     sample_cap: int = TRAIN_CAP,
     n_clusters: int = N_CLUSTERS,
     iters: int = KMEANS_ITERS,
+    anisotropic_threshold: float | None = None,
 ) -> np.ndarray:
     """Codebooks (m, n_clusters, sub_dim) from a seeded sample
     (k-means++ init + fixed Lloyd iterations, mirroring
     K_MEANS_ITERATIONS=6 / MAX_PQ_TRAINING_SET_SIZE,
-    ProductQuantization.java:63-64,114-141)."""
+    ProductQuantization.java:63-64,114-141). With
+    `anisotropic_threshold` set, each subspace's Lloyd pass is followed
+    by the same number of anisotropic refinement iterations
+    (createCodebooks:466-473: unweighted first — "significantly
+    faster" — then weighted), using the subspace dimensionality for the
+    cost multiplier as the reference's per-subspace clusterer does."""
     n = vectors.count()
     frac = min(1.0, sample_cap / max(n, 1))
     sample = vectors.sample(fraction=frac, seed=seed).select(vec_col).toPandas()
@@ -128,10 +212,94 @@ def train_pq(
                 mask = assign == c
                 if mask.any():
                     cent[c] = Xs[mask].mean(0)
+        if anisotropic_threshold is not None:
+            pcm = parallel_cost_multiplier(anisotropic_threshold, sub)
+            cent = _anisotropic_refine(Xs, cent, pcm, iters)
         books[s, :k] = cent
         if k < n_clusters:  # degenerate tiny inputs: pad with first centroid
             books[s, k:] = cent[0]
     return books
+
+
+def _encode_unweighted(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8, nearest centroid per subspace
+    (encodeUnweighted:401-405)."""
+    m, _, sub = books.shape
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        d = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d.argmin(1).astype(np.uint8)
+    return codes
+
+
+def _encode_anisotropic(X: np.ndarray, books: np.ndarray,
+                        pcm: float, max_iters: int = 10) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8 via coordinate descent on the anisotropic
+    loss (encodeAnisotropic:248-285, optimizeSingleSubspace:287-330;
+    MAX_ITERATIONS=10 "borrowed from SCANN code").
+
+    The full-vector loss decomposes exactly over subspaces: with
+    rᵢ = cᵢ − xᵢ and the signed parallel subtotal pᵢ = cᵢ·xᵢ − ‖xᵢ‖²,
+    the residual's component parallel to x is S/‖x‖ where S = Σᵢ pᵢ, so
+
+        loss = pcm·S²/‖x‖² + (‖r‖² − S²/‖x‖²)
+             = Σᵢ ‖rᵢ‖²  +  (pcm−1)/‖x‖² · (Σᵢ pᵢ)²
+
+    Coordinate descent holds all other subspaces fixed and picks
+    argmin_j ‖rᵢ(j)‖² + λ·(S₋ᵢ + pᵢ(j))², which is the ScaNN paper's
+    objective computed in closed form (the reference accumulates
+    per-subspace squared components and re-squares their sum —
+    encodeAnisotropic:256-260 — a formulation we deliberately do not
+    reproduce; each of our sweeps provably never increases the loss,
+    asserted by test_pq_aniso). Fully vectorized over the batch: the
+    python loops are m subspaces × ≤10 sweeps, independent of n.
+
+    Initialization = per-subspace min residual norm
+    (initializeToMinResidualNorms:343-357), i.e. the unweighted code."""
+    m, k, sub = books.shape
+    n = len(X)
+    if n == 0:
+        return np.empty((0, m), dtype=np.uint8)
+    xn_full = np.maximum((X * X).sum(1), 1e-30)        # ‖x‖² (n,)
+    cN = (books * books).sum(2)                        # (m, k)
+    cDotX = np.empty((n, m, k))
+    xN = np.empty((n, m))
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cDotX[:, s, :] = Xs @ books[s].T
+        xN[:, s] = (Xs * Xs).sum(1)
+    rN = cN[None, :, :] - 2.0 * cDotX + xN[:, :, None]  # ‖rᵢ(j)‖² (n,m,k)
+    p = cDotX - xN[:, :, None]                          # pᵢ(j) (n,m,k)
+    codes = rN.argmin(2)                                # (n, m) intp
+    lam = (pcm - 1.0) / xn_full                         # (n,)
+    rows = np.arange(n)
+    S = p[rows[:, None], np.arange(m)[None, :], codes].sum(1)  # (n,)
+    for _ in range(max_iters):
+        changed = False
+        for i in range(m):
+            p_i = p[:, i, :]                            # (n, k)
+            S_other = S - p_i[rows, codes[:, i]]
+            cost = rN[:, i, :] + lam[:, None] * (S_other[:, None] + p_i) ** 2
+            new = cost.argmin(1)
+            changed = changed or bool((new != codes[:, i]).any())
+            codes[:, i] = new
+            S = S_other + p_i[rows, new]
+        if not changed:
+            break
+    return codes.astype(np.uint8)
+
+
+def anisotropic_loss(X: np.ndarray, codes: np.ndarray,
+                     books: np.ndarray, pcm: float) -> float:
+    """Mean per-vector anisotropic loss pcm·‖r∥‖² + ‖r⊥‖² of an encoding
+    (the quantity encodeAnisotropic minimizes) — test/metric helper."""
+    recon = pq_decode_codes(codes, books)
+    r = recon - X
+    xn = np.maximum((X * X).sum(1), 1e-30)
+    par = (r * X).sum(1) ** 2 / xn
+    tot = (r * r).sum(1)
+    return float((pcm * par + (tot - par)).mean())
 
 
 def pq_encode(
@@ -139,21 +307,27 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anisotropic_threshold: float | None = None,
 ) -> DataFrame:
-    """+ codes:binary — M uint8 codes per vector, one vectorized map pass."""
+    """+ codes:binary — M uint8 codes per vector, one vectorized map pass.
+    With `anisotropic_threshold`, codes are chosen by coordinate descent
+    on the ScaNN anisotropic loss instead of nearest-centroid; the cost
+    multiplier uses the ORIGINAL dimension, as the reference's encode
+    does (optimizeSingleSubspace:289 with originalDimension)."""
     spark = vectors.sparkSession
     b_books = spark.sparkContext.broadcast(codebooks)
     m, _, sub = codebooks.shape
+    pcm = (None if anisotropic_threshold is None
+           else parallel_cost_multiplier(anisotropic_threshold, m * sub))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books = b_books.value
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.empty((len(X), m), dtype=np.uint8)
-            for s in range(m):
-                Xs = X[:, s * sub : (s + 1) * sub]
-                d = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d.argmin(1).astype(np.uint8)
+            if pcm is None:
+                codes = _encode_unweighted(X, books)
+            else:
+                codes = _encode_anisotropic(X, books, pcm)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 vec_col: pdf[vec_col],
