@@ -52,13 +52,17 @@ TRAIN_CAP = 16384
 # (float64; NaN = unweighted) after the header — mirroring the reference
 # persisting anisotropicThreshold from PQ format version 3 on
 # (ProductQuantization.write:558-567, TestProductQuantization's
-# version round-trip tests). Version-1 files still load (accept-older).
+# version round-trip tests). Version 3 appends the optional global
+# centroid (uint32 length, 0 = none, then float64s — the reference
+# writes globalCentroid the same way, write:556-557). Older versions
+# still load (accept-older / refuse-newer).
 PQ_MAGIC = 0x4A565051  # "JVPQ"
-PQ_FORMAT_VERSION = 2
+PQ_FORMAT_VERSION = 3
 
 
 def save_codebooks(path: str, codebooks: np.ndarray,
-                   anisotropic_threshold: float | None = None) -> None:
+                   anisotropic_threshold: float | None = None,
+                   global_centroid: np.ndarray | None = None) -> None:
     """Atomically persist codebooks (m, n_clusters, sub_dim) float64."""
     m, k, sub = codebooks.shape
     t = float("nan") if anisotropic_threshold is None else float(
@@ -67,11 +71,21 @@ def save_codebooks(path: str, codebooks: np.ndarray,
     with open(tmp, "wb") as f:
         f.write(struct.pack("<IIIII", PQ_MAGIC, PQ_FORMAT_VERSION, m, k, sub))
         f.write(struct.pack("<d", t))
+        if global_centroid is None:
+            f.write(struct.pack("<I", 0))
+        else:
+            c = np.ascontiguousarray(global_centroid, dtype="<f8").ravel()
+            if c.size != m * sub:
+                raise ValueError(
+                    f"centroid dim {c.size} != codebook dim {m * sub}")
+            f.write(struct.pack("<I", c.size))
+            f.write(c.tobytes())
         f.write(np.ascontiguousarray(codebooks, dtype="<f8").tobytes())
     os.replace(tmp, path)
 
 
-def load_codebooks(path: str, return_threshold: bool = False):
+def load_codebooks(path: str, return_threshold: bool = False,
+                   return_centroid: bool = False):
     with open(path, "rb") as f:
         magic, ver, m, k, sub = struct.unpack("<IIIII", f.read(20))
         if magic != PQ_MAGIC:
@@ -82,11 +96,21 @@ def load_codebooks(path: str, return_threshold: bool = False):
         if ver >= 2:
             (t,) = struct.unpack("<d", f.read(8))
             thr = None if np.isnan(t) else float(t)
+        centroid = None
+        if ver >= 3:
+            (clen,) = struct.unpack("<I", f.read(4))
+            if clen:
+                centroid = np.frombuffer(f.read(8 * clen), dtype="<f8").copy()
         data = np.frombuffer(f.read(), dtype="<f8")
     if data.size != m * k * sub:
         raise ValueError("codebook file truncated")
     books = data.reshape(m, k, sub).copy()
-    return (books, thr) if return_threshold else books
+    out = (books,)
+    if return_threshold:
+        out += (thr,)
+    if return_centroid:
+        out += (centroid,)
+    return out if len(out) > 1 else books
 
 
 def parallel_cost_multiplier(threshold: float, dim: int) -> float:
@@ -181,7 +205,8 @@ def train_pq(
     n_clusters: int = N_CLUSTERS,
     iters: int = KMEANS_ITERS,
     anisotropic_threshold: float | None = None,
-) -> np.ndarray:
+    center: bool = False,
+):
     """Codebooks (m, n_clusters, sub_dim) from a seeded sample
     (k-means++ init + fixed Lloyd iterations, mirroring
     K_MEANS_ITERATIONS=6 / MAX_PQ_TRAINING_SET_SIZE,
@@ -190,7 +215,15 @@ def train_pq(
     by the same number of anisotropic refinement iterations
     (createCodebooks:466-473: unweighted first — "significantly
     faster" — then weighted), using the subspace dimensionality for the
-    cost multiplier as the reference's per-subspace clusterer does."""
+    cost multiplier as the reference's per-subspace clusterer does.
+
+    With `center=True`, the global centroid of the training sample is
+    subtracted before clustering and RETURNED alongside the codebooks —
+    return value becomes (books, centroid) — the reference's
+    globallyCenter option (compute:114-141; "not recommended when using
+    the quantization for dot product", hence opt-in). Pass the centroid
+    to pq_encode/pq_decode_codes; ADC top-k ordering is invariant to it
+    (q·centroid is a per-query constant), so pq_adc_topk needs no change."""
     n = vectors.count()
     frac = min(1.0, sample_cap / max(n, 1))
     sample = vectors.sample(fraction=frac, seed=seed).select(vec_col).toPandas()
@@ -199,6 +232,10 @@ def train_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    centroid = None
+    if center:
+        centroid = X.mean(0)
+        X = X - centroid
     books = np.empty((m, n_clusters, sub))
     rng = np.random.default_rng(seed)
     for s in range(m):
@@ -218,7 +255,7 @@ def train_pq(
         books[s, :k] = cent
         if k < n_clusters:  # degenerate tiny inputs: pad with first centroid
             books[s, k:] = cent[0]
-    return books
+    return (books, centroid) if center else books
 
 
 def _encode_unweighted(X: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -308,22 +345,29 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     anisotropic_threshold: float | None = None,
+    global_centroid: np.ndarray | None = None,
 ) -> DataFrame:
     """+ codes:binary — M uint8 codes per vector, one vectorized map pass.
     With `anisotropic_threshold`, codes are chosen by coordinate descent
     on the ScaNN anisotropic loss instead of nearest-centroid; the cost
     multiplier uses the ORIGINAL dimension, as the reference's encode
-    does (optimizeSingleSubspace:289 with originalDimension)."""
+    does (optimizeSingleSubspace:289 with originalDimension). With
+    `global_centroid` (from train_pq(center=True)), vectors are centered
+    before code assignment (encodeTo:420-427 subtracting globalCentroid)."""
     spark = vectors.sparkSession
-    b_books = spark.sparkContext.broadcast(codebooks)
+    b_books = spark.sparkContext.broadcast(
+        (codebooks, None if global_centroid is None
+         else np.asarray(global_centroid, dtype=np.float64).ravel()))
     m, _, sub = codebooks.shape
     pcm = (None if anisotropic_threshold is None
            else parallel_cost_multiplier(anisotropic_threshold, m * sub))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = b_books.value
+        books, centroid = b_books.value
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if centroid is not None:
+                X = X - centroid
             if pcm is None:
                 codes = _encode_unweighted(X, books)
             else:
@@ -338,27 +382,31 @@ def pq_encode(
     return vectors.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
-def pq_decode_codes(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
-    """(n, m) uint8 -> (n, dim) approximate vectors (numpy helper)."""
+def pq_decode_codes(codes: np.ndarray, codebooks: np.ndarray,
+                    global_centroid: np.ndarray | None = None) -> np.ndarray:
+    """(n, m) uint8 -> (n, dim) approximate vectors (numpy helper).
+    Adds the global centroid back when the codes were centered
+    (decode:433-450 adding globalCentroid)."""
     m, _, sub = codebooks.shape
     out = np.empty((len(codes), m * sub))
     for s in range(m):
         out[:, s * sub : (s + 1) * sub] = codebooks[s][codes[:, s]]
+    if global_centroid is not None:
+        out += np.asarray(global_centroid, dtype=np.float64).ravel()
     return out
 
 
 def reconstruction_mse(vectors_pdf: pd.DataFrame, codebooks: np.ndarray,
-                       vec_col: str = "embedding") -> float:
+                       vec_col: str = "embedding",
+                       global_centroid: np.ndarray | None = None) -> float:
     """Mean squared reconstruction error (TestProductQuantization's
     iterative-improvement metric)."""
     X = np.stack(vectors_pdf[vec_col].to_numpy()).astype(np.float64)
-    m, _, sub = codebooks.shape
-    codes = np.empty((len(X), m), dtype=np.uint8)
-    for s in range(m):
-        Xs = X[:, s * sub : (s + 1) * sub]
-        d = ((Xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
-        codes[:, s] = d.argmin(1).astype(np.uint8)
-    return float(((X - pq_decode_codes(codes, codebooks)) ** 2).mean())
+    Xc = X if global_centroid is None else X - np.asarray(
+        global_centroid, dtype=np.float64).ravel()
+    codes = _encode_unweighted(Xc, codebooks)
+    rec = pq_decode_codes(codes, codebooks, global_centroid)
+    return float(((X - rec) ** 2).mean())
 
 
 def pq_adc_topk(
