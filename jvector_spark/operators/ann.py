@@ -47,6 +47,41 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def l2sq_expr(a, b):
+    """Squared L2 distance between two array<float> columns (float64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+#: the reference's three similarity functions
+#: (vector/VectorSimilarityFunction.java:34-69). Every mapping is
+#: "higher = closer", so the (score desc, id asc) tie-break contract
+#: applies uniformly. Our 'cosine' returns the RAW cosine rather than the
+#: reference's (1+cos)/2 unit-interval compression — a strictly monotone
+#: difference (rank-identical results; the reference compresses only so
+#: its quantized score functions stay in [0,1]) kept for round-to-round
+#: score compatibility of the gated driver queries.
+SIMILARITY_METRICS = ("cosine", "euclidean", "dot_product")
+
+
+def similarity_expr(metric: str, a, b):
+    """Score two array<float> columns under one of the reference's
+    similarity functions: euclidean = 1/(1+‖a−b‖²) (:40), dot_product =
+    (1+a·b)/2 (:54), cosine = raw cos(a,b) (:67, see SIMILARITY_METRICS
+    note). JVM-side expressions — no Python in the scan."""
+    if metric == "cosine":
+        return cosine_expr(a, b)
+    if metric == "euclidean":
+        return F.lit(1.0) / (F.lit(1.0) + l2sq_expr(a, b))
+    if metric == "dot_product":
+        return (F.lit(1.0) + _dot(a, b)) / F.lit(2.0)
+    raise ValueError(f"unknown metric {metric!r}; one of {SIMILARITY_METRICS}")
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -56,8 +91,11 @@ def brute_force_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     threshold: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k: (qid, rank, vec_id, score).
+    """Exact top-k under `metric` (default cosine; 'euclidean' /
+    'dot_product' score with the reference's unit-interval mappings, see
+    similarity_expr): (qid, rank, vec_id, score).
 
     queries is broadcast (small); the corpus scan never shuffles — only the
     partial top-k rows do (partial top-k per (qid, input partition)
@@ -67,7 +105,8 @@ def brute_force_topk(
     scored = vectors.join(F.broadcast(queries)).select(
         F.col(qid_col).alias("qid"),
         F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
+        F.round(similarity_expr(metric, F.col(qvec_col), F.col(vec_col)),
+                6).alias("score"),
     )
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
@@ -94,6 +133,7 @@ def exact_rerank(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     threshold: float | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Shared exact-cosine rerank epilogue of every two-phase ANN tier
     (graph float beam, NVQ-coded beam, BQ Hamming prefilter): broadcast
@@ -105,11 +145,13 @@ def exact_rerank(
     asc) tie-break contract. `cands` carries (qid_col, id_col, vec_col);
     output is (qid_col, rank, id_col, score). One definition so the
     rerank contract (rounding, tie-break, threshold placement) cannot
-    drift between tiers."""
+    drift between tiers. `metric` widens the contract to the reference's
+    euclidean/dot_product mappings (similarity_expr); tiers default to
+    cosine."""
     scored = cands.join(
         F.broadcast(queries.select(qid_col, qvec_col)), qid_col).select(
         qid_col, F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6)
+        F.round(similarity_expr(metric, F.col(qvec_col), F.col(vec_col)), 6)
         .alias("score"))
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
@@ -131,16 +173,21 @@ def brute_force_threshold(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact threshold search: up to k results per query with
-    cosine >= threshold, ranked (score desc, id asc) — the semantics of
-    GraphSearcher's threshold overload (GraphSearcher.java:192-195:
+    similarity >= threshold, ranked (score desc, id asc) — the semantics
+    of GraphSearcher's threshold overload (GraphSearcher.java:192-195:
     "results are returned... with a similarity >= threshold", bounded by
-    topK). Queries that clear the threshold fewer than k times return
-    fewer rows; queries that never clear it return none. One plan with
-    brute_force_topk — the floor applies before its partial cut."""
+    topK; the reference expresses thresholds in the same [0,1]-mapped
+    score space its similarity functions produce, so the floor composes
+    with any `metric` here). Queries that clear the threshold fewer than
+    k times return fewer rows; queries that never clear it return none.
+    One plan with brute_force_topk — the floor applies before its
+    partial cut."""
     return brute_force_topk(vectors, queries, k, id_col, vec_col,
-                            qid_col, qvec_col, threshold=threshold)
+                            qid_col, qvec_col, threshold=threshold,
+                            metric=metric)
 
 
 def train_centroids(
