@@ -82,6 +82,18 @@ def similarity_expr(metric: str, a, b):
     raise ValueError(f"unknown metric {metric!r}; one of {SIMILARITY_METRICS}")
 
 
+def _score_expr(metric: str, a, b):
+    """similarity_expr with the engine's score-precision contract applied:
+    cosine rounds to 6 decimals (the oracle-comparison contract — lossless
+    enough on [-1,1]), while euclidean/dot_product stay full double.
+    Rounding those would collapse neighbors into ties for
+    realistically-scaled unnormalized vectors (1/(1+L2²) at norms ~100
+    lives below 1e-4, where the round-6 quantum reorders true neighbors
+    by id) — the reference's EUCLIDEAN/DOT_PRODUCT do no rounding."""
+    e = similarity_expr(metric, a, b)
+    return F.round(e, 6) if metric == "cosine" else e
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -105,8 +117,7 @@ def brute_force_topk(
     scored = vectors.join(F.broadcast(queries)).select(
         F.col(qid_col).alias("qid"),
         F.col(id_col),
-        F.round(similarity_expr(metric, F.col(qvec_col), F.col(vec_col)),
-                6).alias("score"),
+        _score_expr(metric, F.col(qvec_col), F.col(vec_col)).alias("score"),
     )
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
@@ -151,8 +162,7 @@ def exact_rerank(
     scored = cands.join(
         F.broadcast(queries.select(qid_col, qvec_col)), qid_col).select(
         qid_col, F.col(id_col),
-        F.round(similarity_expr(metric, F.col(qvec_col), F.col(vec_col)), 6)
-        .alias("score"))
+        _score_expr(metric, F.col(qvec_col), F.col(vec_col)).alias("score"))
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))

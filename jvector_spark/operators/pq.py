@@ -67,17 +67,21 @@ def save_codebooks(path: str, codebooks: np.ndarray,
     m, k, sub = codebooks.shape
     t = float("nan") if anisotropic_threshold is None else float(
         anisotropic_threshold)
+    # validate BEFORE opening the tmp file: a failed save must be
+    # side-effect-free (no stale .tmp left beside the store)
+    c = None
+    if global_centroid is not None:
+        c = np.ascontiguousarray(global_centroid, dtype="<f8").ravel()
+        if c.size != m * sub:
+            raise ValueError(
+                f"centroid dim {c.size} != codebook dim {m * sub}")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(struct.pack("<IIIII", PQ_MAGIC, PQ_FORMAT_VERSION, m, k, sub))
         f.write(struct.pack("<d", t))
-        if global_centroid is None:
+        if c is None:
             f.write(struct.pack("<I", 0))
         else:
-            c = np.ascontiguousarray(global_centroid, dtype="<f8").ravel()
-            if c.size != m * sub:
-                raise ValueError(
-                    f"centroid dim {c.size} != codebook dim {m * sub}")
             f.write(struct.pack("<I", c.size))
             f.write(c.tobytes())
         f.write(np.ascontiguousarray(codebooks, dtype="<f8").tobytes())
@@ -86,6 +90,12 @@ def save_codebooks(path: str, codebooks: np.ndarray,
 
 def load_codebooks(path: str, return_threshold: bool = False,
                    return_centroid: bool = False):
+    """Load codebooks; with the flags, also the persisted encode
+    parameters. A file that CARRIES a threshold/centroid refuses the
+    bare-books call for the corresponding field: those parameters change
+    code semantics (pq_encode in the wrong frame / wrong objective
+    silently mis-encodes), so a caller about to drop them must say so
+    explicitly by passing the flag."""
     with open(path, "rb") as f:
         magic, ver, m, k, sub = struct.unpack("<IIIII", f.read(20))
         if magic != PQ_MAGIC:
@@ -100,10 +110,24 @@ def load_codebooks(path: str, return_threshold: bool = False,
         if ver >= 3:
             (clen,) = struct.unpack("<I", f.read(4))
             if clen:
+                if clen != m * sub:
+                    # symmetric with the write-side check: a short
+                    # centroid would numpy-broadcast in pq_encode and
+                    # silently mis-center every vector
+                    raise ValueError(
+                        f"centroid dim {clen} != codebook dim {m * sub}")
                 centroid = np.frombuffer(f.read(8 * clen), dtype="<f8").copy()
         data = np.frombuffer(f.read(), dtype="<f8")
     if data.size != m * k * sub:
         raise ValueError("codebook file truncated")
+    if thr is not None and not return_threshold:
+        raise ValueError(
+            "codebook file carries anisotropic_threshold; load with "
+            "return_threshold=True (it must be passed to pq_encode)")
+    if centroid is not None and not return_centroid:
+        raise ValueError(
+            "codebook file carries global_centroid; load with "
+            "return_centroid=True (it must be passed to pq_encode)")
     books = data.reshape(m, k, sub).copy()
     out = (books,)
     if return_threshold:
@@ -300,14 +324,17 @@ def _encode_anisotropic(X: np.ndarray, books: np.ndarray,
         return np.empty((0, m), dtype=np.uint8)
     xn_full = np.maximum((X * X).sum(1), 1e-30)        # ‖x‖² (n,)
     cN = (books * books).sum(2)                        # (m, k)
-    cDotX = np.empty((n, m, k))
-    xN = np.empty((n, m))
+    # build rN/p per subspace so only these two (n,m,k) tensors are ever
+    # resident (cDotX is p + xN — materializing it too would add 50% to
+    # the peak, ~160 MB per 10k-row Arrow batch at m=8/k=256)
+    rN = np.empty((n, m, k))                           # ‖rᵢ(j)‖²
+    p = np.empty((n, m, k))                            # pᵢ(j), signed
     for s in range(m):
         Xs = X[:, s * sub : (s + 1) * sub]
-        cDotX[:, s, :] = Xs @ books[s].T
-        xN[:, s] = (Xs * Xs).sum(1)
-    rN = cN[None, :, :] - 2.0 * cDotX + xN[:, :, None]  # ‖rᵢ(j)‖² (n,m,k)
-    p = cDotX - xN[:, :, None]                          # pᵢ(j) (n,m,k)
+        cd = Xs @ books[s].T                           # (n, k) temp
+        xn_s = (Xs * Xs).sum(1)[:, None]
+        rN[:, s, :] = cN[s][None, :] - 2.0 * cd + xn_s
+        p[:, s, :] = cd - xn_s
     codes = rN.argmin(2)                                # (n, m) intp
     lam = (pcm - 1.0) / xn_full                         # (n,)
     rows = np.arange(n)

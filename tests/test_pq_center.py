@@ -116,3 +116,41 @@ def test_codebook_version3_roundtrip(tmp_path):
     got, thr, c = load_codebooks(legacy, return_threshold=True,
                                  return_centroid=True)
     assert thr is None and c is None and (got == books).all()
+
+
+def test_loader_refuses_to_drop_encode_parameters(tmp_path):
+    """A file carrying a threshold/centroid refuses the bare-books load:
+    silently discarding either would make pq_encode mis-encode (wrong
+    frame / wrong objective) with no error."""
+    import struct
+    books = np.zeros((2, 4, 3))
+    cent = np.ones(6)
+    p = str(tmp_path / "g.pq")
+    save_codebooks(p, books, global_centroid=cent)
+    with pytest.raises(ValueError, match="carries global_centroid"):
+        load_codebooks(p)
+    with pytest.raises(ValueError, match="carries global_centroid"):
+        load_codebooks(p, return_threshold=True)
+    save_codebooks(p, books, anisotropic_threshold=0.2)
+    with pytest.raises(ValueError, match="carries anisotropic_threshold"):
+        load_codebooks(p, return_centroid=True)
+    # plain files keep the ergonomic bare return
+    save_codebooks(p, books)
+    assert (load_codebooks(p) == books).all()
+    # a corrupt/foreign short centroid is rejected instead of
+    # numpy-broadcasting into silently wrong codes
+    bad = str(tmp_path / "bad.pq")
+    with open(bad, "wb") as f:
+        f.write(struct.pack("<IIIII", 0x4A565051, 3, 2, 4, 3))
+        f.write(struct.pack("<d", float("nan")))
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack("<d", 5.0))
+        f.write(books.astype("<f8").tobytes())
+    with pytest.raises(ValueError, match="centroid dim 1"):
+        load_codebooks(bad, return_centroid=True)
+    # failed save (bad centroid dim) leaves no stale .tmp behind
+    target = str(tmp_path / "clean.pq")
+    with pytest.raises(ValueError, match="centroid dim"):
+        save_codebooks(target, books, global_centroid=np.zeros(5))
+    import os
+    assert not os.path.exists(target + ".tmp")

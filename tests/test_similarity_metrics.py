@@ -37,10 +37,14 @@ def data(spark):
 
 
 def _numpy_scores(metric, Q, X):
+    """Twin of ann._score_expr: cosine carries the round-6 oracle
+    contract; euclidean/dot_product stay full double (rounding would
+    collapse 1/(1+L2²) neighbors into id-ordered ties at realistic
+    norms)."""
     if metric == "cosine":
         qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        return qn @ xn.T
+        return np.round(qn @ xn.T, 6)
     if metric == "euclidean":
         d2 = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
         return 1.0 / (1.0 + d2)
@@ -53,7 +57,7 @@ def _numpy_scores(metric, Q, X):
 def test_brute_force_matches_numpy_oracle(data, metric):
     df, qdf, X, Q = data
     res = brute_force_topk(df, qdf, k=7, metric=metric).toPandas()
-    sims = np.round(_numpy_scores(metric, Q, X), 6)
+    sims = _numpy_scores(metric, Q, X)
     for q in range(5):
         order = np.lexsort((np.arange(len(X)), -sims[q]))[:7]
         got = res[res.qid == q].sort_values("rank")
@@ -72,9 +76,37 @@ def test_metrics_rank_differently_on_unnormalized_data(data):
     assert len(set(tops.values())) == 3, tops
 
 
+def test_euclidean_not_rounded_to_id_order(spark):
+    """Large-norm regression for the precision contract: at norms ~100,
+    1/(1+L2²) scores differ below 1e-6 — a round-6 score would tie them
+    and return id-ascending instead of true-nearest."""
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    # distances ~140 from the query, DECREASING with id by 0.01 per step:
+    # scores 1/(1+d²) ≈ 5.1e-5 with adjacent differences ~7e-12 — far
+    # below a round-6 quantum, which would tie ALL of them and return
+    # id-ASCENDING order; the true nearest order is id-descending. The
+    # 0.01 step also dominates float32 coordinate noise (~0.045 in d²
+    # vs 2.8 per step).
+    X = np.stack([base * (140.0 - 0.01 * i) for i in range(50)])
+    q = np.zeros(16, dtype=np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [r.astype(np.float32) for r in X],
+    }))
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "qid": [0], "qvec": [q]}))
+    res = brute_force_topk(df, qdf, k=5, metric="euclidean").toPandas()
+    got = res.sort_values("rank")["vec_id"].tolist()
+    assert got == [49, 48, 47, 46, 45], got
+    s = res.sort_values("rank")["score"].to_numpy()
+    assert (np.diff(s) < 0).all(), s
+
+
 def test_threshold_composes_with_metric(data):
     df, qdf, X, Q = data
-    sims = np.round(_numpy_scores("euclidean", Q, X), 6)
+    sims = _numpy_scores("euclidean", Q, X)
     floor = float(np.quantile(sims, 0.999))
     res = brute_force_threshold(df, qdf, threshold=floor, k=50,
                                 metric="euclidean").toPandas()
