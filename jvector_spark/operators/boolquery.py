@@ -358,7 +358,7 @@ def boolean_search_index(
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     idfs = idf_map(n_docs, global_term_stats(spark, index_dir, pos_terms)
                    if pos_terms else {})
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     if not seg_paths:
         return empty_topk(spark, "score", merge)
 

@@ -72,7 +72,7 @@ def facet_counts(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     schema = "qid long, facet string, n_docs long"
     if not seg_paths:
         return spark.createDataFrame([], schema)
@@ -153,7 +153,7 @@ def collapse_topk(
     all_t = sorted({t for ts in qterms.values() for t in ts})
     idfs = idf_map(n_docs, global_term_stats(spark, index_dir, all_t)
                    if all_t else {})
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     schema = "qid long, grp string, docid long, score double"
     if not seg_paths:
         return spark.createDataFrame([], schema)
@@ -336,7 +336,7 @@ def sorted_search(
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
     ks = {int(r.qid): int(r.k) for r in queries.itertuples()}
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     if not seg_paths:
         return empty_topk(spark, "sort_key", merge)
     sc = spark.sparkContext
@@ -415,7 +415,7 @@ def attr_stats(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     schema = ("qid long, n_docs long, min_attr long, max_attr long, "
               "sum_attr long")
     if not seg_paths:
@@ -493,7 +493,7 @@ def attr_histogram(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     schema = "qid long, bin long, n_docs long"
     if not seg_paths:
         return spark.createDataFrame([], schema)
@@ -562,7 +562,7 @@ def match_export(
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
     qterms = {int(r.qid): sorted(set(r.terms)) for r in queries.itertuples()}
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     schema = "qid long, docid long"
     if not seg_paths:
         return spark.createDataFrame([], schema)

@@ -102,8 +102,11 @@ def _prune_candidate_block(V: np.ndarray, cand: np.ndarray, cs: np.ndarray,
     b, M = cand.shape
     d_p = np.sqrt(np.maximum(2.0 - 2.0 * cs, 0.0))
     out: list[list[int]] = []
-    # sub-chunk so the (pb, M, d) gather stays under ~64 MiB at any dim
-    pb = max(1, int((1 << 26) / max(1, M * V.shape[1] * 8)))
+    # sub-chunk so the LARGER of the (pb, M, d) gather and the (pb, M, M)
+    # pairwise tensor stays under ~64 MiB (at low dim M > d and the
+    # pairwise tensor dominates — bounding only the gather would blow the
+    # budget by M/d there)
+    pb = max(1, int((1 << 26) / max(1, M * max(V.shape[1], M) * 8)))
     for lo in range(0, b, pb):
         hi = min(lo + pb, b)
         Vc = V[cand[lo:hi]]                      # (pb, M, d)
@@ -360,8 +363,10 @@ def build_graph_index(
             # the generation they were built from and refuse to serve a
             # newer graph (quantize_graph_vectors / graph_topk_nvq)
             "mutation_gen": 0}
-    with open(os.path.join(path, GRAPH_META), "w") as f:
-        json.dump(meta, f)
+    # same tmp+rename discipline as every later save: a crash/ENOSPC
+    # mid-dump must not leave a truncated meta that makes the freshly
+    # built (data-complete) index unreadable
+    _save_graph_meta(path, meta)
     return meta
 
 
@@ -453,6 +458,23 @@ def _prune_from_scores(V: np.ndarray, s: np.ndarray, mask: np.ndarray,
 # --------------------------------------------------------------------------
 
 GRAPH_TOMBSTONES = "_tombstones"
+
+
+def _read_graph_rows(spark, path: str, id_col: str, vec_col: str):
+    """spark.read.parquet over the graph layout, surviving the
+    every-cluster-purged state: a purge that tombstones the last live row
+    of EVERY cell drops all cluster=N dirs, after which a bare read of
+    the remaining meta/tombstone sidecars dies in parquet schema
+    inference (UNABLE_TO_INFER_SCHEMA) — wedging every later search,
+    insert, and even the retry of the purge itself. Return a
+    correctly-typed empty frame instead, so an emptied index stays a
+    working (0-row) index."""
+    import glob
+    if not glob.glob(os.path.join(path, "cluster=*")):
+        return spark.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<float>, "
+                "neighbors array<long>, is_medoid boolean, cluster int")
+    return spark.read.parquet(path)
 
 
 def _recover_asides(path: str) -> None:
@@ -618,7 +640,8 @@ def _insert_into_graph_cached(spark, path: str, assigned: DataFrame,
         raise ValueError("insert_into_graph: duplicate ids within the "
                          "insert batch")
     n_dup = assigned.select(id_col).join(
-        assigned.sparkSession.read.parquet(path).select(id_col),
+        _read_graph_rows(assigned.sparkSession, path, id_col,
+                         vec_col).select(id_col),
         id_col, "left_semi").count()
     if n_dup:
         raise ValueError(
@@ -629,7 +652,7 @@ def _insert_into_graph_cached(spark, path: str, assigned: DataFrame,
                       assigned.select("cluster").distinct().collect())
     if not affected:
         return meta
-    existing = (spark.read.parquet(path)
+    existing = (_read_graph_rows(spark, path, id_col, vec_col)
                 .where(F.col("cluster").isin(affected))
                 .select(id_col, vec_col, "neighbors", "is_medoid", "cluster",
                         F.lit(False).alias("_new")))
@@ -707,7 +730,7 @@ def _insert_into_graph_cached(spark, path: str, assigned: DataFrame,
                 mutation_gen=int(meta.get("mutation_gen", 0)) + 1)
     _save_graph_meta(path, meta)
     _rewrite_partitions(merged, path, affected)
-    rows = (spark.read.parquet(path)
+    rows = (_read_graph_rows(spark, path, id_col, vec_col)
             .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
             .select("cluster", id_col).collect())
     for r in rows:
@@ -732,7 +755,7 @@ def purge_deleted_graph(spark, path: str) -> dict:
     tomb = load_graph_tombstones(spark, path, id_col)
     if tomb is None:
         return meta
-    corpus = spark.read.parquet(path)
+    corpus = _read_graph_rows(spark, path, id_col, vec_col)
     affected = sorted(int(r[0]) for r in corpus
                       .join(tomb, id_col, "left_semi")
                       .select("cluster").distinct().collect())
@@ -746,7 +769,8 @@ def purge_deleted_graph(spark, path: str) -> dict:
         # meta. (Searches also tolerate a stale entry via the in-task
         # medoid fallback; this repairs the metadata itself.)
         got = {int(r["cluster"]): int(r[id_col]) for r in
-               spark.read.parquet(path).where(F.col("is_medoid"))
+               _read_graph_rows(spark, path, id_col, vec_col)
+               .where(F.col("is_medoid"))
                .select("cluster", id_col).collect()}
         if got != meta["medoids"]:
             meta["medoids"] = got
@@ -827,7 +851,7 @@ def purge_deleted_graph(spark, path: str) -> dict:
     meta["mutation_gen"] = int(meta.get("mutation_gen", 0)) + 1
     _save_graph_meta(path, meta)
     _rewrite_partitions(repaired, path, affected)
-    rows = (spark.read.parquet(path)
+    rows = (_read_graph_rows(spark, path, id_col, vec_col)
             .where(F.col("cluster").isin(affected) & F.col("is_medoid"))
             .select("cluster", id_col).collect())
     got = {int(r["cluster"]): int(r[id_col]) for r in rows}
@@ -866,7 +890,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
     if not inserted:
         return meta
     sizes = {int(r[0]): int(r[1]) for r in
-             spark.read.parquet(path)
+             _read_graph_rows(spark, path, id_col, vec_col)
              .where(F.col("cluster").isin(sorted(inserted)))
              .groupBy("cluster").count().collect()}
     # counters for clusters purged to zero rows are dead — drop them so
@@ -877,7 +901,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
     dirty = sorted(c for c, k in inserted.items()
                    if k / sizes[c] > max_dirty)
     if dirty:
-        sub = (spark.read.parquet(path)
+        sub = (_read_graph_rows(spark, path, id_col, vec_col)
                .where(F.col("cluster").isin(dirty))
                .select(id_col, vec_col, "cluster"))
         out_schema = (f"{id_col} long, {vec_col} array<float>, "
@@ -908,7 +932,7 @@ def optimize_graph(spark, path: str, max_dirty: float = 0.25) -> dict:
         _rewrite_partitions(
             sub.groupBy("cluster").applyInPandas(rebuild, out_schema),
             path, dirty)
-        rows = (spark.read.parquet(path)
+        rows = (_read_graph_rows(spark, path, id_col, vec_col)
                 .where(F.col("cluster").isin(dirty) & F.col("is_medoid"))
                 .select("cluster", id_col).collect())
         for r in rows:
@@ -1184,13 +1208,15 @@ def quantize_graph_vectors(spark, path: str) -> str:
             "dq_norm": np.sqrt((dq * dq).sum(axis=1)),
             "cluster": pdf["cluster"].to_numpy(np.int32),
         })
-    (spark.read.parquet(path)
+    (_read_graph_rows(spark, path, id_col, vec_col)
      .groupBy("cluster")
      .applyInPandas(enc, f"{id_col} long, codes binary, vmin double, "
                          "delta double, dq_norm double, cluster int")
      .write.mode("overwrite").partitionBy("cluster").parquet(codes_path))
-    with open(os.path.join(codes_path, "_CODES_META.json"), "w") as f:
+    tmp = os.path.join(codes_path, "_CODES_META.json.tmp")
+    with open(tmp, "w") as f:
         json.dump({"mutation_gen": int(meta.get("mutation_gen", 0))}, f)
+    os.replace(tmp, os.path.join(codes_path, "_CODES_META.json"))
     return codes_path
 
 
@@ -1245,10 +1271,20 @@ def graph_topk_nvq(
     medoids = meta["medoids"]
 
     # column-pruned graph scan: NO embedding column
-    graph_side = (spark.read.parquet(path)
+    graph_side = (_read_graph_rows(spark, path, id_col, vec_col)
                   .where(F.col("cluster").isin(probed))
                   .select(id_col, "neighbors", "is_medoid", "cluster"))
-    codes_side = (spark.read.parquet(codes_path)
+    import glob as _glob
+    if _glob.glob(os.path.join(codes_path, "cluster=*")):
+        codes_raw = spark.read.parquet(codes_path)
+    else:
+        # codes sidecar rebuilt over an every-cluster-purged graph: no
+        # partition dirs to infer a schema from (same hazard as
+        # _read_graph_rows) — an empty typed frame keeps the join valid
+        codes_raw = spark.createDataFrame(
+            [], f"{id_col} long, codes binary, vmin double, delta double, "
+                "dq_norm double, cluster int")
+    codes_side = (codes_raw
                   .where(F.col("cluster").isin(probed))
                   .select(id_col, "codes", "vmin", "delta", "dq_norm"))
     corpus = _flag_tombstones(spark, graph_side.join(codes_side, id_col),
@@ -1429,7 +1465,8 @@ def graph_topk(
 
     corpus = _flag_tombstones(
         spark,
-        spark.read.parquet(path).where(F.col("cluster").isin(probed)),
+        _read_graph_rows(spark, path, id_col, vec_col)
+        .where(F.col("cluster").isin(probed)),
         path, id_col)
     out_schema = f"qid long, {id_col} long, {vec_col} array<float>"
 

@@ -133,7 +133,7 @@ def phrase_search(
     mode = manifest["tokenizer_mode"]
     qp = queries.copy()
     qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     sc = spark.sparkContext
     b_q = sc.broadcast(qp[["qid", "terms", "k"]])
     paths_df = scatter_paths(spark, seg_paths, num_tasks)

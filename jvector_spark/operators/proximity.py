@@ -128,7 +128,7 @@ def proximity_search(
         raise ValueError(
             "index was built without positions=True — proximity queries "
             "need the positional payload stream")
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     sc = spark.sparkContext
     b_q = sc.broadcast(queries[["qid", "terms", "window", "k"]])
     paths_df = scatter_paths(spark, seg_paths, num_tasks)

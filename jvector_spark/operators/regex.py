@@ -224,7 +224,7 @@ def regex_token_topk(
 
     if not seg_paths:  # valid empty index
         return empty_topk(spark, "n_occ", merge)
-    tomb_view = tombstone_view(index_dir)
+    tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     sc = spark.sparkContext
     b_q = sc.broadcast(
         [(int(q.qid), expansions[int(q.qid)], int(q.k))

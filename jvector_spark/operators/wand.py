@@ -800,7 +800,7 @@ def search_index(
     # per-segment tombstone resolution: small delete lists ship inline in
     # the view; large ones resolve segment-side from parquet shards — the
     # driver never materializes (nor broadcasts) an unbounded delete list
-    tomb = tombstone_view(index_dir)
+    tomb = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
 
     if not seg_paths:  # zero-segment index (everything-compacted) is valid
         return empty_topk(spark, "score", merge)
@@ -856,7 +856,9 @@ def explain_score(
     if seg is None:
         raise KeyError(f"docid {docid} not in any segment of {index_dir}")
     # one segment's shard, not the global delete list
-    if docid in tombstone_view(index_dir).for_segment(seg["path"]):
+    if docid in tombstone_view(
+            index_dir, epoch=manifest.get("docid_epoch", 0)).for_segment(
+            seg["path"]):
         return {"docid": docid, "deleted": True, "terms": {}, "total": 0.0}
     reader = SegmentReader(seg["path"])
     uniq = sorted({t for t in terms})

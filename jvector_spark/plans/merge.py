@@ -188,10 +188,16 @@ def _read_raw_tombstones(index_dir: str) -> tuple[int, set[int]]:
     return int(data.get("docid_epoch", 0)), set(data["docids"])
 
 
-def load_tombstones(index_dir: str) -> list[int]:
-    epoch, docids = _read_raw_tombstones(index_dir)
-    if epoch != _manifest_epoch(index_dir):
-        return []  # stale epoch: docids renumbered since these were marked
+def load_tombstones(index_dir: str, epoch: int | None = None) -> list[int]:
+    """Deletes scoped to one docid numbering. `epoch` is the CALLER's
+    manifest-snapshot epoch; omitting it re-reads the live manifest,
+    which is only safe when no compaction can flip between the caller's
+    segment-list read and this call (see tombstone_view)."""
+    if epoch is None:
+        epoch = _manifest_epoch(index_dir)
+    jepoch, docids = _read_raw_tombstones(index_dir)
+    if jepoch != epoch:
+        return []  # different numbering than the caller's snapshot
     return sorted(docids)
 
 
@@ -296,16 +302,21 @@ def sync_tombstone_shards(index_dir: str) -> None:
     os.replace(meta + ".tmp", meta)
 
 
+def _read_shard_file(path: str) -> np.ndarray:
+    """One shard file's docids (sorted int64); missing file = no deletes."""
+    if not os.path.exists(path):
+        return _EMPTY_TOMB
+    return pq.read_table(path, columns=["docid"])["docid"].to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def load_segment_tombstones(
     index_dir: str, epoch: int, seg_path: str
 ) -> np.ndarray:
     """Executor-side: this segment's tombstoned docids (sorted int64).
     Missing shard file = no deletes in this segment."""
-    path = os.path.join(_shard_dir(index_dir, epoch), _shard_name(seg_path))
-    if not os.path.exists(path):
-        return _EMPTY_TOMB
-    return pq.read_table(path, columns=["docid"])["docid"].to_numpy(
-        zero_copy_only=False).astype(np.int64, copy=False)
+    return _read_shard_file(
+        os.path.join(_shard_dir(index_dir, epoch), _shard_name(seg_path)))
 
 
 class TombstoneView:
@@ -337,6 +348,7 @@ class TombstoneView:
 def tombstone_view(
     index_dir: str,
     inline_max_bytes: int | None = None,
+    epoch: int | None = None,
 ) -> TombstoneView:
     """Build the read-path view WITHOUT materializing a large journal on
     the driver: journals at/below `inline_max_bytes` parse and ship
@@ -344,15 +356,26 @@ def tombstone_view(
     (journal size+mtime recorded at the last shard sync). A stamp
     mismatch — possible only in the crash window between a journal write
     and its shard sync — falls back to parsing the journal, trading
-    driver memory for correctness."""
+    driver memory for correctness.
+
+    `epoch` MUST be the docid_epoch of the manifest snapshot whose
+    segments the caller is about to score (search paths pass
+    manifest["docid_epoch"]): re-reading the live manifest here instead
+    would race a concurrent compact_in_place flip — a flip landing
+    between the caller's segment-list read and this call makes the
+    journal's epoch look stale (or carries NEW-epoch docids) while the
+    caller still scores the OLD segments, transiently resurrecting
+    deleted docs. None re-reads the live manifest, acceptable only for
+    mutators serialized against compaction."""
     if inline_max_bytes is None:  # late bind: tests monkeypatch the module
         inline_max_bytes = TOMBSTONE_INLINE_MAX_BYTES
-    epoch = _manifest_epoch(index_dir)
+    if epoch is None:
+        epoch = _manifest_epoch(index_dir)
     stamp = _journal_stamp(index_dir)
     if stamp is None or stamp[0] <= inline_max_bytes:
         return TombstoneView(
             index_dir, epoch,
-            np.array(load_tombstones(index_dir), dtype=np.int64))
+            np.array(load_tombstones(index_dir, epoch), dtype=np.int64))
     meta_path = os.path.join(_shard_dir(index_dir, epoch), "_META.json")
     try:
         with open(meta_path) as f:
@@ -366,7 +389,7 @@ def tombstone_view(
         # pre-shard index with a huge journal): correctness over memory
         return TombstoneView(
             index_dir, epoch,
-            np.array(load_tombstones(index_dir), dtype=np.int64))
+            np.array(load_tombstones(index_dir, epoch), dtype=np.int64))
     return TombstoneView(index_dir, epoch, None)
 
 
@@ -556,6 +579,24 @@ def compact_in_place(
     # the file under the NEW epoch before pre-flip late deletes are
     # translated, dropping them — either way silently resurrecting docs.
     tomb = os.path.join(index_dir, TOMBSTONES_FILE)
+    try:
+        _flip_and_carry_over(index_dir, gen, manifest, mode, old_epoch,
+                             snap_epoch, snap, tomb)
+    finally:
+        # the lease must die on EVERY exit: a failure inside the flip /
+        # carry-over section would otherwise leave a dead lease whose
+        # start-time floor blocks vacuum of everything newer than the
+        # compaction start (including the orphaned gen dir) until the
+        # 1h lease timeout
+        release_lease(lease)
+    if vacuum_after:
+        vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
+    return manifest
+
+
+def _flip_and_carry_over(index_dir, gen, manifest, mode, old_epoch,
+                         snap_epoch, snap, tomb) -> None:
+    from jvector_spark.sources.segment import write_index_manifest
     with _tombstone_lock(index_dir):
         # flip the PARENT manifest to the new generation's segments (paths
         # are absolute). The epoch bump makes the flip atomic w.r.t.
@@ -596,10 +637,6 @@ def compact_in_place(
         # project carried-over deletes into the NEW epoch's shard tree
         # (old epoch dirs stay for in-flight pre-flip readers; vacuum GCs)
         sync_tombstone_shards(index_dir)
-    release_lease(lease)  # manifest flipped: the gen dir is now live
-    if vacuum_after:
-        vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
-    return manifest
 
 
 def vacuum_index(index_dir: str, dry_run: bool = False,
@@ -728,15 +765,40 @@ def compact_index(
     # materializes on the driver — seg_live counts come from the shard
     # files' parquet FOOTERS (num_rows, metadata-only reads) and each
     # merge task reads its own segments' shards
-    tv = tombstone_view(index_dir)
+    tv = tombstone_view(index_dir,
+                        epoch=manifest.get("docid_epoch", 0))
     sharded_tomb = tv.inline is None
+    tomb_snap_dir = None
     if sharded_tomb:
         tomb_u = _EMPTY_TOMB
         shard_epoch = tv.epoch
+        # Pin the EXACT shard bytes the live counts are computed from:
+        # a concurrent mark_deleted (in-contract — the serve 'delete' op)
+        # rewrites shard files via os.replace, and a merge task
+        # re-reading the LIVE shard would purge more rows than the
+        # driver's offset accounting assumed, leaving gaps between output
+        # segments' docid ranges (breaking the dense-renumbering
+        # contract the metadata-only live-count math relies on). The
+        # inline regime is immune (one driver snapshot); here we hardlink
+        # the current shard inodes into the output gen dir (same
+        # filesystem for in-place compaction: zero copy; cross-fs falls
+        # back to a bounded copy) and BOTH the counts and the tasks read
+        # the snapshot. Deletes acked mid-compaction stay journaled and
+        # are carried over by compact_in_place's epoch translation.
+        tomb_snap_dir = os.path.join(out_dir, "_tombstone_snapshot")
+        os.makedirs(tomb_snap_dir, exist_ok=True)
+        for s in segs:
+            src = os.path.join(_shard_dir(index_dir, shard_epoch),
+                               _shard_name(s["path"]))
+            if os.path.exists(src):
+                dst = os.path.join(tomb_snap_dir, _shard_name(s["path"]))
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
 
         def seg_tomb_count(s: dict) -> int:
-            p = os.path.join(_shard_dir(index_dir, shard_epoch),
-                             _shard_name(s["path"]))
+            p = os.path.join(tomb_snap_dir, _shard_name(s["path"]))
             if not os.path.exists(p):
                 return 0
             return int(pq.ParquetFile(p).metadata.num_rows)
@@ -816,8 +878,12 @@ def compact_index(
                 paths = json.loads(row.paths)
                 tomb_task = b_tomb.value
                 if sharded_tomb:
-                    shards = [load_segment_tombstones(
-                        index_dir, shard_epoch, p) for p in paths]
+                    # read the pinned snapshot, NOT the live shard tree —
+                    # count/purge consistency (see the snapshot comment
+                    # at seg_tomb_count)
+                    shards = [_read_shard_file(
+                        os.path.join(tomb_snap_dir, _shard_name(p)))
+                        for p in paths]
                     shards = [a for a in shards if len(a)]
                     if shards:
                         tomb_task = np.unique(np.concatenate(shards))
@@ -843,6 +909,10 @@ def compact_index(
 
     out_manifest = tasks_df.mapInPandas(run, MANIFEST_SCHEMA).toPandas()
     out_manifest = out_manifest.sort_values("min_docid").reset_index(drop=True)
+    if tomb_snap_dir is not None:
+        # the pinned snapshot served its purpose once every merge task
+        # has read it; don't ship it inside the new live generation
+        shutil.rmtree(tomb_snap_dir, ignore_errors=True)
     write_index_manifest(out_dir, out_manifest, mode)
     return out_manifest
 

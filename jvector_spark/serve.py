@@ -149,11 +149,17 @@ class VectorPool:
                 + (self._delta.astype(np.float64) ** 2)
                 * (self._codes.astype(np.float64) ** 2).sum(axis=1)
             )
-            self.norms = np.sqrt(dq_norm_sq)
+            self.norms = np.maximum(np.sqrt(dq_norm_sq), 1e-12)
             self.mat = None
         else:
             self.mat = mat
-            self.norms = np.sqrt((mat * mat).sum(axis=1))
+            # clamp like graph._normalize / nvq dq_norm: an all-zero
+            # embedding (padding/missing row) must score 0, not NaN — a
+            # NaN in the beam's held-heap disables the ef termination
+            # floor (every comparison is False) and poisons the
+            # TwoPhaseTracker statistics
+            self.norms = np.maximum(
+                np.sqrt((mat * mat).sum(axis=1)), 1e-12)
         # optional IVF tier (the reference's approximate-then-exact core:
         # probe nearest centroid cells, exact-rerank their members) — at
         # shard scale the matmul touches nprobe/n_clusters of the matrix.
@@ -384,6 +390,10 @@ class VectorPool:
         surface (GraphSearcher.java:192-195) — up to k results with
         score >= threshold; with a graph-enabled pool the beam also gets
         the TwoPhaseTracker probabilistic stop (operators/graph.py)."""
+        if nprobe is not None and nprobe < 1:
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+        if ef is not None and ef < 1:
+            raise ValueError(f"ef must be >= 1, got {ef}")
         q = np.asarray(qvecs, dtype=np.float64)
         qn = np.maximum(np.sqrt((q * q).sum(axis=1)), 1e-12)
         outs = []
@@ -508,10 +518,20 @@ class IndexServer:
         readers/caches; the df memo is generation-scoped too."""
         mtime = os.path.getmtime(os.path.join(self.index_dir, "manifest.json"))
         if mtime != self._manifest_mtime:
-            self._load_manifest()
-            self.pool.reset()
-            self._df_memo.clear()
-            self._result_cache.clear()
+            self._refresh_unconditionally()
+
+    def _refresh_unconditionally(self) -> None:
+        """Reload + drop pooled readers/caches WITHOUT the mtime gate.
+        Mutations this session performed itself (write/bulkload/optimize/
+        replace) must call this, not _refresh_if_stale: on a coarse-mtime
+        filesystem (the 1s-granularity hazard delete() and the cursor
+        stamps already defend against) a manifest rewritten within the
+        same tick looks unchanged, and the mtime-gated path would keep
+        serving the pre-mutation manifest, pool, and result cache."""
+        self._load_manifest()
+        self.pool.reset()
+        self._df_memo.clear()
+        self._result_cache.clear()
 
     def _tomb_stamp(self) -> float:
         """Tombstone-file mtime — part of every result-cache key, so a
@@ -558,7 +578,8 @@ class IndexServer:
         if self.mode == "spark":
             return phrase_search(self.spark, self.index_dir, queries,
                                  merge="driver")
-        tomb_view = tombstone_view(self.index_dir)
+        tomb_view = tombstone_view(
+            self.index_dir, epoch=self.manifest.get("docid_epoch", 0))
         mode = self.manifest["tokenizer_mode"]
         qp = queries.copy()
         qp["terms"] = tokenize_series(qp["phrase"].astype(str), mode)
@@ -613,10 +634,9 @@ class IndexServer:
         out = replace_docs(
             self.spark, self.index_dir,
             self.spark.createDataFrame(pd.DataFrame(docs)), **kw)
-        self._result_cache.clear()
         self._mutation_gen += 1
         self._manifest_gen += 1
-        self._refresh_if_stale()
+        self._refresh_unconditionally()
         return out
 
     def create(self, index_dir: str | None = None, mode: str = "code",
@@ -663,7 +683,7 @@ class IndexServer:
             positions=cfg["has_positions"])
         self._mutation_gen += 1
         self._manifest_gen += 1
-        self._refresh_if_stale()
+        self._refresh_unconditionally()
         return {"n_docs": int(self.manifest["n_docs"]),
                 "written": int(self.manifest["n_docs"]) - before,
                 "n_segments": len(self.manifest["segments"])}
@@ -694,23 +714,31 @@ class IndexServer:
             assume_partitioned=True)
         self._mutation_gen += 1
         self._manifest_gen += 1
-        self._refresh_if_stale()
+        self._refresh_unconditionally()
         return {"n_docs": int(self.manifest["n_docs"]),
                 "n_segments": len(self.manifest["segments"])}
 
-    def optimize(self) -> dict:
+    def optimize(self, vacuum_min_age_sec: float = 600.0) -> dict:
         """Refine the session's index in place — the protocol's OPTIMIZE
         (IPCService.java:84 'run once finished writing'): micro-segments
         fold, codecs upgrade, block metadata refreshes; the atomic
-        generation flip means searches keep serving throughout."""
+        generation flip means searches keep serving throughout.
+
+        `vacuum_min_age_sec` keeps optimize_index's reader grace period:
+        the module explicitly supports other PROCESSES serving the same
+        index (a delete by any process invalidates caches), and an
+        immediate vacuum (0.0) would rmtree superseded segment dirs out
+        from under a peer mid-request on its pre-flip manifest snapshot.
+        Pass 0.0 only when this session is provably the only reader."""
         from jvector_spark.plans.merge import optimize_index
 
         self.requests_served += 1
         before = len(self.manifest["segments"])
-        optimize_index(self.spark, self.index_dir, vacuum_min_age_sec=0.0)
+        optimize_index(self.spark, self.index_dir,
+                       vacuum_min_age_sec=vacuum_min_age_sec)
         self._mutation_gen += 1
         self._manifest_gen += 1
-        self._refresh_if_stale()
+        self._refresh_unconditionally()
         return {"segments_before": before,
                 "n_segments": len(self.manifest["segments"]),
                 "n_docs": int(self.manifest["n_docs"])}
@@ -813,7 +841,8 @@ class IndexServer:
         seg_paths = [s["path"] for s in self.manifest["segments"]]
         all_terms = sorted({t for ts in queries["terms"] for t in ts})
         idfs = self._idfs(all_terms)
-        tomb = tombstone_view(self.index_dir)
+        tomb = tombstone_view(
+            self.index_dir, epoch=self.manifest.get("docid_epoch", 0))
         out = search_partition(
             seg_paths, queries[["qid", "terms", "k"]], idfs,
             self.manifest["avgdl"], tomb, doc_filter, min_score,
@@ -1057,12 +1086,16 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
                 res = server.phrase(pd.DataFrame(req["queries"]))
                 resp = {"ok": True, "results": res.to_dict("records")}
             elif op == "knn":
+                # `is not None`, not falsy: nprobe=0 / ef=0 are invalid
+                # requests and must be rejected downstream, not silently
+                # aliased to the default (None = most-expensive full scan)
                 npb = req.get("nprobe")
                 efq = req.get("ef")
                 thr = req.get("threshold")
                 res = server.knn(req["queries"], k=int(req.get("k", 10)),
-                                 nprobe=int(npb) if npb else None,
-                                 ef=int(efq) if efq else None,
+                                 nprobe=(int(npb) if npb is not None
+                                         else None),
+                                 ef=int(efq) if efq is not None else None,
                                  threshold=(float(thr)
                                             if thr is not None else None))
                 resp = {"ok": True, "results": res.to_dict("records")}

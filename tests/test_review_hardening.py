@@ -1,0 +1,159 @@
+"""Regressions for the round-5 adversarial-review findings: the
+every-cluster-purged graph state, tombstone-epoch snapshot threading,
+serve self-mutation refresh, zero-norm scoring, and protocol zero
+coercion."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------- graph ---
+
+def test_purge_all_clusters_keeps_index_usable(spark, tmp_path):
+    """Tombstoning EVERY row and purging drops all cluster dirs; the
+    index must stay a working 0-row index (search/optimize/insert), not
+    wedge on parquet schema inference (UNABLE_TO_INFER_SCHEMA)."""
+    from jvector_spark.operators.ann import train_centroids
+    from jvector_spark.operators.graph import (
+        build_graph_index, graph_topk, insert_into_graph,
+        mark_deleted_graph, optimize_graph, purge_deleted_graph)
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(120, 16)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64), "embedding": list(X)}))
+    d = str(tmp_path / "g")
+    cents = train_centroids(df, n_clusters=3, seed=1)
+    build_graph_index(df, d, cents)
+    mark_deleted_graph(spark, d, list(range(120)))
+    meta = purge_deleted_graph(spark, d)
+    assert meta["medoids"] == {}
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "qvec": [X[0]]}))
+    assert graph_topk(spark, d, q, cents, k=5).count() == 0
+    optimize_graph(spark, d)  # no-op, not a crash
+    # the emptied index accepts fresh inserts and serves them
+    newdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(500, 540, dtype=np.int64),
+        "embedding": list(X[:40])}))
+    insert_into_graph(spark, d, newdf, cents)
+    got = graph_topk(spark, d, q, cents, k=3).toPandas()
+    assert int(got.sort_values("rank")["vec_id"].iloc[0]) == 500
+
+
+def test_build_meta_write_is_atomic(spark, tmp_path, monkeypatch):
+    """A crash mid-meta-dump after the parquet layout committed must not
+    leave a truncated _GRAPH_META.json (the build now uses the same
+    tmp+rename discipline as every later save)."""
+    from jvector_spark.operators import graph as g
+    from jvector_spark.operators.ann import train_centroids
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(60, dtype=np.int64), "embedding": list(X)}))
+    d = str(tmp_path / "g2")
+    cents = train_centroids(df, n_clusters=2, seed=3)
+
+    real_replace = os.replace
+    def boom(src, dst):
+        if dst.endswith(g.GRAPH_META):
+            raise OSError("simulated crash at meta commit")
+        return real_replace(src, dst)
+    monkeypatch.setattr(g.os, "replace", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        g.build_graph_index(df, d, cents)
+    monkeypatch.undo()
+    # no truncated meta left: either absent (crash before commit) or valid
+    mp = os.path.join(d, g.GRAPH_META)
+    assert not os.path.exists(mp)
+    # and the tmp staging file is the only leftover, re-build succeeds
+    g.build_graph_index(df, d, cents)
+    assert json.load(open(mp))["mutation_gen"] == 0
+
+
+# ------------------------------------------------------------ tombstones ---
+
+def test_load_tombstones_respects_caller_epoch(tmp_path):
+    """tombstone_view/load_tombstones scope deletes to the CALLER's
+    manifest snapshot epoch: a compaction flip between the caller's
+    segment read and the tombstone read must not resurrect deletes
+    (old-epoch snapshot) nor apply new-numbering ids to old segments."""
+    from jvector_spark.plans.merge import (
+        TOMBSTONES_FILE, load_tombstones, tombstone_view)
+
+    d = str(tmp_path)
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"docid_epoch": 1, "segments": []}, f)
+    with open(os.path.join(d, TOMBSTONES_FILE), "w") as f:
+        json.dump({"docid_epoch": 0, "docids": [3, 7]}, f)
+    # a reader still holding the epoch-0 snapshot sees ITS deletes...
+    assert load_tombstones(d, epoch=0) == [3, 7]
+    assert list(tombstone_view(d, epoch=0).inline) == [3, 7]
+    # ...while an epoch-1 snapshot (post-flip numbering) ignores them
+    assert load_tombstones(d, epoch=1) == []
+    # default re-reads the live manifest (mutator-only path)
+    assert load_tombstones(d) == []
+
+
+# ----------------------------------------------------------------- serve ---
+
+def test_serve_mutations_refresh_unconditionally(spark, tmp_path,
+                                                 monkeypatch):
+    """write/bulkload/optimize/replace must reload manifest + reset pool
+    + clear caches even when the manifest mtime did not tick (coarse-
+    mtime filesystems) — the mtime-gated _refresh_if_stale is not enough
+    for the session's OWN mutations."""
+    from jvector_spark import serve as sv
+
+    d = str(tmp_path / "idx")
+    sv.create_index(d, mode="code")
+    server = sv.IndexServer(spark, d)
+    calls = {"n": 0}
+    real = sv.IndexServer._refresh_unconditionally
+    def spy(self):
+        calls["n"] += 1
+        return real(self)
+    monkeypatch.setattr(sv.IndexServer, "_refresh_unconditionally", spy)
+    # freeze the mtime gate shut: _refresh_if_stale must never fire
+    monkeypatch.setattr(sv.IndexServer, "_refresh_if_stale",
+                        lambda self: None)
+    server.write([{"repo": "r", "path": "p", "commit": "c",
+                   "lang": "py", "content": "import os"}])
+    assert calls["n"] == 1
+    assert int(server.manifest["n_docs"]) == 1  # visible despite the gate
+    server.optimize(vacuum_min_age_sec=600.0)
+    assert calls["n"] == 2
+    assert int(server.manifest["n_docs"]) == 1
+
+
+def test_vector_pool_zero_norm_scores_zero_not_nan(spark, tmp_path):
+    from jvector_spark.serve import VectorPool
+
+    X = np.vstack([np.zeros((1, 8), dtype=np.float32),
+                   np.eye(8, dtype=np.float32)[:4]])
+    p = str(tmp_path / "v.parquet")
+    pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64),
+                  "embedding": list(X)}).to_parquet(p)
+    pool = VectorPool(p)
+    res = pool.knn(np.eye(8, dtype=np.float64)[:1], k=5)
+    assert not res["score"].isna().any()
+    zero_row = res[res["vec_id"] == 0]
+    assert (zero_row["score"] == 0.0).all()
+
+
+def test_knn_rejects_zero_nprobe_and_ef(spark, tmp_path):
+    from jvector_spark.serve import VectorPool
+
+    X = np.eye(8, dtype=np.float32)[:4]
+    p = str(tmp_path / "v.parquet")
+    pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                  "embedding": list(X)}).to_parquet(p)
+    pool = VectorPool(p)
+    with pytest.raises(ValueError, match="nprobe"):
+        pool.knn(X[:1].astype(np.float64), k=2, nprobe=0)
+    with pytest.raises(ValueError, match="ef"):
+        pool.knn(X[:1].astype(np.float64), k=2, ef=0)

@@ -181,9 +181,9 @@ def test_compaction_sharded_regime_matches_inline(spark, corpus_df,
     orig = merge_mod.load_tombstones
     calls = []
 
-    def spy(path):
+    def spy(path, epoch=None):
         calls.append(path)
-        return orig(path)
+        return orig(path, epoch)
 
     monkeypatch.setattr(merge_mod, "load_tombstones", spy)
     m2 = compact_index(spark, d2, out2, target_segments=2)
