@@ -1235,6 +1235,7 @@ def graph_topk_nvq(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     evals_acc=None,
+    layers: "str | bool | None" = None,
 ) -> DataFrame:
     """Beam-searched top-k where the probed clusters are scored from the
     NVQ codes sidecar (quantize_graph_vectors) — the float column is
@@ -1289,6 +1290,13 @@ def graph_topk_nvq(
                   .select(id_col, "codes", "vmin", "delta", "dq_norm"))
     corpus = _flag_tombstones(spark, graph_side.join(codes_side, id_col),
                               path, id_col)
+    lentries: dict[int, tuple[int, int]] = {}
+    if layers:
+        lp = path.rstrip("/") + "_layers" if layers is True else layers
+        packed, lentries = _load_layers(
+            spark, lp, probed, id_col, graph_gen)
+        if packed is not None:
+            corpus = corpus.join(packed, id_col, "left")
     out_schema = f"qid long, {id_col} long"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1305,6 +1313,12 @@ def graph_topk_nvq(
         vmin = pdf["vmin"].to_numpy(np.float64)
         delta = pdf["delta"].to_numpy(np.float64)
         norms = np.maximum(pdf["dq_norm"].to_numpy(np.float64), 1e-12)
+        entry = lentries.get(cluster)
+        amap: dict[int, dict[int, np.ndarray]] = {}
+        if entry is not None:
+            pos = {int(v): i for i, v in enumerate(ids)}
+            amap = _upper_maps(pdf, pos)
+            entry_pos = pos.get(entry[0], medoid_pos)
         outs = []
         for qid in qids:
             q = qvecs[qid]
@@ -1314,11 +1328,18 @@ def graph_topk_nvq(
                 return ((vmin[p] * qsum + delta[p] * (codes[p] @ q))
                         / norms[p])
 
+            d_evals = 0
+            sp = seed_pos
+            if entry is not None and amap:
+                # the descent scores through the SAME quantized scorer
+                # as the beam — the hierarchy never touches floats
+                sp, d_evals = _descend_layers(
+                    amap, entry_pos, entry[1], nvq_score)
             found, n_evals = beam_search_cluster(
-                ids, None, nbrs, medoid_pos, q, ef, seed_pos,
+                ids, None, nbrs, medoid_pos, q, ef, sp,
                 banned=banned, scorer=nvq_score)
             if evals_acc is not None:
-                evals_acc.add(int(n_evals))
+                evals_acc.add(int(n_evals) + int(d_evals))
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid), id_col: ids[found]}))
         return pd.concat(outs, ignore_index=True)
@@ -1331,6 +1352,210 @@ def graph_topk_nvq(
         queries.select(F.col(qid_col).alias("qid"), qvec_col),
         k, id_col=id_col, vec_col=vec_col, qid_col="qid",
         qvec_col=qvec_col)
+
+
+# --------------------------------------------------------------------------
+# in-cell multi-layer hierarchy (the literal HNSW-layer form of the
+# reference's addHierarchy mode: getRandomGraphLevel:568-581 level
+# sampling, OnHeapGraphIndex.java:60-95 sparse upper layers,
+# GraphSearcher.internalSearch:250-269 beam-1 descent +
+# setEntryPointsFromPreviousLayer:310-317 candidate carry-down)
+# --------------------------------------------------------------------------
+
+GRAPH_LAYERS_META = "_LAYERS_META.json"
+
+
+def _splitmix64(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of each id (splitmix64 finalizer). Used
+    instead of the reference's rng.nextDouble() so level assignment is a
+    pure function of the id — reproducible at any parallelism and across
+    rebuilds, the same determinism discipline as stratified_sample."""
+    with np.errstate(over="ignore"):
+        z = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _node_levels(ids: np.ndarray, R: int, n: int) -> np.ndarray:
+    """HNSW level per node (getRandomGraphLevel:568-581):
+    level = floor(-ln(U) * ml), ml = 1/ln(degree) (1 when degree <= 1),
+    with U a deterministic uniform in (0, 1] derived from the id. So
+    P(level >= l) = R^-l: upper layers thin geometrically, giving the
+    O(log n) descent. Capped at ceil(log_R n) + 1 — beyond that a layer
+    holds a single expected node and deeper levels add nothing."""
+    u = (_splitmix64(ids).astype(np.float64) + 1.0) / 2.0**64
+    ml = 1.0 if R <= 1 else 1.0 / np.log(R)
+    lev = np.floor(-np.log(u) * ml).astype(np.int64)
+    cap = int(np.ceil(np.log(max(n, 2)) / np.log(max(R, 2)))) + 1
+    return np.minimum(lev, cap)
+
+
+def build_hierarchy(spark, path: str) -> str:
+    """Write the upper-layer SIDECAR for a graph layout:
+    path_layers/cluster=N/*.parquet with one row per (node, layer >= 1):
+    (vec_id, layer, lnbrs array<long>) — the sparse-upper-layers half of
+    the reference's hierarchical graph (OnHeapGraphIndex.java:60-95; L0
+    stays in the main layout). Each layer's adjacency is the same
+    alpha-pruned construction as L0, restricted to the nodes sampled
+    into that layer.
+
+    Same sidecar discipline as quantize_graph_vectors: derived
+    deterministically from the layout, stamped with the graph meta's
+    mutation_gen, REFUSED by search when stale (a mutation changes
+    membership; a descent over yesterday's layers would seed from purged
+    nodes or miss inserted ones). Regenerate after insert/purge/optimize.
+    _LAYERS_META.json records {mutation_gen, entries: {cluster:
+    [entry_id, top_layer]}} — the per-cell NodeAtLevel entry (highest
+    layer, lowest id on ties)."""
+    layers_path = path.rstrip("/") + "_layers"
+    meta = load_graph_meta(path)
+    R, alpha = int(meta["R"]), float(meta["alpha"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def mk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = int(pdf["cluster"].iloc[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(np.int64)
+        V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        levels = _node_levels(ids, R, len(ids))
+        out_id: list[int] = []
+        out_layer: list[int] = []
+        out_nbrs: list[list[int]] = []
+        top = int(levels.max(initial=0))
+        for lvl in range(1, top + 1):
+            sub = np.flatnonzero(levels >= lvl)
+            if len(sub) == 0:
+                break
+            if len(sub) == 1:
+                adjs: list[list[int]] = [[]]
+            else:
+                adjs, _ = _build_cluster_graph(V[sub], R, alpha)
+            for j, a in enumerate(adjs):
+                out_id.append(int(ids[sub[j]]))
+                out_layer.append(lvl)
+                out_nbrs.append(ids[sub[np.asarray(a, dtype=np.int64)]]
+                                .tolist() if a else [])
+        return pd.DataFrame({
+            id_col: np.asarray(out_id, np.int64),
+            "layer": np.asarray(out_layer, np.int32),
+            "lnbrs": pd.Series(out_nbrs, dtype=object),
+            "cluster": np.full(len(out_id), cluster, np.int32),
+        })
+
+    (_read_graph_rows(spark, path, id_col, vec_col)
+     .groupBy("cluster")
+     .applyInPandas(mk, f"{id_col} long, layer int, lnbrs array<long>, "
+                        "cluster int")
+     .write.mode("overwrite").partitionBy("cluster").parquet(layers_path))
+    entries: dict[int, list[int]] = {}
+    import glob as _glob
+    if _glob.glob(os.path.join(layers_path, "cluster=*")):
+        # per-cell entry = the node at the top layer (lowest id on ties)
+        rows = (spark.read.parquet(layers_path).groupBy("cluster")
+                .agg(F.expr(f"min_by({id_col}, struct(-layer, {id_col}))")
+                     .alias("eid"),
+                     F.max("layer").alias("top"))
+                .collect())
+        entries = {int(r["cluster"]): [int(r["eid"]), int(r["top"])]
+                   for r in rows}
+    tmp = os.path.join(layers_path, GRAPH_LAYERS_META + ".tmp")
+    os.makedirs(layers_path, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"mutation_gen": int(meta.get("mutation_gen", 0)),
+                   "entries": entries}, f)
+    os.replace(tmp, os.path.join(layers_path, GRAPH_LAYERS_META))
+    return layers_path
+
+
+def _load_layers(spark, layers_path: str, probed: list[int],
+                 id_col: str, graph_gen: int):
+    """(packed upper-layer DataFrame or None, entries dict) for the
+    probed clusters, refusing a sidecar whose generation is behind the
+    graph's (the quantize_graph_vectors staleness contract: a stale
+    descent would seed from purged nodes or miss inserted ones)."""
+    meta_f = os.path.join(layers_path, GRAPH_LAYERS_META)
+    with open(meta_f) as f:
+        lm = json.load(f)
+    layers_gen = int(lm.get("mutation_gen", -1))
+    if layers_gen != graph_gen:
+        raise ValueError(
+            f"hierarchy sidecar at {layers_path} was built from graph "
+            f"generation {layers_gen} but the graph is at {graph_gen} — "
+            "re-run build_hierarchy after mutations")
+    entries = {int(k): (int(v[0]), int(v[1]))
+               for k, v in lm.get("entries", {}).items()}
+    import glob as _glob
+    if not _glob.glob(os.path.join(layers_path, "cluster=*")):
+        return None, entries
+    packed = (spark.read.parquet(layers_path)
+              .where(F.col("cluster").isin(probed))
+              .groupBy(id_col)
+              .agg(F.collect_list(F.struct("layer", "lnbrs"))
+                   .alias("_upper")))
+    return packed, entries
+
+
+def _upper_maps(pdf: pd.DataFrame,
+                pos: dict[int, int]) -> dict[int, dict[int, np.ndarray]]:
+    """layer -> {position -> neighbor positions} from the joined _upper
+    column (ids remapped to this cell's position space; ids absent from
+    the cell are skipped — cannot happen when the staleness gate holds,
+    defensive otherwise)."""
+    amap: dict[int, dict[int, np.ndarray]] = {}
+    col = pdf["_upper"] if "_upper" in pdf.columns else None
+    if col is None:
+        return amap
+    for i, lst in enumerate(col):
+        if lst is None or (isinstance(lst, float) and pd.isna(lst)):
+            continue
+        for st in lst:
+            lvl = int(st["layer"])
+            nb = st["lnbrs"] if st["lnbrs"] is not None else []
+            amap.setdefault(lvl, {})[i] = np.asarray(
+                [pos[int(x)] for x in nb if int(x) in pos], dtype=np.int64)
+    return amap
+
+
+def _descend_layers(amap: dict[int, dict[int, np.ndarray]],
+                    entry_pos: int, top_layer: int,
+                    scorer) -> tuple[np.ndarray, int]:
+    """Greedy beam-1 descent (GraphSearcher.internalSearch:250-269): from
+    the entry node, per layer top..1, hill-climb to the best neighbor
+    until no improvement, then drop a layer. EVERY candidate scored on
+    the way down is returned as an L0 seed — the reference's
+    setEntryPointsFromPreviousLayer pushes all seen candidates, not just
+    the winner ("at best we might connect to a more distant cluster").
+    Returns (seed positions in first-seen order, score evaluations).
+    Deterministic: ties keep the earlier candidate (first-occurrence
+    argmax over deterministic adjacency order)."""
+    seen = {int(entry_pos)}
+    order = [int(entry_pos)]
+    cur = int(entry_pos)
+    cur_s = float(np.asarray(scorer(np.asarray([cur], dtype=np.int64)))[0])
+    evals = 1
+    for lvl in range(top_layer, 0, -1):
+        layer = amap.get(lvl)
+        if not layer:
+            continue
+        while True:
+            nb = layer.get(cur)
+            if nb is None or not len(nb):
+                break
+            new = np.asarray([p for p in nb.tolist() if p not in seen],
+                             dtype=np.int64)
+            if not len(new):
+                break
+            s = np.asarray(scorer(new))
+            evals += len(new)
+            seen.update(int(p) for p in new)
+            order.extend(int(p) for p in new)
+            b = int(np.argmax(s))
+            if s[b] > cur_s:
+                cur, cur_s = int(new[b]), float(s[b])
+            else:
+                break
+    return np.asarray(order, dtype=np.int64), evals
 
 
 class CentroidRouter:
@@ -1426,12 +1651,21 @@ def graph_topk(
     use_pruning: bool = False,
     router: "CentroidRouter | None" = None,
     route_ef: int = 64,
+    layers: "str | bool | None" = None,
 ) -> DataFrame:
     """Beam-searched top-k over the graph layout: per probed cluster, an
     in-task beam from the medoid emits <=ef candidates per query; the
     final exact top-k reranks the candidate union with the SAME cosine
     expression as brute_force_topk (so with covering ef the result is
     rank-identical to brute force and the SQL oracle applies).
+
+    `layers`: path to a build_hierarchy sidecar (True = the default
+    `path + "_layers"`): per probed cell, L0 seeds come from a greedy
+    beam-1 DESCENT over the cell's sparse upper layers instead of the
+    stride sample — the reference's hierarchical search
+    (internalSearch:250-269). n_seeds is ignored for cells that have
+    upper layers (cells too small to sample any keep the stride
+    fallback). Stale sidecars (older mutation_gen) are refused.
 
     `evals_acc`: optional Spark accumulator collecting the number of
     score evaluations across all tasks (the visited-count observability
@@ -1468,6 +1702,13 @@ def graph_topk(
         _read_graph_rows(spark, path, id_col, vec_col)
         .where(F.col("cluster").isin(probed)),
         path, id_col)
+    lentries: dict[int, tuple[int, int]] = {}
+    if layers:
+        lp = path.rstrip("/") + "_layers" if layers is True else layers
+        packed, lentries = _load_layers(
+            spark, lp, probed, id_col, int(meta.get("mutation_gen", 0)))
+        if packed is not None:
+            corpus = corpus.join(packed, id_col, "left")
     out_schema = f"qid long, {id_col} long, {vec_col} array<float>"
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1478,14 +1719,26 @@ def graph_topk(
         pdf, ids, nbrs, medoid_pos, banned, seed_pos = _cell_search_state(
             pdf, id_col, medoids, cluster, n_seeds)
         V = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        entry = lentries.get(cluster)
+        amap: dict[int, dict[int, np.ndarray]] = {}
+        if entry is not None:
+            pos = {int(v): i for i, v in enumerate(ids)}
+            amap = _upper_maps(pdf, pos)
+            entry_pos = pos.get(entry[0], medoid_pos)
         outs = []
         for qid in qids:
+            q = qvecs[qid]
+            d_evals = 0
+            sp = seed_pos
+            if entry is not None and amap:
+                sp, d_evals = _descend_layers(
+                    amap, entry_pos, entry[1], lambda p: V[p] @ q)
             found, n_evals = beam_search_cluster(
-                ids, V, nbrs, medoid_pos, qvecs[qid], ef, seed_pos,
+                ids, V, nbrs, medoid_pos, q, ef, sp,
                 banned=banned, threshold=threshold,
                 use_pruning=use_pruning)
             if evals_acc is not None:
-                evals_acc.add(int(n_evals))
+                evals_acc.add(int(n_evals) + int(d_evals))
             outs.append(pd.DataFrame({
                 "qid": np.int64(qid),
                 id_col: ids[found],
