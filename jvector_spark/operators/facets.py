@@ -49,6 +49,22 @@ def _matched_docids(reader, terms: list[str], tombstones, accept) -> np.ndarray:
     return d
 
 
+def _attr_values(reader, attr: str,
+                 d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, int64 attr values) for matched docids `d`, with NULL-attr
+    docs DROPPED — SQL aggregate semantics (the oracle's `WHERE attr IS
+    NOT NULL`): a null sidecar value must be excluded from min/max/sum
+    and histogram bins, not crash the int64 cast. `dl` (the engine's own
+    doc-length array) is never null and skips the mask."""
+    if attr == "dl":
+        return d, reader.doclen(d).astype(np.int64)
+    raw = pd.Series(reader.doc_attribute(attr)[d - reader._min_docid])
+    ok = raw.notna().to_numpy()
+    if ok.all():
+        return d, np.asarray(raw.to_numpy(), dtype=np.int64)
+    return d[ok], np.asarray(raw[ok].tolist(), dtype=np.int64)
+
+
 def facet_counts(
     spark: SparkSession,
     index_dir: str,
@@ -186,10 +202,22 @@ def collapse_topk(
                 if not len(d):
                     continue
                 g = grp[d - reader._min_docid]
-                # segment-local group-best: rounded-score desc, docid asc
-                order = np.lexsort((d, -np.round(s, 6)))
+                # segment-local group-best: rounded-score desc, docid asc.
+                # HALF_UP rounding (floor(x*1e6+0.5) for the nonnegative
+                # BM25 scores), NOT np.round's half-to-even: the global
+                # merge orders by Spark F.round (HALF_UP), and the two
+                # phases must agree on which group member survives even
+                # at an exact .5e-6 boundary
+                s_key = np.floor(s * 1e6 + 0.5)
+                order = np.lexsort((d, -s_key))
+                # null collapse values stay SQL NULL (one distinct null
+                # group, like GROUP BY) — never stringified to "None",
+                # which would collide with a legitimate 'None' value
+                g_sel = pd.Series(g[order])
+                g_col = np.where(g_sel.notna(),
+                                 g_sel.astype(str), None)
                 pdf = pd.DataFrame({
-                    "qid": np.int64(qid), "grp": g[order].astype(str),
+                    "qid": np.int64(qid), "grp": g_col,
                     "docid": d[order], "score": s[order],
                 }).drop_duplicates("grp", keep="first")
                 yield pdf
@@ -253,7 +281,8 @@ def sorted_scan_partition(
     for path in paths:
         best_signv = _sidecar_attr_best_signv(path, attr, sign)
         if best_signv is not None and all(
-            len(kept[q]) >= ks[q] and best_signv > kept[q][-1]
+            ks[q] <= 0 or (len(kept[q]) >= ks[q]
+                           and best_signv > kept[q][-1])
             for q in qterms
         ):
             continue  # no query can improve: metadata-only skip
@@ -268,6 +297,8 @@ def sorted_scan_partition(
         accept = reader.accepted_docids(doc_filter) if doc_filter else None
         cache: dict = {}
         for qid, terms in qterms.items():
+            if ks[qid] <= 0:
+                continue  # k=0: legal degenerate query, returns no rows
             if (best_signv is not None and len(kept[qid]) >= ks[qid]
                     and best_signv > kept[qid][-1]):
                 continue  # this query is already beyond the segment
@@ -278,13 +309,9 @@ def sorted_scan_partition(
                     reader, terms, seg_tomb, accept)
             if not len(d):
                 continue
-            if attr == "dl":
-                v = reader.doclen(d).astype(np.int64)
-            else:
-                v = np.asarray(
-                    reader.doc_attribute(attr)[d - reader._min_docid],
-                    dtype=np.int64,
-                )
+            d, v = _attr_values(reader, attr, d)
+            if not len(d):
+                continue
             top = np.lexsort((d, sign * v))[: ks[qid]]
             kept[qid] = np.sort(
                 np.concatenate((kept[qid], sign * v[top]))
@@ -443,14 +470,11 @@ def attr_stats(
                     d = _matched_docids(reader, terms, tomb_l, accept)
                     if not len(d):
                         continue
-                    if attr == "dl":
-                        v = reader.doclen(d).astype(np.int64)
-                    else:
-                        v = np.asarray(
-                            reader.doc_attribute(attr)[d - reader._min_docid],
-                            dtype=np.int64)
+                    _, v = _attr_values(reader, attr, d)
+                    if not len(v):
+                        continue  # every matched doc had a null attr
                     yield pd.DataFrame({
-                        "qid": [np.int64(qid)], "n_docs": [len(d)],
+                        "qid": [np.int64(qid)], "n_docs": [len(v)],
                         "min_attr": [int(v.min())],
                         "max_attr": [int(v.max())],
                         "sum_attr": [int(v.sum())]})
@@ -520,12 +544,9 @@ def attr_histogram(
                 d = _matched_docids(reader, terms, tomb_l, accept)
                 if not len(d):
                     continue
-                if attr == "dl":
-                    v = reader.doclen(d).astype(np.int64)
-                else:
-                    v = np.asarray(
-                        reader.doc_attribute(attr)[d - reader._min_docid],
-                        dtype=np.int64)
+                _, v = _attr_values(reader, attr, d)
+                if not len(v):
+                    continue
                 bins, counts = np.unique((v // w) * w, return_counts=True)
                 yield pd.DataFrame({
                     "qid": np.int64(qid), "bin": bins,

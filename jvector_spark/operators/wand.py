@@ -67,9 +67,18 @@ def global_term_stats(
     fast = read_global_term_stats(index_dir, list(terms))
     if fast is not None:
         return fast
-    dict_glob = os.path.join(index_dir, "seg-*", "terms.parquet")
+    # enumerate the MANIFEST's segments, never a `seg-*` glob: a glob
+    # also matches seg-*.tmp staging dirs (write_segment_files stages
+    # terms.parquet there first) and crashed/unpublished orphan segments,
+    # double-counting their df and silently skewing idf vs the
+    # manifest's n_docs
+    manifest = load_manifest(index_dir)
+    dict_paths = [os.path.join(s["path"], "terms.parquet")
+                  for s in manifest["segments"]]
+    if not dict_paths:
+        return {}
     rows = (
-        spark.read.parquet(dict_glob)
+        spark.read.parquet(*dict_paths)
         .where(F.col("term").isin(list(terms)))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
@@ -370,22 +379,21 @@ def score_query_on_segment(
         if t in gen:
             parts_d.append(gen[t][0])
             parts_tf.append(gen[t][1])
-        # gather pass: non-generating blocks that overlap the candidate set
+        # gather pass: non-generating blocks that overlap the candidate
+        # set (a fully-cached term can't reach here — the loop already
+        # took the contrib_full shortcut above)
         gmask = ~gen_mask[t]
         if gmask.any():
-            if ("full", t) in cache:
-                d, tf = decode_full(t)
-            else:
-                first = np.asarray(r["block_first"], dtype=np.int64)
-                last = np.asarray(r["block_last"], dtype=np.int64)
-                lo = np.searchsorted(candidates, first, side="left")
-                overlap = (lo < len(candidates)) & gmask
-                overlap[overlap] &= candidates[lo[overlap]] <= last[overlap]
-                d, tf = (
-                    reader.decode_term(t, overlap)
-                    if overlap.any()
-                    else (np.zeros(0, np.int64), np.zeros(0, np.int64))
-                )
+            first = np.asarray(r["block_first"], dtype=np.int64)
+            last = np.asarray(r["block_last"], dtype=np.int64)
+            lo = np.searchsorted(candidates, first, side="left")
+            overlap = (lo < len(candidates)) & gmask
+            overlap[overlap] &= candidates[lo[overlap]] <= last[overlap]
+            d, tf = (
+                reader.decode_term(t, overlap)
+                if overlap.any()
+                else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            )
             if len(d):
                 idx = np.searchsorted(candidates, d)
                 keep = (idx < len(candidates))
@@ -520,7 +528,11 @@ class _TopK:
     @property
     def theta(self) -> float:
         """kth best score so far — the pruning threshold (WAND θ; analog of
-        stopSearch's worst-of-topK, GraphSearcher.java:340-351)."""
+        stopSearch's worst-of-topK, GraphSearcher.java:340-351). k=0 (a
+        legal degenerate query) holds nothing: θ=+inf prunes every block
+        and the query returns no rows instead of crashing on scores[-1]."""
+        if self.k <= 0:
+            return float("inf")
         return float(self.scores[-1]) if len(self.scores) >= self.k else 0.0
 
 

@@ -231,6 +231,12 @@ def encode_postings_frame(
     scores are always computed from decoded postings (the
     lossy-bound-plus-exact-rerank discipline of NVQ).
     """
+    if block_size <= 0 or block_size % 8:
+        # the FOR fast path tiles full blocks at block_size*w/8 bytes,
+        # integral only for multiples of 8 (and the reader's whole-term
+        # unpackbits+reshape needs the same byte alignment)
+        raise ValueError(
+            f"block_size must be a positive multiple of 8, got {block_size}")
     n = len(p_doc)
     if n == 0:  # all-empty-content partition: valid, empty segment
         empty = pa.table({
@@ -383,8 +389,12 @@ def encode_postings_frame(
                 # byte runs, so per-value byte positions tile exactly
                 first_of_blk = within_f[sel] == 0
                 blk_offs = off_f[sel][first_of_blk]
+                # a full block holds block_size values = block_size*w/8
+                # bytes (integral: block_size % 8 == 0 is validated at
+                # encode entry) — 16*w only at the default block_size=128
+                fblk_bytes = (block_size * w) // 8
                 dst = _scatter_positions(
-                    blk_offs, np.full(len(blk_offs), 16 * w, np.int64))
+                    blk_offs, np.full(len(blk_offs), fblk_bytes, np.int64))
                 shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
                 step = max(block_size, (SLAB_BITS // max(w, 1))
                            // block_size * block_size)
@@ -866,7 +876,8 @@ def _build_segment_stream(
     docids = docs_pdf["docid"].to_numpy(np.int64)
     fp = _fingerprint(
         docids, docs_pdf["content_sha"],
-        f"mode={mode}|codec={codec}|positions={positions}|block={block_size}",
+        f"mode={mode}|codec={codec}|positions={positions}|block={block_size}"
+        f"|qmeta={quantize_meta}",
     )
     seg_id = f"seg-{int(docids[0]):012d}"
     seg_dir = os.path.join(index_dir, seg_id)
@@ -948,10 +959,15 @@ def _build_segment_stream(
     })
     stage["write_sec"] = time.time() - ts
     # stage timers land in meta.json AFTER the write (atomic dir rename
-    # already happened): append-only update of the metrics file
+    # already happened) — via tmp + os.replace: the segment is already
+    # COMMITTED (_SUCCESS published), so a crash mid-rewrite must not be
+    # able to leave a truncated meta.json that makes every later read
+    # (and the resume path's json.loads) fail on a data-complete segment
     meta["stage_sec"] = {k: round(v, 3) for k, v in stage.items()}
-    with open(os.path.join(seg_dir, "meta.json"), "w") as f:
+    mtmp = os.path.join(seg_dir, "meta.json.tmp")
+    with open(mtmp, "w") as f:
         json.dump(meta, f)
+    os.replace(mtmp, os.path.join(seg_dir, "meta.json"))
     return manifest_row("built", meta, time.time() - t0)
 
 

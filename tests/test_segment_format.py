@@ -182,3 +182,83 @@ def test_sorted_fast_path_byte_identical_to_fallback(
     rb = search_index(spark, b, q, merge="driver")
     pd.testing.assert_frame_equal(ra.reset_index(drop=True),
                                   rb.reset_index(drop=True))
+
+
+def test_block_size_64_round_trip(spark, corpus_df, v2_index,
+                                  tmp_path_factory):
+    """block_size is a public build parameter: a 64-posting-block build
+    must produce identical search results to the default 128 (regression:
+    the FOR full-block fast path tiled 16*w bytes — the 128-block size —
+    for every block_size, corrupting packed postings at 64 and crashing
+    at 256)."""
+    idx128, _ = v2_index
+    q = pd.DataFrame({"qid": [0, 1, 2],
+                      "terms": [["import"], ["def", "return"], ["run_parse33"]],
+                      "k": [10, 10, 10]})
+    base = search_index(spark, idx128, q, merge="driver")
+    for bs in (64, 256):
+        idx = str(tmp_path_factory.mktemp(f"idx_bs{bs}"))
+        m = build_index(assign_dense_docids(corpus_df), idx,
+                        num_segments=4, block_size=bs)
+        # FOR must actually engage for the comparison to mean anything
+        assert (m["status"] == "built").all()
+        got = search_index(spark, idx, q, merge="driver")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      base.reset_index(drop=True))
+    with pytest.raises(Exception, match="multiple of 8"):
+        build_index(assign_dense_docids(corpus_df),
+                    str(tmp_path_factory.mktemp("idx_bs100")),
+                    num_segments=1, block_size=100)
+
+
+def test_resume_rebuilds_on_quantize_meta_change(spark, corpus_df,
+                                                 tmp_path_factory):
+    """quantize_meta changes segment bytes, so it must be part of the
+    resume fingerprint: rebuilding with quantize_meta=True over a plain
+    index must NOT resume the unquantized segments (regression: the
+    fingerprint omitted the flag and silently kept the old format)."""
+    idx = str(tmp_path_factory.mktemp("idx_qm"))
+    docs = assign_dense_docids(corpus_df)
+    m1 = build_index(docs, idx, num_segments=2)
+    assert (m1["status"] == "built").all()
+    m2 = build_index(docs, idx, num_segments=2, quantize_meta=True)
+    assert (m2["status"] == "built").all(), \
+        "quantize_meta change must rebuild, not resume"
+    seg = sorted(os.path.join(idx, d) for d in os.listdir(idx)
+                 if d.startswith("seg-"))[0]
+    with open(os.path.join(seg, "meta.json")) as f:
+        assert json.load(f)["quantize_meta"] is True
+    m3 = build_index(docs, idx, num_segments=2, quantize_meta=True)
+    assert (m3["status"] == "resumed").all()
+
+
+def test_for_full_block_bytes_track_block_size():
+    """Unit form of the block-size regression, guaranteed to engage the
+    FOR full-block fast path: one 300-posting term with regular gaps
+    (FOR always wins), decoded block-by-block from the dictionary's own
+    offsets — pre-fix this corrupted silently at 64 and crashed at 256."""
+    from jvector_spark.sources.segment import encode_postings_frame
+
+    n = 300
+    p_term = np.array(["t"] * n, dtype=object)
+    p_doc = np.arange(0, 2 * n, 2, dtype=np.int64)
+    p_tf = np.ones(n, dtype=np.int64)
+    p_dl = np.full(n, 10, dtype=np.int64)
+    for bs in (64, 128, 256):
+        tbl, blob = encode_postings_frame(p_term, p_doc, p_tf, p_dl,
+                                          block_size=bs)
+        r = {name: tbl[name][0].as_py() for name in tbl.column_names}
+        assert r["gap_codec"] == 1  # FOR engaged
+        w = r["gap_width"]
+        blk_n = np.asarray(r["block_n"])
+        offs = np.asarray(r["block_doc_off"])
+        first = np.asarray(r["block_first"])
+        bits = np.unpackbits(np.frombuffer(blob, np.uint8))
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint64)
+        got = []
+        for i in range(len(blk_n)):
+            sec = bits[offs[i] * 8: offs[i] * 8 + blk_n[i] * w]
+            g = (sec.reshape(blk_n[i], w).astype(np.uint64)
+                 << shifts).sum(axis=1, dtype=np.uint64)
+            got.append(first[i] + np.cumsum(g))
+        assert (np.concatenate(got) == p_doc).all(), bs

@@ -93,6 +93,31 @@ def test_global_term_stats_match_oracle(spark, index, oracle):
             assert stats[t] == oracle.df[t], t
 
 
+def test_term_stats_fallback_ignores_orphan_dirs(spark, index, oracle,
+                                                 tmp_path_factory):
+    """The distributed df fallback (term_stats.parquet absent) must
+    enumerate the manifest's segments, not glob seg-*: a crashed build's
+    seg-*.tmp staging dir or an unpublished orphan segment would
+    otherwise double-count df and skew idf (regression)."""
+    import shutil
+
+    idx, _ = index
+    dup = os.path.join(str(tmp_path_factory.mktemp("orphan_idx")), "idx")
+    shutil.copytree(idx, dup)
+    seg = sorted(d for d in os.listdir(dup) if d.startswith("seg-"))[0]
+    # orphan flavors a glob would match: a staging dir and a dir not in
+    # the manifest
+    shutil.copytree(os.path.join(dup, seg),
+                    os.path.join(dup, seg + ".tmp"))
+    shutil.copytree(os.path.join(dup, seg),
+                    os.path.join(dup, "seg-999999999999"))
+    os.remove(os.path.join(dup, "term_stats.parquet"))  # force fallback
+    some_terms = list(oracle.df)[:10] + ["import"]
+    stats = global_term_stats(spark, dup, some_terms)
+    for t in some_terms:
+        assert stats[t] == oracle.df[t], t
+
+
 def test_search_rank_identical_and_bit_equal(spark, index, oracle, queries_pdf):
     idx, _ = index
     got = (
