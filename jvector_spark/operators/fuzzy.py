@@ -79,9 +79,13 @@ def expand_fuzzy(
     """{qid: (term, max_dist)} -> {qid: matching dictionary terms} in ONE
     scan of term_stats.parquet (all queries per Arrow batch). Over-cap
     expansions keep the highest-df terms (tie-break on term string)."""
-    path = os.path.join(index_dir, "term_stats.parquet")
+    from jvector_spark.sources.segment import vocab_dataset_paths
+
+    # validated vocabulary source (hot tier when sha-consistent, else
+    # the manifest's per-segment dictionaries — see vocab_dataset_paths)
+    paths, aggregated = vocab_dataset_paths(index_dir)
     hits: dict[int, list[tuple[int, str]]] = {qid: [] for qid in queries}
-    for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
+    for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
         dfs = batch.column("df").to_numpy()
         for qid, (qterm, dist) in queries.items():
@@ -90,6 +94,13 @@ def expand_fuzzy(
                 hits[qid].extend(zip(dfs[m].tolist(), terms[m].tolist()))
     out: dict[int, list[str]] = {}
     for qid, h in hits.items():
+        if not aggregated and h:
+            # per-segment dictionaries repeat a term per segment: sum to
+            # global df so the cap ranks like the hot-tier path
+            agg: dict[str, int] = {}
+            for df, t in h:
+                agg[t] = agg.get(t, 0) + int(df)
+            h = [(df, t) for t, df in agg.items()]
         if len(h) > max_terms:
             h.sort(key=lambda x: (-x[0], x[1]))
             h = h[:max_terms]
@@ -140,9 +151,11 @@ def suggest_terms(
     the smallest d in [0, max_dist] whose DP mask admits it (max_dist is
     small — <=2 in practice — so this costs at most 3 vectorized DP
     passes per query per batch). Returns (qid, rank, term, dist, df)."""
-    path = os.path.join(index_dir, "term_stats.parquet")
+    from jvector_spark.sources.segment import vocab_dataset_paths
+
+    paths, aggregated = vocab_dataset_paths(index_dir)
     hits: dict[int, list[tuple[int, int, str]]] = {q: [] for q in queries}
-    for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
+    for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
         dfs = batch.column("df").to_numpy()
         for qid, (qterm, max_dist) in queries.items():
@@ -157,7 +170,15 @@ def suggest_terms(
                     )
     outs = []
     for qid in sorted(queries):
-        h = sorted(hits[qid], key=lambda x: (x[0], -x[1], x[2]))[:n]
+        h = hits[qid]
+        if not aggregated and h:
+            # a candidate's distance is segment-independent; only its df
+            # needs summing across the per-segment dictionaries
+            agg: dict[tuple[int, str], int] = {}
+            for d, df, t in h:
+                agg[(d, t)] = agg.get((d, t), 0) + df
+            h = [(d, df, t) for (d, t), df in agg.items()]
+        h = sorted(h, key=lambda x: (x[0], -x[1], x[2]))[:n]
         outs.append(pd.DataFrame({
             "qid": np.int64(qid),
             "rank": np.arange(len(h), dtype=np.int32),

@@ -39,15 +39,21 @@ def mlt_select_terms(
     idfs: dict[str, float],
     num_terms: int,
     mode: str = "code",
+    pretokenized=None,
 ) -> dict[int, list[str]]:
     """Top `num_terms` query terms per source doc by tf*idf.
 
     Deterministic tie-break matches the SQL oracle: order by
     (round(tf*idf, 6) DESC, term ASC).  Terms absent from `idfs`
     (not in the index vocabulary) are skipped.
+
+    `pretokenized` (optional, parallel to texts.keys()): reuse token
+    lists the caller already computed — more_like_this tokenizes the
+    same sources once for its vocabulary pass and hands them down.
     """
     out: dict[int, list[str]] = {}
-    toks = tokenize_series(pd.Series(list(texts.values())), mode)
+    toks = (pretokenized if pretokenized is not None
+            else tokenize_series(pd.Series(list(texts.values())), mode))
     for docid, terms in zip(texts.keys(), toks):
         tf = pd.Series(terms).value_counts()
         cand = [
@@ -93,20 +99,16 @@ def more_like_this(
     missing = [d for d in doc_ids if int(d) not in texts]
     if missing:
         raise KeyError(f"source doc_ids not found: {missing}")
-    # one tokenize pass over the sources to learn the candidate vocabulary
-    all_terms = sorted(
-        {
-            t
-            for terms in tokenize_series(
-                pd.Series([texts[int(d)] for d in doc_ids]), mode
-            )
-            for t in terms
-        }
-    )
+    # ONE tokenize pass over the sources, reused for both the candidate
+    # vocabulary and mlt_select_terms' tf counts
+    toks = tokenize_series(
+        pd.Series([texts[int(d)] for d in doc_ids]), mode)
+    all_terms = sorted({t for terms in toks for t in terms})
     dfm = global_term_stats(spark, index_dir, all_terms)
     idfs = idf_map(manifest["n_docs"], dfm)
     qterms = mlt_select_terms(
-        {int(d): texts[int(d)] for d in doc_ids}, idfs, num_terms, mode
+        {int(d): texts[int(d)] for d in doc_ids}, idfs, num_terms, mode,
+        pretokenized=list(toks),
     )
     queries = pd.DataFrame(
         {

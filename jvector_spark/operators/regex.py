@@ -57,8 +57,15 @@ def _select_expansions(
             out[key] = []
             continue
         t = np.concatenate(terms)
+        d = np.concatenate(dfs)
+        # per-segment dictionaries (the term_stats fallback source)
+        # repeat a term once per segment: aggregate df so the cap ranks
+        # on GLOBAL df and the output holds each term once
+        ut, inv = np.unique(t, return_inverse=True)
+        if len(ut) < len(t):
+            d = np.bincount(inv, weights=d.astype(np.float64))
+            t = ut
         if len(t) > max_terms:
-            d = np.concatenate(dfs)
             keep = np.lexsort((t, -d))[:max_terms]
             t = t[keep]
         t.sort()
@@ -87,9 +94,18 @@ def expand_patterns(
     filter + per-pattern bounded top-(max_terms) — the driver never
     materializes the dictionary, only the capped expansions (the
     hierarchy-descent hot tier at 10^8+ distinct terms)."""
-    path = os.path.join(index_dir, "term_stats.parquet")
-    if spark is not None and os.path.getsize(path) > driver_budget_bytes:
-        return _expand_patterns_distributed(spark, path, patterns, max_terms)
+    from jvector_spark.sources.segment import vocab_dataset_paths
+
+    # validated vocabulary source: the hot-tier term_stats.parquet when
+    # present AND sha-consistent with the manifest, else the manifest's
+    # per-segment dictionaries (_select_expansions re-aggregates the
+    # per-segment df) — never a blind read of a possibly-absent or torn
+    # stats file
+    paths, aggregated = vocab_dataset_paths(index_dir)
+    vocab_bytes = sum(os.path.getsize(p) for p in paths)
+    if spark is not None and vocab_bytes > driver_budget_bytes:
+        return _expand_patterns_distributed(spark, paths, patterns,
+                                            max_terms, aggregated)
     import pyarrow.compute as pc
 
     # pre-compile python twins once: they validate the pattern up front
@@ -97,7 +113,7 @@ def expand_patterns(
     rxs = {key: re.compile(p) for key, p in patterns.items()}
     hits: dict[int, tuple[list, list]] = {k: ([], []) for k in patterns}
     re2_ok: dict[int, bool] = {k: True for k in patterns}
-    for batch in ds.dataset(path).to_batches(columns=["term", "df"]):
+    for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
         terms = batch.column("term")
         np_terms = np_dfs = None  # lazy: only built on the fallback path
         for key, pat in patterns.items():
@@ -131,8 +147,9 @@ def expand_patterns(
 
 
 def _expand_patterns_distributed(
-    spark: SparkSession, stats_path: str,
+    spark: SparkSession, stats_paths: list[str],
     patterns: dict[int, str], max_terms: int,
+    aggregated: bool = True,
 ) -> dict[int, list[str]]:
     """Vocabulary-scale expansion as one Spark job: every pattern filters
     the same parquet scan, a per-pattern window keeps the top max_terms
@@ -168,7 +185,14 @@ def _expand_patterns_distributed(
                 return vals.map(lambda t: rx.search(t) is not None)
         return m
 
-    vocab = spark.read.parquet(stats_path).select("term", "df")
+    if not patterns:  # empty queries: same {} the driver path returns
+        return {}
+    vocab = spark.read.parquet(*stats_paths).select("term", "df")
+    if not aggregated:
+        # per-segment fallback sources repeat a term per segment:
+        # aggregate to global df so ranking matches the driver path (the
+        # hot-tier source is pre-unique and skips this shuffle)
+        vocab = vocab.groupBy("term").agg(F.sum("df").alias("df"))
     parts = [
         vocab.where(_matcher(pat)(F.col("term")))
              .select(F.lit(int(key)).alias("key"), "term", "df")

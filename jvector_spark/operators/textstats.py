@@ -89,7 +89,10 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     n = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    uniq, stop = n_uniq / n, n_stop / n
+    # try_divide: a zero-token doc (empty/whitespace text) yields NULL
+    # ratios instead of aborting the whole job under ANSI mode's
+    # DIVIDE_BY_ZERO (SQL semantics — the oracle's NULLIF(n, 0) divisor)
+    uniq, stop = F.try_divide(n_uniq, n), F.try_divide(n_stop, n)
     ppm = lambda c: F.floor(c * F.lit(1e6)).cast("long")
     return with_tokens(docs, id_col, text).select(
         F.col(id_col),
@@ -107,9 +110,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     behind the same signature)."""
     toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    ratio = (
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(toks).cast("double")
+    ratio = F.try_divide(  # NULL (not a job abort) on zero-token docs
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double"),
+        F.size(toks).cast("double"),
     )
     ppm = F.floor(ratio * F.lit(1e6)).cast("long")
     return with_tokens(docs, id_col, text).select(
@@ -136,7 +139,10 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int"))
                    for j in range(shingle)]),
     )
-    gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    # the one 60-bit-hash definition (oracle-synced '15 hex chars'
+    # contract) — function-local import, same cycle-safe pattern as
+    # signature_table
+    from jvector_spark.operators.dedup import md5_hash60 as gram_hash
     base = scale_out(docs).select(
         F.col(id_col), F.col(text), tokens_col(text).alias("_toks"))
     return base.select(
@@ -158,7 +164,10 @@ def subword_stats(docs: DataFrame, id_col: str = "doc_id",
     unit stream a byte-pair tokenizer starts from. Regex chosen to behave
     identically under Java regex (Spark) and RE2 (SQL oracles). Pure
     map-side expression."""
-    sw = F.expr(f"regexp_extract_all({text}, '{SUBWORD_RE}', 0)")
+    # native function, not an F.expr f-string: an interpolated column
+    # name breaks (ParseException) for any non-identifier name, while
+    # every other operator here accepts arbitrary names via F.col
+    sw = F.regexp_extract_all(F.col(text), F.lit(SUBWORD_RE), F.lit(0))
     alpha = F.filter(sw, lambda x: x.rlike("^[A-Za-z]"))
     return docs.select(
         F.col(id_col),
@@ -265,7 +274,9 @@ def quality_lang_table(docs: DataFrame, id_col: str = "doc_id",
         F.filter(toks, lambda x: F.array_contains(stop_arr, x))
     ).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    uniq, stop = n_uniq / n, n_stop / n
+    # try_divide: see quality_scores — zero-token docs get NULL ppm and
+    # fall to the pred_lang 'other' branch (NULL >= threshold is false)
+    uniq, stop = F.try_divide(n_uniq, n), F.try_divide(n_stop, n)
     ppm = lambda c: F.floor(c * F.lit(1e6)).cast("long")
     stop_ppm = ppm(stop)
     return with_tokens(docs, id_col, text).select(

@@ -1140,6 +1140,30 @@ def read_global_term_stats(index_dir: str,
     return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
 
 
+def vocab_dataset_paths(index_dir: str) -> tuple[list[str], bool]:
+    """Parquet paths holding the index's (term, df) vocabulary, for
+    operators that SCAN the vocabulary (regex/fuzzy/suggest expansion).
+    Returns ([term_stats.parquet], True) when the hot-tier file exists
+    and its sha matches the manifest (each term exactly once), else the
+    manifest's per-segment dictionaries with aggregated=False — terms
+    repeat per segment there and callers must re-aggregate df. Same
+    distrust rules as read_global_term_stats: absence (pre-stats index)
+    and a stats/manifest torn write both fall back to the per-segment
+    truth instead of crashing or silently expanding against a vocabulary
+    that does not match the manifest snapshot being searched."""
+    path = os.path.join(index_dir, "term_stats.parquet")
+    if os.path.exists(path):
+        try:
+            want = load_manifest(index_dir).get("term_stats_sha")
+        except FileNotFoundError:
+            want = None
+        if want is None or _term_stats_file_sha(path) == want:
+            return [path], True
+    manifest = load_manifest(index_dir)
+    return ([os.path.join(s["path"], "terms.parquet")
+             for s in manifest["segments"]], False)
+
+
 def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str,
                          docid_epoch: int | None = None) -> dict:
     """`docid_epoch` scopes tombstones to a docid numbering: appends keep

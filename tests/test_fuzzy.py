@@ -130,3 +130,25 @@ def test_suggest_in_vocab_term_ranks_itself_first(fzindex, oracle):
     top = got[got["rank"] == 0].iloc[0]
     assert top["term"] == term and top["dist"] == 0
     assert top["df"] == oracle.df[term]
+
+
+def test_fuzzy_without_term_stats_falls_back(fzindex, tmp_path_factory):
+    """expand_fuzzy and suggest_terms must serve indexes without (or
+    with a torn) term_stats.parquet from the per-segment dictionaries,
+    with per-segment df summed to the same global values (review
+    finding: both crashed with FileNotFoundError)."""
+    import os
+    import shutil
+
+    from jvector_spark.operators.fuzzy import suggest_terms
+
+    q = {0: ("hash_post50", 2), 1: ("zz_oov", 1)}
+    want_exp = expand_fuzzy(fzindex, q)
+    want_sug = suggest_terms(fzindex, {0: ("hash_post50", 2)}, n=5)
+    dup = os.path.join(str(tmp_path_factory.mktemp("fz_nostats")), "idx")
+    shutil.copytree(fzindex, dup)
+    os.remove(os.path.join(dup, "term_stats.parquet"))
+    assert expand_fuzzy(dup, q) == want_exp
+    got_sug = suggest_terms(dup, {0: ("hash_post50", 2)}, n=5)
+    pd.testing.assert_frame_equal(got_sug.reset_index(drop=True),
+                                  want_sug.reset_index(drop=True))

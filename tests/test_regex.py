@@ -108,3 +108,41 @@ def test_expand_python_fallback_non_re2(rx_index, corpus_pdf):
         vocab.update(ts)
     exp = sorted(t for t in vocab if rx.search(t))
     assert got == exp and len(got) > 0
+
+
+def test_expand_without_term_stats_falls_back(spark, rx_index,
+                                              tmp_path_factory):
+    """An index whose hot-tier term_stats.parquet is absent (pre-stats
+    index) or torn (sha mismatch) must expand from the manifest's
+    per-segment dictionaries with identical results — previously both
+    states crashed or silently used the untrusted file (review
+    finding)."""
+    import os
+    import shutil
+
+    from jvector_spark.operators.regex import expand_patterns
+
+    idx, _ = rx_index
+    pats = {0: "^run_", 1: "get", 2: "^zzz_nothing$"}
+    want = expand_patterns(idx, pats, max_terms=7)
+    dup = os.path.join(str(tmp_path_factory.mktemp("rx_nostats")), "idx")
+    shutil.copytree(idx, dup)
+    os.remove(os.path.join(dup, "term_stats.parquet"))
+    assert expand_patterns(dup, pats, max_terms=7) == want
+    # torn stats: corrupt the file so the sha check fails
+    dup2 = os.path.join(str(tmp_path_factory.mktemp("rx_torn")), "idx")
+    shutil.copytree(idx, dup2)
+    with open(os.path.join(dup2, "term_stats.parquet"), "ab") as f:
+        f.write(b"xx")
+    assert expand_patterns(dup2, pats, max_terms=7) == want
+    # distributed path over the per-segment fallback source agrees too
+    assert expand_patterns(dup, pats, max_terms=7, spark=spark,
+                           driver_budget_bytes=0) == want
+
+
+def test_expand_distributed_empty_patterns(spark, rx_index):
+    from jvector_spark.operators.regex import expand_patterns
+
+    idx, _ = rx_index
+    assert expand_patterns(idx, {}, spark=spark,
+                           driver_budget_bytes=0) == {}
