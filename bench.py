@@ -534,8 +534,45 @@ def grid_run() -> None:
                 "qps": round(nq / sec, 1),
                 "scan_fraction": round(acc.value / max(1, nq * n_total), 3),
             })
+            # hierarchical entry (build_hierarchy sidecar): the greedy
+            # multi-layer descent replaces the 64-seed stride sample —
+            # compare against the seed64 rows at the same nprobe/ef
+            from jvector_spark.operators.graph import build_hierarchy
+
+            lp = build_hierarchy(spark, gpath)
+            for nprobe, ef in ((2, 64), (4, 64), (4, 128)):
+                acc = spark.sparkContext.accumulator(0)
+                t0 = time.time()
+                approx = graph_topk(spark, gpath, queries, cents, k=10,
+                                    nprobe=nprobe, ef=ef, layers=lp,
+                                    evals_acc=acc).toPandas()
+                sec = time.time() - t0
+                configs.append({
+                    "dataset": tag,
+                    "config": f"graph_R16_hier_nprobe{nprobe}_ef{ef}",
+                    "recall_at_10": _recall_at_k(
+                        approx.sort_values(["qid", "rank"]), exact, 10),
+                    "qps": round(nq / sec, 1),
+                    "scan_fraction": round(
+                        acc.value / max(1, nq * n_total), 3),
+                })
+            acc = spark.sparkContext.accumulator(0)
+            t0 = time.time()
+            approx = graph_topk_nvq(spark, gpath, queries, cents, emb,
+                                    k=10, nprobe=4, ef=128, layers=lp,
+                                    evals_acc=acc).toPandas()
+            sec = time.time() - t0
+            configs.append({
+                "dataset": tag,
+                "config": "graph_nvq_R16_hier_nprobe4_ef128",
+                "recall_at_10": _recall_at_k(
+                    approx.sort_values(["qid", "rank"]), exact, 10),
+                "qps": round(nq / sec, 1),
+                "scan_fraction": round(acc.value / max(1, nq * n_total), 3),
+            })
             shutil.rmtree(gpath, ignore_errors=True)
             shutil.rmtree(gpath + "_codes", ignore_errors=True)
+            shutil.rmtree(gpath + "_layers", ignore_errors=True)
 
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         sweep(os.path.basename(os.path.normpath(SF_DIR)), emb,
