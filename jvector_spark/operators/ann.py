@@ -461,6 +461,13 @@ def embedding_lsh_near_dup(
     are engine-identical — dot-product signs are exact at any margin
     >> float64 ulp (fixture min |dot| ~ 0.03).
     """
+    if n_planes % band_bits:
+        # trailing planes would be computed per row (full scan cost) but
+        # never form a band — the caller's requested recall would
+        # silently not materialize
+        raise ValueError(
+            f"n_planes={n_planes} must be a multiple of "
+            f"band_bits={band_bits}: trailing planes never form a band")
     planes = random_hyperplanes(n_planes, _vec_dim(vectors, vec_col), seed)
     dots = _plane_dots(vec_col, planes)
     bits = F.array(*[
@@ -512,6 +519,10 @@ def embedding_lsh_near_dup(
 
 
 def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality from one row (schema carries no length)."""
+    """Embedding dimensionality from one row (schema carries no length).
+    Same probe as bq._infer_dim (which imports from this module, so the
+    shared form lives here)."""
     row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("cannot infer dimension of an empty vector table")
     return int(row[0]["d"])

@@ -35,10 +35,9 @@ BQ_CODE_COL = "bq_code"
 
 
 def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
-    row = vectors.select(F.size(vec_col).alias("d")).first()
-    if row is None:
-        raise ValueError("cannot infer dimension of an empty vector table")
-    return int(row["d"])
+    from jvector_spark.operators.ann import _vec_dim
+
+    return _vec_dim(vectors, vec_col)
 
 
 def bq_encode_expr(vec_col: str, dim: int) -> Column:

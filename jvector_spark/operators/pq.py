@@ -181,6 +181,14 @@ def _anisotropic_refine(Xs: np.ndarray, cent: np.ndarray, pcm: float,
 
     Assignment: weighted distance pcm·par + perp with
     par = ((c·x − x·x))², perp = ‖c−x‖² − par (weightedDistance:315-325).
+    NOTE the deliberate asymmetry, faithful to the reference: the
+    clusterer's assignment cost leaves `par` UNNORMALIZED (exactly as
+    KMeansPlusPlusClusterer.weightedDistance does), while the encode path
+    and anisotropic_loss normalize the parallel component by the vector
+    norm (as ProductQuantization.computeResidual:393-398 does) — the
+    reference itself trains and encodes under these two slightly
+    different objectives, and matching its codebooks requires matching
+    both as-is.
     Update: closed-form solve per cluster,
       c = (ocm·I + (1−ocm)/|L| · Σ xxᵀ/‖x‖²)⁻¹ · mean(L),  ocm = 1/pcm
     (updateCentroidsAnisotropic:378-431). Empty clusters keep their old
@@ -446,6 +454,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase search: ADC approximate scan over codes, exact cosine
     rerank of the rerank_k survivors (rerankK>=topK contract,
@@ -453,27 +462,39 @@ def pq_adc_topk(
     score = exact cosine of the reranked survivors.
 
     Phase 1 is numpy per partition: per (query, subspace) a 256-entry
-    dot-product table (query-normalized), candidate score = sum of M table
-    lookups — the assembleAndSum gather (VectorUtilSupport.java:102-115).
-    Partial top-rerank_k per partition bounds the shuffle.
+    dot-product table of dot(q_sub, centroid) — an UNNORMALIZED partial
+    dot product (any per-query constant scales ranks identically);
+    candidate score = sum of M table lookups — the assembleAndSum gather
+    (VectorUtilSupport.java:102-115). Partial top-rerank_k per partition
+    bounds the shuffle.
+
+    `vectors` (optional): the full-precision source to fetch rerank rows
+    from. Default None joins back to `encoded` — correct, but when
+    `encoded` is an UNCACHED pq_encode plan, that join re-runs the whole
+    Python encode pipeline (mapInPandas is opaque to column pruning)
+    just to read the pass-through (id, embedding) columns; pass the
+    original vectors DataFrame (or cache `encoded`) to avoid it.
     """
     if rerank_k is None:
         rerank_k = 4 * k
     spark = encoded.sparkSession
     qpdf = queries.toPandas()
+    if not len(qpdf):  # empty query batch: empty result, same schema
+        return spark.createDataFrame(
+            [], f"qid long, rank int, {id_col} long, score double")
     Q = np.stack(qpdf[qvec_col].to_numpy()).astype(np.float64)
     qids = qpdf[qid_col].to_numpy(np.int64)
     m, n_clusters, sub = codebooks.shape
-    # per-query per-subspace lookup tables: dot(q_sub, centroid) / |q|
-    qnorm = np.sqrt((Q * Q).sum(1))
     tables = np.empty((len(Q), m, n_clusters))
     for s in range(m):
         tables[:, s, :] = Q[:, s * sub : (s + 1) * sub] @ codebooks[s].T
-    b = spark.sparkContext.broadcast((qids, tables, qnorm))
+    b = spark.sparkContext.broadcast((qids, tables))
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, tables_, qnorm_ = b.value
+        qids_, tables_ = b.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             codes = np.frombuffer(
                 b"".join(pdf["codes"].to_numpy()), dtype=np.uint8
             ).reshape(len(pdf), m)
@@ -507,8 +528,9 @@ def pq_adc_topk(
     qdf = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv")
     )
+    rerank_src = vectors if vectors is not None else encoded
     exact = (
-        survivors.join(encoded.select(id_col, vec_col), id_col)
+        survivors.join(rerank_src.select(id_col, vec_col), id_col)
         .join(F.broadcast(qdf), "qid")
         .select(
             "qid", id_col,

@@ -98,6 +98,14 @@ def _append_micro_segment_locked(
     import pandas as pd
 
     spark = batch_df.sparkSession
+    # within-BATCH dedup first: an at-least-once source can deliver the
+    # same key twice inside one micro-batch (or availableNow can collapse
+    # a redelivery into the original's batch) — the committed-segment
+    # anti-join below can't see either copy, and without this both would
+    # get docids and the index would serve the doc twice forever.
+    # dropDuplicates is null-safe on the key columns (null == null),
+    # matching key_join_cond's committed-copy equality
+    batch_df = batch_df.dropDuplicates(list(key_cols))
     base = 0
     old = None
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
@@ -178,13 +186,16 @@ def _append_micro_segment_locked(
                     return
 
     # dense contiguous docids for this batch, stable under re-delivery:
-    # order by the key columns (same contract as assign_dense_docids)
+    # order by the key columns (same contract as assign_dense_docids).
+    # The partitionBy-less Window is the single-partition ordering pass;
+    # a pre-orderBy/coalesce would be a full extra shuffle whose output
+    # ordering the Window immediately re-derives (and build_index
+    # repartitions by docid range again after)
     w_cols = [F.col(c) for c in key_cols]
-    batch_sorted = batch_df.orderBy(*w_cols).coalesce(segments_per_batch)
     from pyspark.sql.window import Window
 
     wn = Window.orderBy(*w_cols)
-    with_ids = batch_sorted.withColumn(
+    with_ids = batch_df.withColumn(
         "docid", (F.row_number().over(wn) - 1 + F.lit(base)).cast("long")
     )
     # build segments WITHOUT publishing a manifest (write_manifest=False):

@@ -14,6 +14,18 @@ live clock, so tests assert closed == batch-minus-open).
 
 Scale shape: state is O(active users), partitioned by user_id; each
 micro-batch group processes as one pandas frame (Arrow transport).
+
+Late data: events arriving in a later micro-batch but timestamped before
+the open session's last-seen event are handled by splicing a zero-weight
+virtual event at the stored max into the sorted stream — boundaries and
+counts then match the batch twin for any lateness within the gap window
+(the stored max never regresses, and gaps are measured against it).
+Events older than that (beyond the gap window before the stored max)
+emit as their own late sessions — the batch twin would have merged them
+into an already-emitted session, which no streaming operator can retract;
+bound that window with the stream's watermark. sum_value float
+association assumes in-order arrival (a late event's value accumulates
+when it arrives, not at its timestamp's position).
 """
 
 from __future__ import annotations
@@ -44,6 +56,18 @@ SESSION_STATE = StructType([
 ])
 
 
+def _round4(x):
+    """HALF_UP at 4 decimals (sign-aware floor(|x|*1e4 + 0.5)): the batch
+    twin rounds with Spark F.round, whose HALF_UP disagrees with
+    np.round/round's half-to-even exactly at representable .5 ties —
+    the parity contract must not hinge on the rounding mode."""
+    import numpy as np
+
+    a = np.asarray(x, dtype=np.float64)
+    r = np.sign(a) * np.floor(np.abs(a) * 1e4 + 0.5) / 1e4
+    return float(r) if np.isscalar(x) or a.ndim == 0 else r
+
+
 def _session_fn_factory(gap_sec: float):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -69,31 +93,53 @@ def _session_fn_factory(gap_sec: float):
         )
         secs = pdf["ts"].map(pd.Timestamp.timestamp).to_numpy(np.float64)
         vals = pdf["value"].to_numpy(np.float64)
+        absorbed = last is not None and secs[0] - last <= gap_sec
+        pos = 0
+        if absorbed and last > secs[0]:
+            # late arrivals (events older than the open session's last
+            # seen timestamp): splice a zero-weight VIRTUAL event at
+            # `last` into the sorted stream, so gap detection below
+            # compares against the session's true max — without it a
+            # late batch silently regressed the open session's end and
+            # shifted every later boundary (an in-batch gap measured
+            # from the late event, not the stored max)
+            pos = int(np.searchsorted(secs, last, side="right"))
+            secs = np.insert(secs, pos, last)
+            vals = np.insert(vals, pos, 0.0)
+            real = np.ones(len(secs), dtype=np.int64)
+            real[pos] = 0
+        else:
+            real = np.ones(len(secs), dtype=np.int64)
         # session-start flags: first event always starts a group
         newf = np.empty(len(secs), dtype=bool)
         newf[0] = True
         newf[1:] = (secs[1:] - secs[:-1]) > gap_sec
         starts = np.flatnonzero(newf)
         ends = np.append(starts[1:], len(secs))
-        g_n = (ends - starts).astype(np.int64)
+        g_n = np.add.reduceat(real, starts).astype(np.int64)
         g_sum = np.add.reduceat(vals, starts)
         g_start = secs[starts].copy()
         g_end = secs[ends - 1]
 
         out = None
-        if last is not None and secs[0] - last <= gap_sec:
-            # open state session absorbs the batch's first group; the
-            # carry accumulates FIRST (val0 precedes the batch's events,
-            # matching the incremental accumulation order — appending it
-            # after the group sum would reassociate the float total)
-            g_n[0] += n0
-            g_sum[0] = float(np.add.reduce(
-                np.concatenate(([val0], vals[: ends[0]]))))
+        if absorbed:
+            # the open state session absorbs the group CONTAINING its
+            # virtual max-timestamp event (group 0 in the ordinary
+            # in-order case; later when events older than the gap window
+            # precede it — those form their own late-orphan sessions).
+            # The carry accumulates FIRST (val0 precedes the batch's
+            # events, matching the incremental accumulation order —
+            # appending it after the group sum would reassociate the
+            # float total)
+            vg = int(np.searchsorted(starts, pos, side="right") - 1)
+            g_n[vg] += n0
+            g_sum[vg] = float(np.add.reduce(
+                np.concatenate(([val0], vals[starts[vg]: ends[vg]]))))
             if start0 is not None:
-                g_start[0] = start0
+                g_start[vg] = min(float(start0), float(g_start[vg]))
         elif last is not None:
             # gap before the batch: the open session closes now
-            out = [(user_id, s_idx, n0, round(val0, 4),
+            out = [(user_id, s_idx, n0, _round4(val0),
                     int(start0), int(last))]
             s_idx += 1
         # every group but the last closes within this batch
@@ -103,7 +149,7 @@ def _session_fn_factory(gap_sec: float):
                 "user_id": user_id,
                 "session_idx": s_idx + np.arange(closed, dtype=np.int64),
                 "n_events": g_n[:closed],
-                "sum_value": np.round(g_sum[:closed], 4),
+                "sum_value": _round4(g_sum[:closed]),
                 "start_sec": g_start[:closed].astype(np.int64),
                 "end_sec": g_end[:closed].astype(np.int64),
             })

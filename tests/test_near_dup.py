@@ -137,3 +137,17 @@ def test_near_dup_groups_transitive(spark):
     assert groups.get(0) == 0 and groups.get(1) == 0, groups
     assert groups.get(2) == 0, f"transitivity failed: {groups}"
     assert all(d < 3 for d in groups), f"fillers clustered: {groups}"
+
+
+def test_embedding_lsh_rejects_nondivisible_planes(spark):
+    """n_planes not a multiple of band_bits would compute trailing
+    hyperplane dots per row but never band them (silent recall loss +
+    wasted scan cost) — rejected up front (review finding)."""
+    import pandas as pd
+
+    from jvector_spark.operators.ann import embedding_lsh_near_dup
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]}))
+    with pytest.raises(ValueError, match="multiple of"):
+        embedding_lsh_near_dup(df, n_planes=18, band_bits=4)

@@ -178,3 +178,29 @@ def test_ivf_partitioned_prunes_and_matches(spark, vectors_df, tmp_path_factory)
         .sort_values(["qid", "rank"]).reset_index(drop=True)
     assert exact[["qid", "vec_id"]].values.tolist() == \
         brute[["qid", "vec_id"]].values.tolist()
+
+
+def test_pq_adc_topk_empty_queries(spark, vectors_df):
+    """An empty query batch returns an empty, correctly-typed result
+    (review finding: np.stack crashed on the driver)."""
+    books = train_pq(vectors_df, m=8, seed=3)
+    enc = pq_encode(vectors_df, books)
+    empty_q = spark.createDataFrame([], "qid long, qvec array<float>")
+    out = pq_adc_topk(enc, empty_q, books, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "qid", "rank", "vec_id", "score"]
+
+
+def test_pq_adc_topk_rerank_from_vectors_source(spark, vectors_df):
+    """vectors= fetches rerank rows from the original table instead of
+    re-running the encode plan; results are identical."""
+    books = train_pq(vectors_df, m=8, seed=3)
+    enc = pq_encode(vectors_df, books)
+    queries = vectors_df.limit(3).selectExpr(
+        "vec_id as qid", "embedding as qvec")
+    a = pq_adc_topk(enc, queries, books, k=5).toPandas()
+    b = pq_adc_topk(enc, queries, books, k=5, vectors=vectors_df).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["qid", "rank"]).reset_index(drop=True),
+        b.sort_values(["qid", "rank"]).reset_index(drop=True))

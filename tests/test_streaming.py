@@ -245,3 +245,101 @@ def test_sessionize_matches_spark_builtin_session_window(spark):
     assert a["user_id"].tolist() == b["user_id"].tolist()
     assert a["n_events"].tolist() == b["n_events"].tolist()
     assert a["start_sec"].tolist() == b["start_sec"].tolist()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the session fn directly
+    (batch-by-batch control the streaming harness can't give)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, *_):
+        pass
+
+
+def _drive_session(fn, state, rows):
+    ts = pd.to_datetime([r[0] for r in rows], unit="s")
+    pdf = pd.DataFrame({
+        "ts": ts,
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "value": np.array([r[1] for r in rows], dtype=np.float64),
+    })
+    return list(fn((7,), iter([pdf]), state))
+
+
+def test_session_late_event_does_not_regress_boundary():
+    """A late event (older than the open session's last-seen ts, within
+    the gap) must not regress the stored max: the next batch's gap test
+    compares against the true max, like the batch twin (review finding:
+    state stored the late batch's end, splitting sessions the batch twin
+    keeps whole)."""
+    from jvector_spark.streaming.sessions import _session_fn_factory
+
+    fn = _session_fn_factory(gap_sec=1800.0)
+    st = _FakeState()
+    assert _drive_session(fn, st, [(500, 1.0), (1000, 1.0)]) == []
+    assert _drive_session(fn, st, [(900, 1.0)]) == []  # late, absorbed
+    assert st.get[1] == 1000.0  # stored max did NOT regress to 900
+    # 2750 - 1000 = 1750 <= 1800: same session continues (pre-fix the
+    # regressed max closed it at a phantom boundary)
+    out = _drive_session(fn, st, [(2750, 1.0)])
+    assert out == []
+    s_idx, last, n0, val0, start0 = st.get
+    assert (last, n0, start0) == (2750.0, 4, 500.0)
+    # closing emission carries the true extent
+    closed = _drive_session(fn, st, [(99999, 0.0)])
+    row = closed[0].iloc[0]
+    assert (row["start_sec"], row["end_sec"], row["n_events"]) == (500, 2750, 4)
+
+
+def test_session_rounding_is_half_up_like_batch_twin(spark):
+    """sum_value rounds HALF_UP (Spark F.round semantics), not numpy's
+    half-to-even: a session summing to an exactly-representable tie like
+    0.03125 must emit 0.0313, as the batch twin does."""
+    from pyspark.sql import functions as F
+
+    from jvector_spark.streaming.sessions import _session_fn_factory
+
+    fn = _session_fn_factory(gap_sec=1800.0)
+    st = _FakeState()
+    _drive_session(fn, st, [(0, 0.03125)])
+    out = _drive_session(fn, st, [(100000, 1.0)])
+    got = float(out[0]["sum_value"].iloc[0])
+    exp = spark.range(1).select(
+        F.round(F.lit(0.03125), 4).alias("r")).collect()[0]["r"]
+    assert got == exp == 0.0313
+    assert got != np.round(0.03125, 4)  # the half-even value (0.0312)
+
+
+def test_within_batch_duplicate_keys_index_once(spark, corpus_pdf,
+                                                tmp_path_factory):
+    """An at-least-once source can deliver the same key twice INSIDE one
+    micro-batch; the committed-segment anti-join can't see either copy,
+    so the batch itself must dedup (review finding: both copies got
+    docids and the doc served twice forever)."""
+    from jvector_spark.streaming.micro_segments import append_micro_segment
+
+    idx = str(tmp_path_factory.mktemp("dup_idx"))
+    keyed = corpus_pdf.sort_values(["repo", "path", "commit"]).head(30)
+    doubled = pd.concat([keyed, keyed.head(10)], ignore_index=True)
+    append_micro_segment(spark.createDataFrame(doubled), 0, idx)
+    man = load_manifest(idx)
+    assert man["n_docs"] == 30
+    # and a docid-granular check: every committed key appears once
+    import glob as _glob
+    docs = pd.concat([pd.read_parquet(p) for p in
+                      _glob.glob(os.path.join(idx, "seg-*", "docs.parquet"))])
+    assert not docs.duplicated(["repo", "path", "commit"]).any()
+    assert docs["docid"].is_unique and len(docs) == 30
