@@ -239,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
     spark, owns = _get_session(args.master)
     try:
         if args.cmd == "build":
-            from jvector_spark.operators.ids import assign_dense_docids
+            from jvector_spark.operators.ids import (
+                assign_dense_docids, release_docid_source)
             from jvector_spark.sources.segment import build_index
 
             key_cols = tuple(args.key_cols.split(","))
@@ -247,11 +248,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.input), key_cols=key_cols,
                 num_partitions=args.segments,
             )
-            manifest = build_index(
-                docs, args.index, mode=args.mode, num_segments=args.segments,
-                content_col=args.content_col, key_cols=key_cols,
-                assume_partitioned=True, positions=args.positions,
-            )
+            try:
+                manifest = build_index(
+                    docs, args.index, mode=args.mode,
+                    num_segments=args.segments,
+                    content_col=args.content_col, key_cols=key_cols,
+                    assume_partitioned=True, positions=args.positions,
+                )
+            finally:
+                release_docid_source(docs)
             print(json.dumps({
                 "segments": len(manifest),
                 "built": int((manifest["status"] == "built").sum()),

@@ -64,4 +64,21 @@ def assign_dense_docids(
             pos += len(pdf)
             yield pdf
 
-    return sorted_df.mapInPandas(add_ids, schema=schema)
+    out = sorted_df.mapInPandas(add_ids, schema=schema)
+    # the persist is load-bearing BETWEEN the count job above and the
+    # caller's consuming action (without it the second job re-shuffles
+    # the whole corpus), but it must not pin the corpus in executor
+    # memory for the session's lifetime — expose the handle so callers
+    # release it once their terminal action finishes
+    out._jv_persisted_source = sorted_df
+    return out
+
+
+def release_docid_source(df: DataFrame) -> None:
+    """Unpersist the cached sorted corpus behind an assign_dense_docids
+    result. Call after the consuming action (e.g. build_index) has
+    materialized — long-lived sessions (warm serving, repeated CLI
+    builds) otherwise keep the whole corpus pinned in executor cache."""
+    src = getattr(df, "_jv_persisted_source", None)
+    if src is not None:
+        src.unpersist()

@@ -36,7 +36,8 @@ class BM25Oracle:
         self.avgdl = float(self.doclen.mean()) if self.n_docs else 0.0
         # postings: term -> (docids sorted asc, tfs)
         ex = pd.DataFrame({
-            "docid": np.repeat(self.docids, toks.map(len).to_numpy()),
+            "docid": np.repeat(self.docids,
+                               toks.map(len).to_numpy(dtype=np.int64)),
             "term": np.concatenate(toks.to_numpy()) if self.n_docs else np.array([], dtype=object),
         })
         tf = ex.groupby(["term", "docid"], sort=True).size().rename("tf").reset_index()

@@ -37,6 +37,16 @@ from jvector_spark.sources.segment import SegmentReader, load_manifest
 VERIFY_SCHEMA = "segment_id string, ok boolean, errors array<string>"
 
 
+def _sha256_file(path: str, chunk: int = 1 << 22) -> str:
+    """Constant-memory file digest — a multi-GB postings blob must not
+    materialize as one bytes object inside a verify task."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(chunk), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
 def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list[str]]:
     errors: list[str] = []
     try:
@@ -46,9 +56,7 @@ def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list
     meta = reader.meta
     blob_path = os.path.join(path, "postings.bin")
     try:
-        with open(blob_path, "rb") as f:
-            sha = hashlib.sha256(f.read()).hexdigest()
-        if sha != meta.get("postings_sha256"):
+        if _sha256_file(blob_path) != meta.get("postings_sha256"):
             errors.append("postings_sha256 mismatch")
     except OSError as e:
         errors.append(f"postings.bin: {e!r}")
@@ -57,18 +65,23 @@ def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list
         from jvector_spark.sources.segment import (
             bloom_may_contain, load_term_bloom)
 
-        with open(bloom_path, "rb") as f:
-            bsha = hashlib.sha256(f.read()).hexdigest()
-        if "bloom_sha256" in meta and bsha != meta["bloom_sha256"]:
-            errors.append("bloom_sha256 mismatch")
-        bloom = load_term_bloom(path)
-        if bloom is None:
-            errors.append("bloom.bin wrong size")
-        else:
-            for t in reader.terms[:200]:
-                if not bloom_may_contain(bloom, t):
-                    errors.append(f"bloom false negative for {t!r}")
-                    break
+        # same error discipline as postings.bin: a vanished-under-vacuum
+        # or EIO bloom read is exactly what fsck exists to REPORT, not a
+        # reason to fail the whole verify job
+        try:
+            bsha = _sha256_file(bloom_path)
+            if "bloom_sha256" in meta and bsha != meta["bloom_sha256"]:
+                errors.append("bloom_sha256 mismatch")
+            bloom = load_term_bloom(path)
+            if bloom is None:
+                errors.append("bloom.bin wrong size")
+            else:
+                for t in reader.terms[:200]:
+                    if not bloom_may_contain(bloom, t):
+                        errors.append(f"bloom false negative for {t!r}")
+                        break
+        except OSError as e:
+            errors.append(f"bloom.bin: {e!r}")
     df_sum = 0
     lo, hi = int(meta["min_docid"]), int(meta["max_docid"])
     terms = reader.terms if max_terms is None else reader.terms[:max_terms]
@@ -93,14 +106,21 @@ def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list
                 errors.append(f"term {t!r}: docids outside segment range")
             if (tf < 1).any():
                 errors.append(f"term {t!r}: tf < 1")
-        if reader.has_positions and not errors:
-            dp, tfp, pos = reader.decode_term_positions(t)
-            off = np.concatenate(([0], np.cumsum(tfp)))
-            for i in range(min(len(dp), 8)):  # spot-check per-posting order
-                seg = pos[off[i]:off[i + 1]]
-                if len(seg) > 1 and not (np.diff(seg) > 0).all():
-                    errors.append(f"term {t!r}: positions not ascending")
-                    break
+        if reader.has_positions:
+            # per-TERM check (not gated on the segment-wide errors list:
+            # one benign dictionary inconsistency must not hide position
+            # corruption in every later term), and decode failures are
+            # reported as error rows, never a crashed verify job
+            try:
+                dp, tfp, pos = reader.decode_term_positions(t)
+                off = np.concatenate(([0], np.cumsum(tfp)))
+                for i in range(min(len(dp), 8)):  # spot-check order
+                    seg = pos[off[i]:off[i + 1]]
+                    if len(seg) > 1 and not (np.diff(seg) > 0).all():
+                        errors.append(f"term {t!r}: positions not ascending")
+                        break
+            except Exception as e:
+                errors.append(f"term {t!r}: positions decode failed: {e!r}")
     if max_terms is None and df_sum != int(meta["n_postings"]):
         errors.append(f"sum(df)={df_sum} != n_postings={meta['n_postings']}")
     try:

@@ -694,7 +694,8 @@ class IndexServer:
         file'). Only valid on an empty (just-CREATEd) session, mirroring
         the reference's write-vs-bulkload session split
         (IPCService.java:130): to reload, CREATE again first."""
-        from jvector_spark.operators.ids import assign_dense_docids
+        from jvector_spark.operators.ids import (
+            assign_dense_docids, release_docid_source)
         from jvector_spark.plans.merge import index_config
         from jvector_spark.sources.segment import build_index
 
@@ -707,11 +708,16 @@ class IndexServer:
         with_ids = assign_dense_docids(
             docs, key_cols=cfg["key_cols"],
             num_partitions=num_segments)
-        build_index(
-            with_ids, self.index_dir, mode=cfg["tokenizer_mode"],
-            num_segments=num_segments, content_col=cfg["content_col"],
-            key_cols=cfg["key_cols"], positions=cfg["has_positions"],
-            assume_partitioned=True)
+        try:
+            build_index(
+                with_ids, self.index_dir, mode=cfg["tokenizer_mode"],
+                num_segments=num_segments, content_col=cfg["content_col"],
+                key_cols=cfg["key_cols"], positions=cfg["has_positions"],
+                assume_partitioned=True)
+        finally:
+            # the warm session lives on: don't leave the bulkloaded
+            # corpus pinned in executor cache next to the serving pools
+            release_docid_source(with_ids)
         self._mutation_gen += 1
         self._manifest_gen += 1
         self._refresh_unconditionally()
@@ -1114,9 +1120,13 @@ def serve_loop(server: IndexServer, in_stream: IO[str],
             elif op == "write":
                 resp = {"ok": True, **server.write(req["docs"])}
             elif op == "bulkload":
+                # is-not-None, like nprobe/ef above: segments=0 is an
+                # invalid request that must be rejected downstream, not
+                # silently aliased to auto-sizing
                 seg = req.get("segments")
                 resp = {"ok": True, **server.bulkload(
-                    req["path"], num_segments=int(seg) if seg else None)}
+                    req["path"],
+                    num_segments=int(seg) if seg is not None else None)}
             elif op == "optimize":
                 resp = {"ok": True, **server.optimize()}
             elif op == "memory":

@@ -51,6 +51,19 @@ _MALLOC_TUNING = {
 }
 
 
+def _infer_shuffle_partitions(master: str) -> int:
+    """Local mode: match shuffle partitions to cores (on a real cluster
+    this would be ~2-3x total executor cores; AQE coalesces the excess).
+    Handles local[N], local[N,maxFailures], local-cluster[n,c,m]; "*",
+    cluster URLs, or anything unparseable falls back to 32."""
+    n = master[master.find("[") + 1: master.find("]")] if "[" in master else "32"
+    n = n.split(",")[0].strip()
+    try:
+        return 32 if n == "*" else int(n)
+    except ValueError:
+        return 32
+
+
 def get_spark(
     app_name: str = "jvector_spark",
     master: str | None = None,
@@ -63,10 +76,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local mode: match cores; on a real cluster this would be
-        # ~2-3x total executor cores (AQE coalesces the excess).
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else int(n)
+        shuffle_partitions = _infer_shuffle_partitions(master)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -584,3 +584,37 @@ def test_tombstone_writers_serialized(spark, corpus_df, tmp_path_factory):
     t.join(5)
     assert done.is_set()
     assert 7 in load_tombstones(idx)
+
+
+def test_fsck_reports_position_rot_as_row_not_crash(spark, corpus_df,
+                                                    tmp_path_factory,
+                                                    monkeypatch):
+    """Corrupt positional payloads must land in the segment's error row,
+    and one unrelated dictionary error must not hide position corruption
+    in later terms (review findings: positions decoded outside any try,
+    gated on the segment-wide errors list)."""
+    from jvector_spark.plans.verify import _verify_segment
+    from jvector_spark.sources.segment import SegmentReader
+
+    idx = str(tmp_path_factory.mktemp("idx_posrot"))
+    manifest = build_index(assign_dense_docids(corpus_df), idx,
+                          num_segments=2, positions=True)
+    seg = manifest["path"].iloc[0]
+
+    def boom(self, t):
+        raise RuntimeError("bit rot")
+
+    monkeypatch.setattr(SegmentReader, "decode_term_positions", boom)
+    ok, errors = _verify_segment(seg, max_terms=3)
+    assert not ok
+    assert any("positions decode failed" in e for e in errors)
+    # one failure per checked term — later terms are NOT skipped
+    assert sum("positions decode failed" in e for e in errors) == 3
+
+
+def test_oracle_accepts_empty_corpus(corpus_pdf):
+    from jvector_spark.oracle import BM25Oracle
+
+    o = BM25Oracle(corpus_pdf.iloc[0:0])
+    assert o.n_docs == 0 and o.postings == {}
+    assert len(o.topk(["import"], 5)) == 0

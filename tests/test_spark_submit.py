@@ -138,3 +138,15 @@ def test_spark_submit_pyfiles_build_search(
     assert list(got["qid"]) == list(golden["qid"])
     assert list(got["docid"]) == list(golden["docid"])
     assert np.array_equal(got["score"].to_numpy(), golden["score"].to_numpy())
+
+
+def test_get_spark_master_parse_tolerates_commas():
+    """local[4,2] (Spark's local-with-maxFailures syntax) and
+    local-cluster[2,1,1024] must not crash shuffle-partition inference
+    (review finding: int('4,2') raised before the session was built)."""
+    from jvector_spark.session import _infer_shuffle_partitions as infer
+
+    assert infer("local[4,2]") == 4
+    assert infer("local-cluster[2,1,1024]") == 2
+    assert infer("local[*]") == 32
+    assert infer("spark://host:7077") == 32
