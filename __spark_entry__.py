@@ -230,12 +230,23 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
+    # content signature: regenerated FIXTURES must invalidate the cache
+    # too, not just library-format bumps — an old index over a new
+    # documents.parquet passes every structural check while the oracle
+    # reads the new file (the stale-entry-cache class _input_sig guards
+    # for every other /tmp artifact)
+    sig = _input_sig(sf_dir, "documents.parquet",
+                     extra=f"v{SEGMENT_FORMAT_VERSION}|simple|8|pos")
+    sig_path = os.path.join(index_dir, "_INPUT_SIG")
     # rebuild a cached index written by an older library state (stale /tmp
     # survives process restarts; "metrics" marks the current manifest shape)
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         try:
             m = load_manifest(index_dir)
+            cached_sig = (open(sig_path).read()
+                          if os.path.exists(sig_path) else "")
             if (m.get("version") != SEGMENT_FORMAT_VERSION
+                    or cached_sig != sig
                     or "metrics" not in m
                     or not m.get("has_positions")
                     or not os.path.exists(
@@ -253,6 +264,8 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             content_col="text", key_cols=("source", "lang"),
             positions=True,
         )
+        with open(sig_path, "w") as f:
+            f.write(sig)
     return index_dir
 
 
@@ -278,16 +291,26 @@ def q_bm25_topk_index_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.sources.segment import build_index, load_manifest
     from jvector_spark.operators.wand import search_index
 
+    from jvector_spark import SEGMENT_FORMAT_VERSION
+
     tag = os.path.basename(os.path.normpath(sf_dir)) + "-nvq"
     index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
+    # same staleness discipline as _ensure_index: format version AND
+    # fixture content signature, not just manifest shape
+    sig = _input_sig(sf_dir, "documents.parquet",
+                     extra=f"v{SEGMENT_FORMAT_VERSION}|simple|8|qmeta")
+    sig_path = os.path.join(index_dir, "_INPUT_SIG")
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         try:
             m = load_manifest(index_dir)
-            if "metrics" not in m or not any(
-                s.get("path") and os.path.exists(
-                    os.path.join(s["path"], "meta.json"))
-                for s in m.get("segments", [])
-            ):
+            cached_sig = (open(sig_path).read()
+                          if os.path.exists(sig_path) else "")
+            if (m.get("version") != SEGMENT_FORMAT_VERSION
+                    or cached_sig != sig
+                    or "metrics" not in m or not any(
+                        s.get("path") and os.path.exists(
+                            os.path.join(s["path"], "meta.json"))
+                        for s in m.get("segments", []))):
                 shutil.rmtree(index_dir, ignore_errors=True)
         except Exception:
             shutil.rmtree(index_dir, ignore_errors=True)
@@ -301,6 +324,8 @@ def q_bm25_topk_index_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
             content_col="text", key_cols=("source", "lang"),
             quantize_meta=True,
         )
+        with open(sig_path, "w") as f:
+            f.write(sig)
     out = search_index(spark, index_dir, _qpdf())
     return _rerank_rounded(out)
 
@@ -373,11 +398,13 @@ def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.wand import search_index
 
     index_dir = _ensure_index(spark, sf_dir)
-    # fetch 2k per query, slice the second page of the rounded ordering —
-    # boundary-robust vs the oracle (the raw `after` cursor API is exercised
-    # bit-exactly against the numpy oracle in tests/test_search_modes.py)
+    # page 2 consumes rounded ranks (k, 2k], so the RAW fetch needs the
+    # k_mult=2 slack applied to 2k — i.e. 4k — or a <1e-6 tie straddling
+    # the raw cutoff could change rounded rank-2k membership (the exact
+    # failure class _qpdf documents; the raw `after` cursor API is
+    # exercised bit-exactly in tests/test_search_modes.py)
     qpdf = pd.DataFrame(
-        [(qid, terms, 2 * k) for qid, terms, k in BM25_QUERY_SET],
+        [(qid, terms, 4 * k) for qid, terms, k in BM25_QUERY_SET],
         columns=["qid", "terms", "k"],
     )
     out = search_index(spark, index_dir, qpdf)
@@ -554,11 +581,16 @@ def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jvector_spark.operators.fuzzy import suggest_terms
 
     index_dir = _ensure_index(spark, sf_dir)
-    pdf = suggest_terms(
-        index_dir,
-        {qid: (t, d) for qid, t, d, _ in SUGGEST_QUERY_SET},
-        n=SUGGEST_QUERY_SET[0][3],
-    )
+    # honor each query's OWN n (the oracle does): one suggest_terms call
+    # per distinct n — a single global n silently truncated any query
+    # whose n differed from the first entry's
+    parts = []
+    for n in sorted({n for *_, n in SUGGEST_QUERY_SET}):
+        qs = {qid: (t, d) for qid, t, d, nn in SUGGEST_QUERY_SET
+              if nn == n}
+        parts.append(suggest_terms(index_dir, qs, n=n))
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values(["qid", "rank"]).reset_index(drop=True))
     return spark.createDataFrame(
         pdf, "qid long, rank int, term string, dist long, df long")
 
@@ -1985,17 +2017,25 @@ FROM reach GROUP BY 1
 
 
 def _fixture_emb_dim(default: int = 64) -> int:
-    """Embedding dimensionality read from the first available fixture —
-    the oracle's hyperplane VALUES must match the data the engine reads
-    (a hardcoded dim would silently truncate dots if fixtures changed)."""
+    """Embedding dimensionality read from the fixtures — the oracle's
+    hyperplane VALUES must match the data the engine reads (a hardcoded
+    dim would silently truncate dots if fixtures changed). oracle_sql()
+    is sf-agnostic (one SQL string for every sf the driver runs), so
+    ALL present fixtures must agree on the dim; a disagreement raises
+    loudly here instead of silently truncating the SQL-side join."""
     import pyarrow.parquet as papq
 
+    dims: dict[str, int] = {}
     for sf in ("sf0.01", "sf0.001", "sf0.1"):
         p = f"/root/testdata/{sf}/embeddings.parquet"
         if os.path.exists(p):
             tbl = papq.read_table(p, columns=["embedding"]).slice(0, 1)
-            return len(tbl.column("embedding")[0].as_py())
-    return default
+            dims[sf] = len(tbl.column("embedding")[0].as_py())
+    if len(set(dims.values())) > 1:
+        raise ValueError(
+            f"fixtures disagree on embedding dim: {dims} — the "
+            "sf-agnostic LSH oracle cannot serve both")
+    return next(iter(dims.values()), default)
 
 
 def _embed_lsh_oracle() -> str:

@@ -63,6 +63,14 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name silently matching nothing would exit 0 — a
+            # false PASS from the gate-replication tool
+            print(f"UNKNOWN QUERY NAME(S): {unknown} "
+                  f"(known: {sorted(qs)[:8]}...)")
+            return 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,7 +91,10 @@ def main() -> int:
             print(f"{name:24s} DUCK ERROR: {type(ex).__name__}: {str(ex)[:300]}")
             failures += 1
             continue
-        verdict = compare(name, spdf, dpdf)
+        try:
+            verdict = compare(name, spdf, dpdf)
+        except Exception as ex:  # malformed result: count ONE failure,
+            verdict = f"COMPARE ERROR: {type(ex).__name__}: {str(ex)[:200]}"
         print(f"{name:24s} rows={len(spdf)} {verdict} [{time.time()-t0:.1f}s]")
         if verdict != "OK":
             failures += 1
