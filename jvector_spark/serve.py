@@ -108,11 +108,14 @@ class VectorPool:
                  n_clusters: int | None = None, seed: int = 42,
                  quantize: str | None = None,
                  graph_R: int | None = None,
-                 graph_fused: bool = False) -> None:
+                 graph_fused: bool = False,
+                 graph_hier: bool = False) -> None:
         import pyarrow.parquet as pq_mod
 
         if quantize not in (None, "nvq"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if graph_hier and not graph_R:
+            raise ValueError("graph_hier requires graph_R (a graph tier)")
         if graph_fused and (quantize != "nvq" or not graph_R):
             # the reference fuses COMPRESSED codes into the graph, never
             # raw floats (duplicating float rows x2R would defeat the
@@ -176,8 +179,10 @@ class VectorPool:
         # pool's scoring kernel, so it works over NVQ codes too.
         self.graph_R = graph_R
         self.graph_fused = bool(graph_fused)
+        self.graph_hier = bool(graph_hier)
         self._graph = None
         self._fused = None
+        self._hier = None
         if graph_R:
             self._build_graph(mat, graph_R)
             if self.graph_fused:
@@ -213,18 +218,23 @@ class VectorPool:
             })
 
     def _build_graph(self, mat: np.ndarray, R: int) -> None:
-        from jvector_spark.operators.graph import _build_cluster_graph
+        from jvector_spark.operators.graph import (
+            _build_cluster_graph, _node_levels)
 
         unit = mat / np.maximum(
             np.sqrt((mat * mat).sum(axis=1))[:, None], 1e-12)
         cells = (self.cells if self.centroids is not None
                  else [np.arange(self.n)])
         self._graph = []
+        if self.graph_hier:
+            self._hier = []
         for members in cells:
             m = len(members)
             if m == 0:  # Lloyd can leave a centroid memberless
                 self._graph.append((members, [],
                                     np.empty(0, dtype=np.int64)))
+                if self._hier is not None:
+                    self._hier.append(None)
                 continue
             adj, medoid = _build_cluster_graph(
                 unit[members], R=R, alpha=1.2)
@@ -233,6 +243,33 @@ class VectorPool:
                 np.asarray([medoid], dtype=np.int64),
                 np.arange(0, m, max(1, m // 64), dtype=np.int64)[:64]]))
             self._graph.append((members, nbrs, seeds))
+            if self._hier is None:
+                continue
+            # HNSW-style in-cell upper layers, the warm twin of
+            # graph.build_hierarchy: same deterministic id-hash level
+            # sampling, same alpha-pruned per-layer construction; cells
+            # too small to sample upper nodes keep the stride seeds
+            levels = _node_levels(self.ids[members], R, m)
+            top = int(levels.max(initial=0))
+            amap: dict[int, dict[int, np.ndarray]] = {}
+            for lvl in range(1, top + 1):
+                sub = np.flatnonzero(levels >= lvl)
+                if len(sub) == 0:
+                    top = lvl - 1
+                    break
+                if len(sub) == 1:
+                    ladj = [[]]
+                else:
+                    ladj, _ = _build_cluster_graph(
+                        unit[members][sub], R=R, alpha=1.2)
+                amap[lvl] = {
+                    int(sub[j]): sub[np.asarray(a, dtype=np.int64)]
+                    for j, a in enumerate(ladj)}
+            if top < 1:
+                self._hier.append(None)
+                continue
+            at_top = np.flatnonzero(levels >= top)
+            self._hier.append((amap, int(at_top[0]), top))
 
     def _train_ivf(self, mat: np.ndarray, n_clusters: int, seed: int,
                    iters: int = 8) -> None:
@@ -300,6 +337,18 @@ class VectorPool:
             return (np.empty(0, dtype=np.int64), np.empty(0), 0, 0)
         fz = self._fused[cell] if self._fused is not None else None
         qsum = float(q.sum())
+        d_evals = 0
+        hier = self._hier[cell] if self._hier is not None else None
+        if hier is not None:
+            # greedy multi-layer descent replaces the stride seeds (the
+            # warm internalSearch:250-269); scoring goes through the
+            # pool's own kernel, so NVQ pools descend over codes
+            from jvector_spark.operators.graph import _descend_layers
+
+            amap, entry_pos, top = hier
+            seeds, d_evals = _descend_layers(
+                amap, entry_pos, top,
+                lambda p: self._score_positions(members[p], q, qn))
         visited = np.zeros(m, dtype=bool)
         visited[seeds] = True
         sims0 = self._score_positions(members[seeds], q, qn)
@@ -370,7 +419,8 @@ class VectorPool:
         cp = np.asarray(cand_pos, dtype=np.int64)
         cs = np.asarray(cand_sim)
         keep = np.lexsort((self.ids[members[cp]], -cs))[:ef]
-        return members[cp[keep]], cs[keep], n_evals, n_scored
+        return members[cp[keep]], cs[keep], n_evals + d_evals, \
+            n_scored + d_evals
 
     def knn(self, qvecs: np.ndarray, k: int,
             nprobe: int | None = None,
@@ -453,7 +503,8 @@ class IndexServer:
                  vector_clusters: int | None = None,
                  vector_quantize: str | None = None,
                  vector_graph_R: int | None = None,
-                 vector_fused: bool = False) -> None:
+                 vector_fused: bool = False,
+                 vector_hier: bool = False) -> None:
         if mode not in ("local", "spark"):
             raise ValueError(f"unknown serve mode {mode!r}")
         self.spark = spark
@@ -463,7 +514,7 @@ class IndexServer:
         self.vectors = (
             VectorPool(vectors, n_clusters=vector_clusters,
                        quantize=vector_quantize, graph_R=vector_graph_R,
-                       graph_fused=vector_fused)
+                       graph_fused=vector_fused, graph_hier=vector_hier)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
         # bounded result cache, GENERATION-scoped: identical (queries,

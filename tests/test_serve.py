@@ -772,3 +772,55 @@ def test_replace_honors_session_content_col(spark, tmp_path_factory):
     assert len(server.search(q)) == 3          # p0 no longer matches alpha
     q2 = pd.DataFrame({"qid": [0], "terms": [["delta"]], "k": [10]})
     assert len(server.search(q2)) == 1         # new content searchable
+
+
+def test_vector_pool_hierarchy(tmp_path_factory):
+    """Warm in-cell multi-layer hierarchy (graph_hier=True — the
+    VectorPool twin of graph.build_hierarchy): covering parity with
+    brute, recall at bounded ef >= the stride-seed pool's at fewer or
+    comparable evals, NVQ pools descend through codes, and the
+    no-graph-tier combination is rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(16, 16))
+    n = 3000
+    X = centers[rng.randint(0, 16, n)] + 0.3 * rng.normal(size=(n, 16))
+    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("hp")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(X)}), path)
+
+    with pytest.raises(ValueError, match="graph_hier requires"):
+        VectorPool(path, n_clusters=4, graph_hier=True)
+
+    stride = VectorPool(path, n_clusters=4, graph_R=8)
+    hier = VectorPool(path, n_clusters=4, graph_R=8, graph_hier=True)
+    q = X[rng.randint(0, n, 12)].astype(np.float64)
+    exact = stride.knn(q, 10)
+    # covering parity: the hierarchy only changes SEEDS, never the
+    # exact-score contract
+    assert hier.knn(q, 10, ef=n).equals(exact)
+
+    def recall(pool):
+        fast = pool.knn(q, 10, nprobe=2, ef=48)
+        h = sum(len(set(exact[exact["qid"] == i]["vec_id"])
+                    & set(fast[fast["qid"] == i]["vec_id"]))
+                for i in range(len(q)))
+        return h / (10 * len(q)), pool.last_graph_evals
+
+    r_s, ev_s = recall(stride)
+    r_h, ev_h = recall(hier)
+    assert r_h >= r_s - 0.05, (r_s, r_h)       # matches stride recall
+    assert ev_h < ev_s, (ev_h, ev_s)           # at fewer evaluations
+    assert r_h >= 0.8, r_h
+
+    nh = VectorPool(path, n_clusters=4, graph_R=8, quantize="nvq",
+                    graph_hier=True)
+    assert nh.mat is None  # descent ran through codes; codes-only pool
+    out = nh.knn(q, 10, nprobe=2, ef=48)
+    assert len(out) == 10 * len(q)
