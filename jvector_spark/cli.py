@@ -197,9 +197,14 @@ def main(argv: list[str] | None = None) -> int:
                          "--vectors at load; knn requests may then pass "
                          "ef for beam-searched cells")
     sv.add_argument("--vector-quantize", default=None,
-                    choices=["nvq"],
-                    help="hold --vectors as NVQ 8-bit codes instead of "
-                         "the float matrix (rerank-tier memory format)")
+                    choices=["nvq", "pq"],
+                    help="hold --vectors as NVQ 8-bit codes or PQ codes "
+                         "instead of the float matrix (rerank-tier "
+                         "memory formats; pq scores via per-query ADC "
+                         "lookup tables)")
+    sv.add_argument("--vector-pq-m", type=int, default=None,
+                    help="PQ subspace count for --vector-quantize pq "
+                         "(default dim/2)")
 
     args = p.parse_args(argv)
 
@@ -346,6 +351,7 @@ def main(argv: list[str] | None = None) -> int:
                                  vectors=args.vectors,
                                  vector_clusters=args.vector_clusters,
                                  vector_quantize=args.vector_quantize,
+                                 vector_pq_m=args.vector_pq_m,
                                  vector_graph_R=args.vector_graph_R)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)

@@ -260,14 +260,26 @@ def train_pq(
     frac = min(1.0, sample_cap / max(n, 1))
     sample = vectors.sample(fraction=frac, seed=seed).select(vec_col).toPandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     centroid = None
     if center:
         centroid = X.mean(0)
         X = X - centroid
+    books = train_pq_np(X, m, n_clusters=n_clusters, iters=iters, seed=seed,
+                        anisotropic_threshold=anisotropic_threshold)
+    return (books, centroid) if center else books
+
+
+def train_pq_np(X: np.ndarray, m: int, n_clusters: int = N_CLUSTERS,
+                iters: int = KMEANS_ITERS, seed: int = 42,
+                anisotropic_threshold: float | None = None) -> np.ndarray:
+    """Numpy core of train_pq: (n, dim) sample -> (m, n_clusters, sub)
+    codebooks. Shared by the Spark trainer above and the warm VectorPool
+    (quantize='pq'), which trains on its load-time float matrix the way
+    it already trains its IVF centroids."""
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     books = np.empty((m, n_clusters, sub))
     rng = np.random.default_rng(seed)
     for s in range(m):
@@ -287,7 +299,7 @@ def train_pq(
         books[s, :k] = cent
         if k < n_clusters:  # degenerate tiny inputs: pad with first centroid
             books[s, k:] = cent[0]
-    return (books, centroid) if center else books
+    return books
 
 
 def _encode_unweighted(X: np.ndarray, books: np.ndarray) -> np.ndarray:

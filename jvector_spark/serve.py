@@ -107,20 +107,22 @@ class VectorPool:
                  vec_col: str = "embedding",
                  n_clusters: int | None = None, seed: int = 42,
                  quantize: str | None = None,
+                 pq_m: int | None = None,
                  graph_R: int | None = None,
                  graph_fused: bool = False,
                  graph_hier: bool = False) -> None:
         import pyarrow.parquet as pq_mod
 
-        if quantize not in (None, "nvq"):
+        if quantize not in (None, "nvq", "pq"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         if graph_hier and not graph_R:
             raise ValueError("graph_hier requires graph_R (a graph tier)")
-        if graph_fused and (quantize != "nvq" or not graph_R):
+        if graph_fused and (quantize not in ("nvq", "pq") or not graph_R):
             # the reference fuses COMPRESSED codes into the graph, never
             # raw floats (duplicating float rows x2R would defeat the
             # residency budget) — same constraint here
-            raise ValueError("graph_fused requires quantize='nvq' and graph_R")
+            raise ValueError(
+                "graph_fused requires quantize='nvq' or 'pq' and graph_R")
         tbl = pq_mod.read_table(parquet_path, columns=[id_col, vec_col])
         self.ids = tbl[id_col].to_numpy().astype(np.int64)
         mat = np.vstack(
@@ -153,6 +155,33 @@ class VectorPool:
                 * (self._codes.astype(np.float64) ** 2).sum(axis=1)
             )
             self.norms = np.maximum(np.sqrt(dq_norm_sq), 1e-12)
+            self.mat = None
+        elif quantize == "pq":
+            # PQ-codes residency: m bytes/vector + one small codebook
+            # tensor — the reference's PQVectors serving format
+            # (quantization/PQVectors.java:117, precomputedScoreFunctionFor
+            # :191-202). Each query builds ONE (m, 256) ADC lookup table
+            # T[s, c] = q_s . books[s][c] (the PQDecoder partial sums);
+            # scoring a block is then a pure table gather+sum — the ADC
+            # path FusedADC fuses into the adjacency (FusedADC.java:39-59,
+            # FusedADCPQDecoder). Codebooks train on the load-time float
+            # matrix exactly like the IVF centroids below; the float
+            # matrix is dropped after this block.
+            from jvector_spark.operators.pq import (
+                _encode_unweighted, train_pq_np)
+
+            self.pq_m = int(pq_m) if pq_m else max(
+                1, self.dim // 2 if self.dim % 2 == 0 else self.dim)
+            self._books = train_pq_np(mat, self.pq_m, seed=seed)
+            self._codes = _encode_unweighted(mat, self._books)
+            # decoded norms WITHOUT materializing the decoded matrix:
+            # subspaces are disjoint coordinate blocks, so
+            # ||decode(i)||^2 = sum_s ||books[s][code_is]||^2
+            norm_tab = (self._books ** 2).sum(axis=2)  # (m, 256)
+            dq_norm_sq = norm_tab[
+                np.arange(self.pq_m)[None, :], self._codes].sum(axis=1)
+            self.norms = np.maximum(np.sqrt(dq_norm_sq), 1e-12)
+            self._adc_q = self._adc_tab = None  # per-query table memo
             self.mat = None
         else:
             self.mat = mat
@@ -195,8 +224,11 @@ class VectorPool:
         scores its whole neighborhood with ONE contiguous-slice matmul —
         no fancy-indexed gather across the code matrix — exactly the
         reference's "read the neighborhood's codes sequentially alongside
-        the adjacency" trade: duplicated codes (~R x 1 byte/dim/node) buy
-        gather-free bulk scoring."""
+        the adjacency" trade: duplicated codes (~R x 1 byte/dim/node for
+        NVQ, ~R x m bytes/node for PQ) buy gather-free bulk scoring.
+        With PQ codes this is the literal FusedADCPQDecoder shape: the
+        block scorer gathers the per-query ADC table over a contiguous
+        code slab."""
         self._fused = []
         for members, nbrs, _seeds in self._graph:
             if len(members) == 0 or not nbrs:
@@ -208,14 +240,16 @@ class VectorPool:
             flat = (np.concatenate(nbrs) if off[-1]
                     else np.empty(0, dtype=np.int64))
             gpos = members[flat]
-            self._fused.append({
+            fz = {
                 "off": off,
                 "nbr": flat,  # cell-local neighbor positions, block order
                 "codes": np.ascontiguousarray(self._codes[gpos]),
-                "vmin": self._vmin[gpos].astype(np.float64),
-                "delta": self._delta[gpos].astype(np.float64),
                 "norms": self.norms[gpos],
-            })
+            }
+            if self.quantize == "nvq":
+                fz["vmin"] = self._vmin[gpos].astype(np.float64)
+                fz["delta"] = self._delta[gpos].astype(np.float64)
+            self._fused.append(fz)
 
     def _build_graph(self, mat: np.ndarray, R: int) -> None:
         from jvector_spark.operators.graph import (
@@ -302,9 +336,28 @@ class VectorPool:
             dots = (self._vmin[pos].astype(np.float64) * q.sum()
                     + self._delta[pos].astype(np.float64)
                     * (self._codes[pos] @ q))
+        elif self.quantize == "pq":
+            tab = self._adc_table(q)
+            dots = tab[np.arange(self.pq_m)[None, :],
+                       self._codes[pos]].sum(axis=1)
         else:
             dots = self.mat[pos] @ q
         return dots / (qn * self.norms[pos])
+
+    def _adc_table(self, q: np.ndarray) -> np.ndarray:
+        """(m, 256) ADC lookup table for one query — T[s, c] =
+        q_s . books[s][c] (PQVectors.precomputedScoreFunctionFor:191-202).
+        Memoized on the CURRENT query (knn/beam score the same q across
+        many cells and expansions; rebuilding T per block would cost as
+        much as scoring 256 rows each time)."""
+        if self._adc_q is not None and (
+                q is self._adc_q or np.array_equal(q, self._adc_q)):
+            return self._adc_tab
+        m, _, sub = self._books.shape
+        self._adc_tab = np.einsum(
+            "mcd,md->mc", self._books, q.reshape(m, sub))
+        self._adc_q = np.array(q, copy=True)
+        return self._adc_tab
 
     def _beam_cell(self, cell: int, q: np.ndarray, qn: float,
                    ef: int,
@@ -385,8 +438,17 @@ class VectorPool:
                 nbr = fz["nbr"][lo:hi]
                 mask = ~visited[nbr]
                 if mask.any():
-                    block = (fz["vmin"][lo:hi] * qsum
-                             + fz["delta"][lo:hi] * (fz["codes"][lo:hi] @ q))
+                    if self.quantize == "pq":
+                        # FusedADCPQDecoder: per-query ADC table gathered
+                        # over the contiguous neighborhood code slab
+                        tab = self._adc_table(q)
+                        block = tab[
+                            np.arange(self.pq_m)[None, :],
+                            fz["codes"][lo:hi]].sum(axis=1)
+                    else:
+                        block = (fz["vmin"][lo:hi] * qsum
+                                 + fz["delta"][lo:hi]
+                                 * (fz["codes"][lo:hi] @ q))
                     sims_all = block / (qn * fz["norms"][lo:hi])
                     new, s = nbr[mask], sims_all[mask]
                     # the bulk matmul scored the whole block — visited
@@ -502,6 +564,7 @@ class IndexServer:
                  mode: str = "local", vectors: str | None = None,
                  vector_clusters: int | None = None,
                  vector_quantize: str | None = None,
+                 vector_pq_m: int | None = None,
                  vector_graph_R: int | None = None,
                  vector_fused: bool = False,
                  vector_hier: bool = False) -> None:
@@ -513,7 +576,8 @@ class IndexServer:
         self.pool = SearcherPool()
         self.vectors = (
             VectorPool(vectors, n_clusters=vector_clusters,
-                       quantize=vector_quantize, graph_R=vector_graph_R,
+                       quantize=vector_quantize, pq_m=vector_pq_m,
+                       graph_R=vector_graph_R,
                        graph_fused=vector_fused, graph_hier=vector_hier)
             if vectors else None)
         self._df_memo: dict[str, int] = {}
@@ -814,8 +878,12 @@ class IndexServer:
         vec_kb = 0
         if self.vectors is not None:
             v = self.vectors
-            resident = (v._codes.nbytes + v._vmin.nbytes + v._delta.nbytes
-                        if v.quantize == "nvq" else v.mat.nbytes)
+            if v.quantize == "nvq":
+                resident = v._codes.nbytes + v._vmin.nbytes + v._delta.nbytes
+            elif v.quantize == "pq":
+                resident = v._codes.nbytes + v._books.nbytes
+            else:
+                resident = v.mat.nbytes
             if v._graph is not None:
                 resident += sum(
                     members.nbytes + seeds.nbytes
@@ -824,9 +892,7 @@ class IndexServer:
             if v._fused is not None:
                 # fused neighborhoods duplicate ~R codes/node by design
                 resident += sum(
-                    fz["off"].nbytes + fz["nbr"].nbytes + fz["codes"].nbytes
-                    + fz["vmin"].nbytes + fz["delta"].nbytes
-                    + fz["norms"].nbytes
+                    sum(a.nbytes for a in fz.values())
                     for fz in v._fused if fz is not None)
             vec_kb = (resident + v.ids.nbytes + v.norms.nbytes) // 1024
         return {
