@@ -132,9 +132,17 @@ def generate_queries(
     toks = tokenize_series(corpus["content"], mode)
     tf = toks.explode().value_counts()
     terms = tf.index.to_numpy()
+    if len(terms) == 0:
+        raise ValueError("generate_queries: corpus tokenizes to zero terms")
     heavy = terms[: max(1, len(terms) // 100)]
     mid = terms[len(terms) // 100 : len(terms) // 2]
     rare = terms[len(terms) // 2 :]
+    # tiny/degenerate corpora can leave a band empty (e.g. <2 distinct
+    # terms) — fall back to the full vocabulary rather than crash on
+    # rng.integers(0, 0)
+    heavy = heavy if len(heavy) else terms
+    mid = mid if len(mid) else terms
+    rare = rare if len(rare) else terms
     rng = np.random.default_rng(seed + 7)
     rows = []
     for qid in range(n_queries):

@@ -64,6 +64,29 @@ def md5_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def affine_hash_fn(j: int):
+    """Column fn h -> affine_j(h) over the 60-bit base hash — THE hash
+    family (AFFINE_HASH_PARAMS) shared by minhash_sig_array and
+    textstats.signature_table; a closure factory, NOT a default-arg
+    lambda (a 2-param lambda would make pyspark pass the array index as
+    the second argument and silently shadow the binding)."""
+    a, b, c = AFFINE_HASH_PARAMS[j]
+    return lambda h: (
+        F.lit(a) * F.shiftright(h, 30)
+        + F.lit(b) * h.bitwiseAND(F.lit(LO30))
+        + F.lit(c)
+    ) % F.lit(MERSENNE61)
+
+
+def simhash_vote_fn(b: int):
+    """(acc, h) -> acc ± 1 vote fn for simhash bit b — shared by simhash
+    and textstats.signature_table (same closure-factory discipline)."""
+    mask = F.lit(1 << b)
+    return lambda acc, h: acc + F.when(
+        h.bitwiseAND(mask) != 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
                      text: str = "text") -> DataFrame:
     """(doc_id, dup_group, group_size) — exact dedup: dup_group is the min
@@ -125,19 +148,8 @@ def minhash_sig_array(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), F.transform(F.col("_sh"), md5_hash60).alias("_hs"))
     )
 
-    # closure factory, NOT a default-arg lambda: a 2-param lambda would make
-    # pyspark pass the array index as the second argument and silently
-    # shadow the binding with a Column
-    def affine_j(j: int):
-        a, b, c = AFFINE_HASH_PARAMS[j]
-        return lambda h: (
-            F.lit(a) * F.shiftright(h, 30)
-            + F.lit(b) * h.bitwiseAND(F.lit(LO30))
-            + F.lit(c)
-        ) % F.lit(MERSENNE61)
-
     sig = F.array(*[
-        F.array_min(F.transform(F.col("_hs"), affine_j(j)))
+        F.array_min(F.transform(F.col("_hs"), affine_hash_fn(j)))
         for j in range(num_hashes)
     ])
     return hashed.select(F.col(id_col), sig.alias("sig"))
@@ -344,15 +356,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text: str = "text",
         F.col(id_col), F.transform(F.col("_toks"), md5_hash60).alias("_hs")
     )
     hashes = F.col("_hs")
-
-    def vote_b(b: int):  # closure factory — see affine_j note above
-        mask = F.lit(1 << b)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
     votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), vote_b(b)) for b in range(bits)
+        F.aggregate(hashes, F.lit(0).cast("long"), simhash_vote_fn(b))
+        for b in range(bits)
     ]
     sim = None
     for b, v in enumerate(votes):

@@ -10,6 +10,15 @@ Structured Streaming's unified API.
 Window keys are epoch-hour longs (`floor(epoch/3600)`) rather than
 timestamp structs so results hash identically across engines/timezones;
 session timezone is pinned to UTC by the caller.
+
+On `round(sum(value), 4)`: float summation is order-dependent, so a
+round() of it is engine-invariant ONLY under a data contract — `value`
+is a fixed-point quantity with <= 2 decimal digits (the events fixture;
+money-like telemetry in general). Then every group's true sum lies on
+the 2-dp grid, >= 5e-5 from any 4-dp rounding boundary, while summation
+-order error stays ~1e-8 — no ordering can flip the rounding. For
+free-form doubles, use the floor-scaled-integer discipline
+(textstats.quality_scores) instead.
 """
 
 from __future__ import annotations

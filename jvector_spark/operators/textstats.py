@@ -169,7 +169,7 @@ def subword_stats(docs: DataFrame, id_col: str = "doc_id",
     # every other operator here accepts arbitrary names via F.col
     sw = F.regexp_extract_all(F.col(text), F.lit(SUBWORD_RE), F.lit(0))
     alpha = F.filter(sw, lambda x: x.rlike("^[A-Za-z]"))
-    return docs.select(
+    return scale_out(docs).select(
         F.col(id_col),
         F.size(sw).cast("long").alias("n_subwords"),
         F.size(alpha).cast("long").alias("n_alpha"),
@@ -201,8 +201,8 @@ def signature_table(docs: DataFrame, id_col: str = "doc_id",
     the fold here equals the exploded bit_xor aggregate exactly.
     """
     from jvector_spark.operators.dedup import (
-        AFFINE_HASH_PARAMS, LO30, MERSENNE61, NUM_MINHASHES, SHINGLE_K,
-        md5_hash60, shingles_from)
+        NUM_MINHASHES, SHINGLE_K, affine_hash_fn, md5_hash60,
+        shingles_from, simhash_vote_fn)
 
     toks = F.col("_toks")
     n = F.size(toks)
@@ -226,28 +226,18 @@ def signature_table(docs: DataFrame, id_col: str = "doc_id",
         .alias("winnow_fp"),
     )
 
-    def affine_j(j: int):  # closure factory — see dedup.affine_j note
-        a, b, c = AFFINE_HASH_PARAMS[j]
-        return lambda h: (
-            F.lit(a) * F.shiftright(h, 30)
-            + F.lit(b) * h.bitwiseAND(F.lit(LO30))
-            + F.lit(c)
-        ) % F.lit(MERSENNE61)
-
+    # the hash family and vote rule are dedup's OWN factories — shared,
+    # not copied, so a tweak there can never desynchronize this fused
+    # twin from minhash_signatures/simhash
     mh_xor = None
     for j in range(NUM_MINHASHES):
-        m = F.array_min(F.transform(F.col("_shh"), affine_j(j)))
+        m = F.array_min(F.transform(F.col("_shh"), affine_hash_fn(j)))
         mh_xor = m if mh_xor is None else mh_xor.bitwiseXOR(m)
-
-    def vote_b(b: int):
-        mask = F.lit(1 << b)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(mask) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
 
     sim = None
     for b in range(bits):
-        v = F.aggregate(F.col("_th"), F.lit(0).cast("long"), vote_b(b))
+        v = F.aggregate(F.col("_th"), F.lit(0).cast("long"),
+                        simhash_vote_fn(b))
         term = F.when(v > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
 
@@ -441,4 +431,20 @@ def sequence_pack(docs: DataFrame, max_tokens: int = 2048,
                 "offset": start % max_tokens,
             })
 
-    return sorted_counts.mapInPandas(pack, schema=schema)
+    out = sorted_counts.mapInPandas(pack, schema=schema)
+    # the persist is load-bearing between the part_sums job above and the
+    # caller's consuming action (and pins the range partitioning the
+    # prefix offsets were computed for); long-lived sessions release it
+    # via release_pack_source after materializing — same discipline as
+    # ids.assign_dense_docids/release_docid_source
+    out._jv_persisted_source = sorted_counts
+    return out
+
+
+def release_pack_source(df) -> None:
+    """Unpersist the cached sorted counts behind a sequence_pack result.
+    Call after the consuming action has materialized — repeated packs in
+    one session otherwise accumulate pinned executor cache."""
+    src = getattr(df, "_jv_persisted_source", None)
+    if src is not None:
+        src.unpersist()

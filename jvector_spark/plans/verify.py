@@ -76,7 +76,11 @@ def _verify_segment(path: str, max_terms: int | None = None) -> tuple[bool, list
             if bloom is None:
                 errors.append("bloom.bin wrong size")
             else:
-                for t in reader.terms[:200]:
+                # probe the WHOLE dictionary — the docstring's "no false
+                # negatives" guarantee. Probes are hash-only, orders of
+                # magnitude cheaper than the decode loop below (which is
+                # what max_terms exists to cap), so no sample cap here
+                for t in reader.terms:
                     if not bloom_may_contain(bloom, t):
                         errors.append(f"bloom false negative for {t!r}")
                         break

@@ -57,10 +57,14 @@ def _infer_shuffle_partitions(master: str) -> int:
     Handles local[N], local[N,maxFailures], local-cluster[n,c,m]; "*",
     cluster URLs, or anything unparseable falls back to 32."""
     n = master[master.find("[") + 1: master.find("]")] if "[" in master else "32"
-    n = n.split(",")[0].strip()
+    fields = [f.strip() for f in n.split(",")]
     try:
-        return 32 if n == "*" else int(n)
-    except ValueError:
+        if master.strip().startswith("local-cluster"):
+            # local-cluster[numWorkers, coresPerWorker, memPerWorker]:
+            # total cores = workers x cores, not the first field alone
+            return int(fields[0]) * int(fields[1])
+        return 32 if fields[0] == "*" else int(fields[0])
+    except (ValueError, IndexError):
         return 32
 
 

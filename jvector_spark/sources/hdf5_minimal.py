@@ -366,7 +366,11 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray],
         name_offs[n] = len(heap_entries)
         raw = n.encode() + b"\x00"
         heap_entries += raw + b"\x00" * ((-len(raw)) % 8)
-    heap_data_size = len(heap_entries) + 8  # tail free block
+    # tail free block is 16 bytes (8-byte next-offset + 8-byte size, and
+    # per spec `size` counts the block itself) — reserving only 8 would
+    # let the size field spill into the next allocation (the SNOD), and
+    # conforming readers that walk the free list would reject the heap
+    heap_data_size = len(heap_entries) + 16
 
     # ---- layout plan (addresses assigned in file order)
     pos = 96  # superblock v0 with 8-byte offsets is 96 bytes

@@ -102,8 +102,11 @@ def _ranged_record_scan(
     contract, Deep1BLoader.readFBin's startPosition arithmetic)."""
     from typing import Iterator
 
+    schema = f"{id_col} long, {vec_col} array<float>"
     bounds = np.linspace(0, n, num_partitions + 1, dtype=np.int64)
     ranges = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    if not ranges:  # legitimately empty file: repartition(0) would throw
+        return spark.createDataFrame([], schema)
     ranges_df = spark.createDataFrame(ranges, "start long, stop long")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,9 +122,7 @@ def _ranged_record_scan(
                     vec_col: [r for r in X],
                 })
 
-    return ranges_df.repartition(len(ranges)).mapInPandas(
-        scan, f"{id_col} long, {vec_col} array<float>"
-    )
+    return ranges_df.repartition(len(ranges)).mapInPandas(scan, schema)
 
 
 def read_fvecs_distributed(
@@ -133,14 +134,26 @@ def read_fvecs_distributed(
 ) -> DataFrame:
     """Byte-range-parallel fvecs scan (see _ranged_record_scan)."""
     size = os.path.getsize(path)
+    if size == 0:  # match read_fvecs: empty file -> empty result
+        return _ranged_record_scan(spark, path, 0, 1, 0, None,
+                                   num_partitions, id_col, vec_col)
     with open(path, "rb") as f:
         dim = int(np.frombuffer(f.read(4), np.int32)[0])
     rec = 4 + 4 * dim
-    if size % rec:
+    if dim <= 0 or size % rec:
         raise ValueError(f"truncated fvecs file (record size {rec})")
+
+    def decode(m: np.ndarray) -> np.ndarray:
+        # same per-record dim validation as the driver-side read_fvecs:
+        # a corrupted header mid-file must fail loudly, not reinterpret
+        # misaligned bytes as vector components
+        dims = m[:, :4].copy().view(np.int32).ravel()
+        if not (dims == dim).all():
+            raise ValueError("non-uniform fvecs dimensions")
+        return m[:, 4:].copy().view(np.float32).reshape(-1, dim)
+
     return _ranged_record_scan(
-        spark, path, size // rec, rec, 0,
-        lambda m: m[:, 4:].copy().view(np.float32).reshape(-1, dim),
+        spark, path, size // rec, rec, 0, decode,
         num_partitions, id_col, vec_col)
 
 
@@ -172,14 +185,23 @@ def read_bvecs_distributed(
     """Byte-range-parallel bvecs scan; vectors upcast to float32 so the
     ANN operators consume them unchanged."""
     size = os.path.getsize(path)
+    if size == 0:  # match read_bvecs: empty file -> empty result
+        return _ranged_record_scan(spark, path, 0, 1, 0, None,
+                                   num_partitions, id_col, vec_col)
     with open(path, "rb") as f:
         dim = int(np.frombuffer(f.read(4), np.int32)[0])
     rec = 4 + dim
-    if size % rec:
+    if dim <= 0 or size % rec:
         raise ValueError(f"truncated bvecs file (record size {rec})")
+
+    def decode(m: np.ndarray) -> np.ndarray:
+        dims = m[:, :4].copy().view(np.int32).ravel()
+        if not (dims == dim).all():  # see read_fvecs_distributed
+            raise ValueError("non-uniform bvecs dimensions")
+        return m[:, 4:].astype(np.float32)
+
     return _ranged_record_scan(
-        spark, path, size // rec, rec, 0,
-        lambda m: m[:, 4:].astype(np.float32),
+        spark, path, size // rec, rec, 0, decode,
         num_partitions, id_col, vec_col)
 
 
