@@ -606,6 +606,63 @@ def grid_run() -> None:
         }))
         sweep("synth40k_clustered", synth, n_clusters=16, m=8)
 
+        # warm-pool operating points (serve.VectorPool — the IPCService
+        # SEARCH workload): compare the NVQ fused-slab graph pool against
+        # the PQ fused-ADC pool (FusedADCPQDecoder analog) on the same
+        # 40k corpus, driver-side, no Spark jobs. recall is vs the exact
+        # float pool; qps is single-threaded warm throughput.
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_mod
+
+        from jvector_spark.serve import VectorPool
+
+        pool_dir = tempfile.mkdtemp(prefix="jv_poolgrid_")
+        ppath = os.path.join(pool_dir, "emb.parquet")
+        pq_mod.write_table(pa.table({
+            "vec_id": np.arange(ns, dtype=np.int64),
+            "embedding": list(pts)}), ppath)
+        pq_queries = pts[:N_GRID_QUERIES].astype(np.float64)
+        exact_pool = VectorPool(ppath)
+        pexact = exact_pool.knn(pq_queries, 10)
+        exact_sets = {q: set(pexact[pexact["qid"] == q]["vec_id"])
+                      for q in range(N_GRID_QUERIES)}
+
+        def pool_point(tag, **kw):
+            pool = VectorPool(ppath, n_clusters=16, graph_R=16, **kw)
+            pool.knn(pq_queries[:4], 10, nprobe=4, ef=64)  # warmup
+            t0 = time.time()
+            got = pool.knn(pq_queries, 10, nprobe=4, ef=64)
+            sec = time.time() - t0
+            hits = sum(len(exact_sets[q]
+                           & set(got[got["qid"] == q]["vec_id"]))
+                       for q in range(N_GRID_QUERIES))
+            configs.append({
+                "dataset": "synth40k_clustered_warmpool", "config": tag,
+                "recall_at_10": round(hits / (10 * N_GRID_QUERIES), 3),
+                "qps": round(N_GRID_QUERIES / sec, 1),
+                "resident_bytes_per_vec": round(
+                    (pool._codes.nbytes if pool.mat is None
+                     else pool.mat.nbytes) / ns, 1),
+            })
+
+        pool_point("warmpool_float_nprobe4_ef64")
+        pool_point("warmpool_nvq_fused_nprobe4_ef64",
+                   quantize="nvq", graph_fused=True)
+        # codes-only PQ shows the raw compression/recall trade; the
+        # rerank_k rows are the reference's actual two-phase layout
+        # (codes resident + on-disk float sidecar, exact rerank)
+        pool_point("warmpool_pq8_fused_nprobe4_ef64",
+                   quantize="pq", pq_m=8, graph_fused=True)
+        pool_point("warmpool_pq8_fused_rerank50_nprobe4_ef64",
+                   quantize="pq", pq_m=8, graph_fused=True, rerank_k=50)
+        pool_point("warmpool_pq16_fused_rerank50_nprobe4_ef64",
+                   quantize="pq", pq_m=16, graph_fused=True, rerank_k=50)
+        pool_point("warmpool_nvq_fused_rerank50_nprobe4_ef64",
+                   quantize="nvq", graph_fused=True, rerank_k=50)
+        shutil.rmtree(pool_dir, ignore_errors=True)
+
         print(json.dumps({
             "metric": "ann_recall_qps_grid", "unit": "recall@10 / qps",
             "value": max(c["recall_at_10"] for c in configs

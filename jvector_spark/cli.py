@@ -205,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--vector-pq-m", type=int, default=None,
                     help="PQ subspace count for --vector-quantize pq "
                          "(default dim/2)")
+    sv.add_argument("--vector-rerank-k", type=int, default=None,
+                    help="exact-rerank the top K approximate candidates "
+                         "per knn request from an on-disk float sidecar "
+                         "(quantized pools only; returned scores become "
+                         "exact cosines)")
 
     args = p.parse_args(argv)
 
@@ -352,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
                                  vector_clusters=args.vector_clusters,
                                  vector_quantize=args.vector_quantize,
                                  vector_pq_m=args.vector_pq_m,
+                                 vector_rerank_k=args.vector_rerank_k,
                                  vector_graph_R=args.vector_graph_R)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)

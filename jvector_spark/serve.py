@@ -108,6 +108,7 @@ class VectorPool:
                  n_clusters: int | None = None, seed: int = 42,
                  quantize: str | None = None,
                  pq_m: int | None = None,
+                 rerank_k: int | None = None,
                  graph_R: int | None = None,
                  graph_fused: bool = False,
                  graph_hier: bool = False) -> None:
@@ -115,6 +116,9 @@ class VectorPool:
 
         if quantize not in (None, "nvq", "pq"):
             raise ValueError(f"unknown quantize mode {quantize!r}")
+        if rerank_k is not None and (quantize is None or rerank_k < 1):
+            raise ValueError("rerank_k needs a quantized pool and k >= 1 "
+                             "(a float pool's scores are already exact)")
         if graph_hier and not graph_R:
             raise ValueError("graph_hier requires graph_R (a graph tier)")
         if graph_fused and (quantize not in ("nvq", "pq") or not graph_R):
@@ -191,6 +195,31 @@ class VectorPool:
             # floor (every comparison is False) and poisons the
             # TwoPhaseTracker statistics
             self.norms = np.maximum(
+                np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+        # optional on-disk exact-rerank sidecar for quantized pools: the
+        # reference's two-phase layout (compressed codes resident,
+        # full-precision InlineVectors on disk, SearchScoreProvider's
+        # approximate-then-exact rerank) — the float32 matrix goes to an
+        # unlinked temp memmap; each request touches only rerank_k rows
+        # of it (OS page cache, zero steady-state residency) and returns
+        # EXACT cosines for the survivors.
+        self.rerank_k = rerank_k
+        self._rr = self._rr_norms = None
+        if rerank_k is not None:
+            import tempfile
+
+            fd, rpath = tempfile.mkstemp(prefix="jv_pool_rr_",
+                                         suffix=".f32")
+            with os.fdopen(fd, "wb") as f:
+                f.write(np.ascontiguousarray(mat, dtype=np.float32)
+                        .tobytes())
+            self._rr_file = open(rpath, "rb")
+            os.unlink(rpath)  # mapping outlives the name (posix)
+            self._rr = np.memmap(self._rr_file, dtype=np.float32,
+                                 mode="r", shape=(self.n, self.dim))
+            # float64 norms of the same float32 values = the float
+            # pool's norms exactly (parquet floats upcast losslessly)
+            self._rr_norms = np.maximum(
                 np.sqrt((mat * mat).sum(axis=1)), 1e-12)
         # optional IVF tier (the reference's approximate-then-exact core:
         # probe nearest centroid cells, exact-rerank their members) — at
@@ -544,6 +573,18 @@ class VectorPool:
                 sims = np.round(
                     self._score_positions(cand, q[qid], float(qn[qid])), 6)
                 ids = self.ids[cand]
+                pos = cand
+            if self._rr is not None:
+                # two-phase exact rerank from the on-disk float sidecar
+                # (DefaultSearchScoreProvider: approximate similarity
+                # drives the search, exactScoreFunction reranks) —
+                # candidate order by approx score, exact cosines for the
+                # rerank_k survivors, scores now match the float pool's
+                keep = np.lexsort((ids, -sims))[:self.rerank_k]
+                pos, ids = pos[keep], ids[keep]
+                vecs = np.asarray(self._rr[pos], dtype=np.float64)
+                sims = np.round(
+                    (vecs @ q[qid]) / (qn[qid] * self._rr_norms[pos]), 6)
             if threshold is not None:
                 keep = sims >= threshold
                 pos_keep = np.flatnonzero(keep)
@@ -565,6 +606,7 @@ class IndexServer:
                  vector_clusters: int | None = None,
                  vector_quantize: str | None = None,
                  vector_pq_m: int | None = None,
+                 vector_rerank_k: int | None = None,
                  vector_graph_R: int | None = None,
                  vector_fused: bool = False,
                  vector_hier: bool = False) -> None:
@@ -577,7 +619,7 @@ class IndexServer:
         self.vectors = (
             VectorPool(vectors, n_clusters=vector_clusters,
                        quantize=vector_quantize, pq_m=vector_pq_m,
-                       graph_R=vector_graph_R,
+                       rerank_k=vector_rerank_k, graph_R=vector_graph_R,
                        graph_fused=vector_fused, graph_hier=vector_hier)
             if vectors else None)
         self._df_memo: dict[str, int] = {}

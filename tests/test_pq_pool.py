@@ -184,3 +184,85 @@ def test_fused_requires_compressed_codes(tmp_path_factory):
         VectorPool(path, quantize="int4")
     pool = VectorPool(path, quantize="pq", graph_R=4, graph_fused=True)
     assert pool._fused is not None
+
+
+def test_quantized_pool_disk_rerank_exactness_and_recall(tmp_path_factory):
+    """rerank_k: the reference's two-phase on-disk layout (compressed
+    codes resident + full-precision InlineVectors on disk, approximate
+    search then exactScoreFunction rerank). With covering candidates the
+    result is EXACTLY the float pool's; at bounded budgets recall jumps
+    far above codes-only scoring and returned scores are exact cosines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(29)
+    centers = rng.normal(size=(12, 32))
+    n = 3000
+    X = centers[rng.randint(0, 12, n)] + 0.35 * rng.normal(size=(n, 32))
+    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("rr")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(X)}), path)
+    q = X[rng.randint(0, n, 10)].astype(np.float64)
+    exact = VectorPool(path).knn(q, 10)
+
+    # covering contract: approx-brute candidates + full-width rerank
+    # reproduce the float pool bit-for-bit (scores included)
+    full = VectorPool(path, quantize="pq", pq_m=8, rerank_k=n)
+    assert full.knn(q, 10).equals(exact)
+
+    # bounded budget: codes-only pq8 is coarse; +rerank_k=50 recovers
+    approx = VectorPool(path, quantize="pq", pq_m=8)
+    rr = VectorPool(path, quantize="pq", pq_m=8, rerank_k=50)
+    got_a = approx.knn(q, 10)
+    got_r = rr.knn(q, 10)
+
+    def recall(df):
+        return sum(
+            len(set(exact[exact["qid"] == i]["vec_id"])
+                & set(df[df["qid"] == i]["vec_id"]))
+            for i in range(10)) / 100
+
+    assert recall(got_r) >= 0.9
+    assert recall(got_r) >= recall(got_a)
+    # reranked scores are the float pool's exact display scores
+    merged = got_r.merge(exact, on=["qid", "vec_id"], how="inner",
+                         suffixes=("", "_e"))
+    assert len(merged) and np.array_equal(merged["score"],
+                                          merged["score_e"])
+
+    # graph + fused + rerank compose; threshold applies on exact scores
+    g = VectorPool(path, n_clusters=4, graph_R=8, quantize="pq", pq_m=8,
+                   graph_fused=True, rerank_k=50)
+    beam = g.knn(q, 10, nprobe=2, ef=48)
+    m2 = beam.merge(exact, on=["qid", "vec_id"], how="inner",
+                    suffixes=("", "_e"))
+    assert len(m2) and np.array_equal(m2["score"], m2["score_e"])
+    thr = float(exact["score"].median())
+    t = g.knn(q, 10, nprobe=4, ef=96, threshold=thr)
+    assert (t["score"] >= thr).all()
+
+    # NVQ pools share the same sidecar path
+    nv = VectorPool(path, quantize="nvq", rerank_k=n)
+    assert nv.knn(q, 10).equals(exact)
+
+
+def test_rerank_k_validation(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(40, 8)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("rrv")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(40, dtype=np.int64), "embedding": list(X)}),
+        path)
+    with pytest.raises(ValueError, match="rerank_k"):
+        VectorPool(path, rerank_k=10)  # float pool: already exact
+    with pytest.raises(ValueError, match="rerank_k"):
+        VectorPool(path, quantize="nvq", rerank_k=0)
