@@ -147,14 +147,39 @@ def _input_sig(sf_dir: str, fname: str, extra: str = "") -> str:
     file bytes + the derivation parameters. Regenerated fixtures or
     changed constants invalidate the cache instead of silently serving
     stale artifacts (the stale-entry-cache class _ensure_index already
-    guards for the segment index)."""
+    guards for the segment index). The file digest is memoized per
+    (path, mtime, size) — ~20 registry queries consult a cache through
+    here, and rehashing the fixture bytes per lookup is repeated full
+    -file driver IO for a value that cannot change mid-run."""
     import hashlib
 
+    path = os.path.join(sf_dir, fname)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    digest = _INPUT_SIG_MEMO.get(key)
+    if digest is None:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            h.update(f.read())
+        digest = h.hexdigest()
+        _INPUT_SIG_MEMO[key] = digest
     h = hashlib.sha256()
-    with open(os.path.join(sf_dir, fname), "rb") as f:
-        h.update(f.read())
+    h.update(digest.encode())
     h.update(extra.encode())
     return h.hexdigest()[:12]
+
+
+_INPUT_SIG_MEMO: dict = {}
+
+
+def _parquet_rows(sf_dir: str, fname: str) -> int:
+    """Fixture row count from the parquet footer — one driver-side
+    metadata read instead of a full Spark count() job (the technique
+    _fixture_emb_dim already uses for the embedding dim)."""
+    import pyarrow.parquet as papq
+
+    return int(papq.ParquetFile(
+        os.path.join(sf_dir, fname)).metadata.num_rows)
 
 
 def _postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,7 +1008,7 @@ def q_ann_compressed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor budget scales with the corpus (20% scan floor at 100) so
     # the ADC set keeps covering the exact top-10 at every fixture sf —
     # still a 5x+ scan reduction vs brute force
-    n_emb = emb.count()
+    n_emb = _parquet_rows(sf_dir, "embeddings.parquet")
     rerank_k = max(100, n_emb // 5)
     pq_res = pq_adc_topk(enc, queries, books, k=10, rerank_k=rerank_k).select(
         F.lit("pq").alias("tier"), F.col("qid").cast("long"), "rank",
@@ -1025,6 +1050,8 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_ann.py::test_entry_covering) — the rerank then
     emits exact cosine ranks and the brute-force SQL oracle applies
     (the rerankK >= topK contract, GraphSearcher.search:209)."""
+    import shutil
+
     from jvector_spark.operators.ann import train_centroids
     from jvector_spark.operators.graph import build_graph_index, graph_topk
 
@@ -1033,12 +1060,18 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     sig = _input_sig(sf_dir, "embeddings.parquet", "graph|k8|R16|seed42|v1")
     path = os.path.join(ENTRY_INDEX_ROOT, f"graph_{tag}_{sig}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # cache-valid needs BOTH artifacts: _SUCCESS lands at the parquet
+    # write but _GRAPH_META.json only after the medoid job — a crash in
+    # between would otherwise wedge the cache permanently (the stale
+    # -entry-cache class _ensure_index guards for the segment index)
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(os.path.join(path, "_GRAPH_META.json"))):
+        shutil.rmtree(path, ignore_errors=True)
         build_graph_index(emb, path, cents, R=16, alpha=1.2)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    ef = max(128, emb.count() // 4)
+    ef = max(128, _parquet_rows(sf_dir, "embeddings.parquet") // 4)
     return graph_topk(spark, path, queries, cents, k=10,
                       nprobe=8, ef=ef).select(
         F.col("qid").cast("long"), "rank", F.col("vec_id").cast("long"),
@@ -1081,7 +1114,7 @@ def q_graph_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                            emb.where("vec_id % 7 = 3").select("vec_id"))
         queries = emb.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        ef = max(128, emb.count() // 4)
+        ef = max(128, _parquet_rows(sf_dir, "embeddings.parquet") // 4)
         masked = graph_topk(spark, path, queries, cents, k=10,
                             nprobe=8, ef=ef).toPandas()
         purge_deleted_graph(spark, path)

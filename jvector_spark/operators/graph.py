@@ -769,8 +769,7 @@ def purge_deleted_graph(spark, path: str) -> dict:
         # meta. (Searches also tolerate a stale entry via the in-task
         # medoid fallback; this repairs the metadata itself.)
         got = {int(r["cluster"]): int(r[id_col]) for r in
-               _read_graph_rows(spark, path, id_col, vec_col)
-               .where(F.col("is_medoid"))
+               corpus.where(F.col("is_medoid"))
                .select("cluster", id_col).collect()}
         if got != meta["medoids"]:
             meta["medoids"] = got

@@ -708,8 +708,12 @@ def search_partition(
         if per_segment_tomb:
             # shard read bounded by THIS segment's deletes (one small
             # parquet, or the inline array when the index's delete list
-            # is small enough to ship in the closure)
-            qtomb = _qtomb(tombstones.for_segment(path))
+            # is small enough to ship in the closure). With no per-query
+            # excludes every entry is the same seg_tomb reference —
+            # build that dict directly rather than S×Q union passes
+            seg_tomb = tombstones.for_segment(path)
+            qtomb = ({qid: seg_tomb for qid in states} if not qex
+                     else _qtomb(seg_tomb))
         accept = None
         if doc_filter:
             # memo per (segment, filter): ONE docs-sidecar read per
@@ -740,6 +744,15 @@ def search_partition(
                     after=q_after,
                 )
             if min_score > 0.0 and len(s):
+                # membership at the floor compares RAW float64 sums on
+                # both engine and oracle sides; a doc whose true score
+                # sits within ~1 ulp of min_score could flip between
+                # engines with different summation orders (the same
+                # boundary class the top-k cutoff neutralizes with
+                # k_mult slack). Accepted: BM25 terms are irrational
+                # idf×tf ratios, so fixture scores never land on the
+                # round decimal thresholds queries use; a caller with a
+                # score-derived floor should pad it by ~1e-9.
                 keep = s >= min_score
                 d, s = d[keep], s[keep]
             st.push(d, s)
