@@ -1234,6 +1234,10 @@ def graph_topk_nvq(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     evals_acc=None,
+    threshold: float | None = None,
+    use_pruning: bool = False,
+    router: "CentroidRouter | None" = None,
+    route_ef: int = 64,
     layers: "str | bool | None" = None,
 ) -> DataFrame:
     """Beam-searched top-k where the probed clusters are scored from the
@@ -1247,7 +1251,12 @@ def graph_topk_nvq(
     memory, full-precision fetched for rerank" split (README.md:25-39).
     With covering ef the candidate union is the whole probed membership
     and the result is rank-identical to graph_topk/brute force
-    (pytest-asserted)."""
+    (pytest-asserted).
+
+    `threshold` / `use_pruning` / `router` / `route_ef` mirror
+    graph_topk exactly (the tracker stops and the threshold cut both
+    operate on the quantized beam / exact rerank the same way — the
+    tiers must not drift in surface)."""
     meta = load_graph_meta(path)
     codes_path = path.rstrip("/") + "_codes"
     # staleness gate: an id join against an out-of-date sidecar silently
@@ -1264,8 +1273,9 @@ def graph_topk_nvq(
             f"generation {codes_gen} but the graph is at {graph_gen} — "
             "re-run quantize_graph_vectors after mutations")
     qpdf = queries.select(qid_col, qvec_col).toPandas()
-    cluster_qids = _probe_map(queries, centroids, nprobe,
-                              qid_col, qvec_col)
+    cluster_qids = _resolve_probe_map(
+        queries, qpdf, centroids, nprobe, router, route_ef,
+        qid_col, qvec_col)
     probed = sorted(cluster_qids)
     qvecs = _unit_query_vecs(qpdf, qid_col, qvec_col)
     medoids = meta["medoids"]
@@ -1336,7 +1346,8 @@ def graph_topk_nvq(
                     amap, entry_pos, entry[1], nvq_score)
             found, n_evals = beam_search_cluster(
                 ids, None, nbrs, medoid_pos, q, ef, sp,
-                banned=banned, scorer=nvq_score)
+                banned=banned, threshold=threshold,
+                use_pruning=use_pruning, scorer=nvq_score)
             if evals_acc is not None:
                 evals_acc.add(int(n_evals) + int(d_evals))
             outs.append(pd.DataFrame({
@@ -1346,11 +1357,13 @@ def graph_topk_nvq(
     cands = corpus.groupBy("cluster").applyInPandas(search, out_schema)
     # the exact rerank fetches full-precision rows for candidates only
     # (the "compressed in memory, floats for rerank" split)
+    # threshold mode: the cut applies on EXACT rerank scores, exactly as
+    # in graph_topk (beam-side tracker only bounds exploration)
     return exact_rerank(
         cands.join(vectors.select(id_col, vec_col), id_col),
         queries.select(F.col(qid_col).alias("qid"), qvec_col),
         k, id_col=id_col, vec_col=vec_col, qid_col="qid",
-        qvec_col=qvec_col)
+        qvec_col=qvec_col, threshold=threshold)
 
 
 # --------------------------------------------------------------------------
@@ -1632,6 +1645,28 @@ def _flag_tombstones(spark, corpus: DataFrame, path: str,
             .withColumn("_del", F.coalesce("_del", F.lit(False))))
 
 
+def _resolve_probe_map(queries: DataFrame, qpdf: pd.DataFrame,
+                       centroids: np.ndarray, nprobe: int,
+                       router, route_ef: int,
+                       qid_col: str, qvec_col: str
+                       ) -> dict[int, list[int]]:
+    """cluster -> [qid] probe assignment, shared by the float and NVQ
+    graph tiers. With a CentroidRouter, hierarchy-descent routing beams
+    over the L1 centroid graph instead of scoring every centroid — the
+    probe cost drops from O(n_cells) to O(route_ef * degree) per
+    query."""
+    if router is None:
+        return _probe_map(queries, centroids, nprobe, qid_col, qvec_col)
+    cluster_qids: dict[int, list[int]] = {}
+    for _, row in qpdf.iterrows():
+        cells, _ = router.route(
+            np.asarray(row[qvec_col], dtype=np.float64), nprobe,
+            ef=route_ef)
+        for c in cells:
+            cluster_qids.setdefault(int(c), []).append(int(row[qid_col]))
+    return cluster_qids
+
+
 def graph_topk(
     spark,
     path: str,
@@ -1677,21 +1712,9 @@ def graph_topk(
     makes a kNN-candidate graph globally navigable."""
     meta = load_graph_meta(path)
     qpdf = queries.select(qid_col, qvec_col).toPandas()
-    cluster_qids: dict[int, list[int]] = {}
-    if router is not None:
-        # hierarchy-descent routing (CentroidRouter): beam over the L1
-        # centroid graph instead of scoring every centroid — the probe
-        # cost drops from O(n_cells) to O(route_ef * degree) per query
-        for _, row in qpdf.iterrows():
-            cells, _ = router.route(
-                np.asarray(row[qvec_col], dtype=np.float64), nprobe,
-                ef=route_ef)
-            for c in cells:
-                cluster_qids.setdefault(int(c), []).append(
-                    int(row[qid_col]))
-    else:
-        cluster_qids = _probe_map(queries, centroids, nprobe,
-                                  qid_col, qvec_col)
+    cluster_qids = _resolve_probe_map(
+        queries, qpdf, centroids, nprobe, router, route_ef,
+        qid_col, qvec_col)
     probed = sorted(cluster_qids)
     qvecs = _unit_query_vecs(qpdf, qid_col, qvec_col)
     medoids = meta["medoids"]

