@@ -244,27 +244,28 @@ def q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out, query_set=FIELDED_QUERY_SET)
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the segment index for a sf_dir under /tmp."""
-    from jvector_spark.sources.segment import build_index
-
+def _ensure_cached_index(spark: SparkSession, sf_dir: str,
+                         tag_suffix: str, sig_tail: str,
+                         extra_valid, **build_kwargs) -> str:
+    """ONE /tmp segment-index cache discipline for every index-backed
+    query family: format-version + fixture-content signature (_input_sig
+    — regenerated fixtures must invalidate, not just library bumps) +
+    manifest-shape checks, rebuild on ANY doubt (stale /tmp survives
+    process restarts; "metrics" marks the current manifest shape).
+    `extra_valid(manifest, index_dir) -> bool` adds the per-cache
+    structural predicate; `build_kwargs` extend the shared build call.
+    Parameterized so the staleness rules can never drift between the
+    plain and NVQ-metadata caches."""
     import shutil
 
     from jvector_spark import SEGMENT_FORMAT_VERSION
-    from jvector_spark.sources.segment import load_manifest
+    from jvector_spark.sources.segment import build_index, load_manifest
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)) + tag_suffix
     index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
-    # content signature: regenerated FIXTURES must invalidate the cache
-    # too, not just library-format bumps — an old index over a new
-    # documents.parquet passes every structural check while the oracle
-    # reads the new file (the stale-entry-cache class _input_sig guards
-    # for every other /tmp artifact)
     sig = _input_sig(sf_dir, "documents.parquet",
-                     extra=f"v{SEGMENT_FORMAT_VERSION}|simple|8|pos")
+                     extra=f"v{SEGMENT_FORMAT_VERSION}|simple|8|{sig_tail}")
     sig_path = os.path.join(index_dir, "_INPUT_SIG")
-    # rebuild a cached index written by an older library state (stale /tmp
-    # survives process restarts; "metrics" marks the current manifest shape)
     if os.path.exists(os.path.join(index_dir, "manifest.json")):
         try:
             m = load_manifest(index_dir)
@@ -273,9 +274,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             if (m.get("version") != SEGMENT_FORMAT_VERSION
                     or cached_sig != sig
                     or "metrics" not in m
-                    or not m.get("has_positions")
-                    or not os.path.exists(
-                        os.path.join(index_dir, "term_stats.parquet"))):
+                    or not extra_valid(m, index_dir)):
                 shutil.rmtree(index_dir, ignore_errors=True)
         except Exception:
             shutil.rmtree(index_dir, ignore_errors=True)
@@ -287,11 +286,21 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         build_index(
             docs, index_dir, mode="simple", num_segments=8,
             content_col="text", key_cols=("source", "lang"),
-            positions=True,
+            **build_kwargs,
         )
         with open(sig_path, "w") as f:
             f.write(sig)
     return index_dir
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the segment index for a sf_dir under /tmp."""
+    return _ensure_cached_index(
+        spark, sf_dir, "", "pos",
+        lambda m, d: (bool(m.get("has_positions"))
+                      and os.path.exists(
+                          os.path.join(d, "term_stats.parquet"))),
+        positions=True)
 
 
 def q_bm25_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,46 +320,15 @@ def q_bm25_topk_index_nvq(spark: SparkSession, sf_dir: str) -> DataFrame:
     path). Quantization is directional (tf up, dl down) so block pruning
     stays sound; results must hash-match the SAME full-precision BM25
     oracle — the quantization is visible only in dictionary size."""
-    import shutil
-
-    from jvector_spark.sources.segment import build_index, load_manifest
     from jvector_spark.operators.wand import search_index
 
-    from jvector_spark import SEGMENT_FORMAT_VERSION
-
-    tag = os.path.basename(os.path.normpath(sf_dir)) + "-nvq"
-    index_dir = os.path.join(ENTRY_INDEX_ROOT, tag)
-    # same staleness discipline as _ensure_index: format version AND
-    # fixture content signature, not just manifest shape
-    sig = _input_sig(sf_dir, "documents.parquet",
-                     extra=f"v{SEGMENT_FORMAT_VERSION}|simple|8|qmeta")
-    sig_path = os.path.join(index_dir, "_INPUT_SIG")
-    if os.path.exists(os.path.join(index_dir, "manifest.json")):
-        try:
-            m = load_manifest(index_dir)
-            cached_sig = (open(sig_path).read()
-                          if os.path.exists(sig_path) else "")
-            if (m.get("version") != SEGMENT_FORMAT_VERSION
-                    or cached_sig != sig
-                    or "metrics" not in m or not any(
-                        s.get("path") and os.path.exists(
-                            os.path.join(s["path"], "meta.json"))
-                        for s in m.get("segments", []))):
-                shutil.rmtree(index_dir, ignore_errors=True)
-        except Exception:
-            shutil.rmtree(index_dir, ignore_errors=True)
-    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        docs = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("long").alias("docid"), "text",
-            F.col("source"), F.col("lang"),
-        )
-        build_index(
-            docs, index_dir, mode="simple", num_segments=8,
-            content_col="text", key_cols=("source", "lang"),
-            quantize_meta=True,
-        )
-        with open(sig_path, "w") as f:
-            f.write(sig)
+    index_dir = _ensure_cached_index(
+        spark, sf_dir, "-nvq", "qmeta",
+        lambda m, d: any(
+            s.get("path") and os.path.exists(
+                os.path.join(s["path"], "meta.json"))
+            for s in m.get("segments", [])),
+        quantize_meta=True)
     out = search_index(spark, index_dir, _qpdf())
     return _rerank_rounded(out)
 
