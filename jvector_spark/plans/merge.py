@@ -423,8 +423,15 @@ def _merge_group(
     readers = [SegmentReader(p) for p in seg_paths]
     # positions survive compaction iff EVERY input segment carries them
     # (position values are within-doc indices — docid remapping does not
-    # touch them, only the posting reorder does)
-    with_positions = all(r.has_positions for r in readers if r.terms)
+    # touch them, only the posting reorder does). Segments WITH terms
+    # decide; a group of all-empty dictionaries falls back to the metas'
+    # AND — a vacuous all() over the filtered iterator would default to
+    # True and stamp has_positions on a merge of a position-LESS index
+    _term_readers = [r for r in readers if r.terms]
+    with_positions = (all(r.has_positions for r in _term_readers)
+                      if _term_readers
+                      else bool(readers)
+                      and all(r.has_positions for r in readers))
     # NVQ-quantized dictionaries stay quantized through compaction (the
     # codes re-derive from exact merged (max_tf, min_dl) — no error
     # accumulation across generations)
@@ -514,14 +521,22 @@ def _merge_group(
     # produce a bloom-less merged segment — appends fail open on those)
     kc_sets = {tuple(r.meta.get("key_cols") or ()) for r in readers}
     key_cols = list(kc_sets.pop()) if len(kc_sets) == 1 else []
-    meta = write_segment_files(seg_dir, terms_tbl, blob, docs_live, {
+    # content_col survives the merge the same way (index_config reads it
+    # from segment metas for build_index-built indexes)
+    cc_sets = {r.meta.get("content_col") for r in readers}
+    content_col = cc_sets.pop() if len(cc_sets) == 1 else None
+    meta_extra = {
         "segment_id": seg_id, "block_size": block_size,
         "merged_from": [os.path.basename(p) for p in seg_paths],
         "fingerprint": f"merge-{group_id}-{len(old)}",
         "has_positions": bool(with_positions),
         "key_cols": key_cols,
         "quantize_meta": bool(with_qmeta),
-    })
+    }
+    if content_col:
+        meta_extra["content_col"] = content_col
+    meta = write_segment_files(seg_dir, terms_tbl, blob, docs_live,
+                               meta_extra)
     man = pd.DataFrame([{
         "segment_id": seg_id, "path": seg_dir, "status": "merged",
         "min_docid": meta["min_docid"], "max_docid": meta["max_docid"],
@@ -556,6 +571,9 @@ def compact_in_place(
 
     gen = os.path.join(index_dir, f"gen-{int(_time.time() * 1000):013d}")
     old_epoch = _manifest_epoch(index_dir)
+    # segments live BEFORE the flip: their supersession moment is the
+    # flip, not their build time — see the mtime bump below
+    old_live = [s["path"] for s in load_manifest(index_dir)["segments"]]
     # Snapshot of what compact_index will physically purge. Deletes acked
     # AFTER this read must not be lost (they carry the old epoch, so
     # post-flip readers rightly ignore them — but dropping the file would
@@ -589,6 +607,22 @@ def compact_in_place(
         # compaction start (including the orphaned gen dir) until the
         # 1h lease timeout
         release_lease(lease)
+    # restart the superseded dirs' vacuum grace clock at the FLIP:
+    # vacuum's min_age_sec guard reads mtime, which until now was the
+    # BUILD time — a segment built an hour ago and superseded a second
+    # ago would be rmtree'd out from under a reader holding the
+    # pre-flip manifest snapshot, despite the documented grace. Touch
+    # each superseded dir (and its hosting gen dir) so "age" means
+    # time-since-supersession for exactly the dirs the flip orphaned.
+    now = _time.time()
+    for p in old_live:
+        for tgt in (p, os.path.dirname(p)):
+            if (os.path.basename(tgt).startswith(("seg-", "gen-"))
+                    and os.path.isdir(tgt)):
+                try:
+                    os.utime(tgt, (now, now))
+                except OSError:
+                    pass
     if vacuum_after:
         vacuum_index(index_dir, min_age_sec=vacuum_min_age_sec)
     return manifest
@@ -596,7 +630,17 @@ def compact_in_place(
 
 def _flip_and_carry_over(index_dir, gen, manifest, mode, old_epoch,
                          snap_epoch, snap, tomb) -> None:
-    from jvector_spark.sources.segment import write_index_manifest
+    from jvector_spark.sources.segment import (
+        write_global_term_stats, write_index_manifest)
+
+    # Hoist the O(vocabulary) dictionary aggregation OUT of the critical
+    # section — the lock otherwise blocks every concurrent mark_deleted
+    # (the serve 'delete' op) for its duration. Window semantics: the new
+    # stats file lands beside the OLD manifest for a moment; its recorded
+    # sha no longer matches, so readers take the documented torn-stats
+    # fallback (distributed aggregation — correct, just slower) until the
+    # flip below records the new sha.
+    stats_sha = write_global_term_stats(index_dir, manifest)
     with _tombstone_lock(index_dir):
         # flip the PARENT manifest to the new generation's segments (paths
         # are absolute). The epoch bump makes the flip atomic w.r.t.
@@ -604,7 +648,8 @@ def _flip_and_carry_over(index_dir, gen, manifest, mode, old_epoch,
         # ignores them the instant the new manifest lands (no
         # wrong-results window at any crash point).
         write_index_manifest(index_dir, manifest, mode,
-                             docid_epoch=old_epoch + 1)
+                             docid_epoch=old_epoch + 1,
+                             stats_sha=stats_sha)
         # Late-delete carry-over: diff the file against the snapshot and
         # translate survivors through the compaction's docid_map into the
         # new epoch, instead of unconditionally removing the file.
@@ -851,6 +896,11 @@ def compact_index(
     os.makedirs(out_dir, exist_ok=True)
     mode = manifest["tokenizer_mode"]
     if not groups:  # everything tombstoned: a valid, empty index
+        if tomb_snap_dir is not None:
+            # the early return must not skip the snapshot cleanup below,
+            # or the hardlinked shard pin lives forever inside the new
+            # live generation (vacuum never looks inside live gen dirs)
+            shutil.rmtree(tomb_snap_dir, ignore_errors=True)
         empty = pd.DataFrame(
             columns=["segment_id", "path", "status", "min_docid", "max_docid",
                      "n_docs", "n_terms", "n_postings", "bytes_postings",
@@ -982,12 +1032,21 @@ def index_config(index_dir: str) -> dict:
         pass
     key_cols: tuple[str, ...] = tuple(
         created.get("key_cols") or ("repo", "path", "commit"))
+    # content_col: segment metas (recorded at build since format they
+    # were written with it) outrank create.json, which outranks the
+    # default — the one setting that used to be create.json-only, so
+    # replace_docs on a build_index(content_col='body') index silently
+    # tokenized the wrong column
+    content_col = str(created.get("content_col", "content"))
     for s in manifest["segments"]:
         try:
             with open(os.path.join(s["path"], "meta.json")) as f:
-                kc = json.load(f).get("key_cols")
-            if kc:
-                key_cols = tuple(kc)
+                sm = json.load(f)
+            if sm.get("key_cols"):
+                key_cols = tuple(sm["key_cols"])
+            if sm.get("content_col"):
+                content_col = str(sm["content_col"])
+            if sm.get("key_cols") or sm.get("content_col"):
                 break
         except (OSError, ValueError):
             continue
@@ -998,7 +1057,7 @@ def index_config(index_dir: str) -> dict:
         "tokenizer_mode": manifest.get("tokenizer_mode", "code"),
         "has_positions": has_positions,
         "key_cols": key_cols,
-        "content_col": str(created.get("content_col", "content")),
+        "content_col": content_col,
     }
 
 

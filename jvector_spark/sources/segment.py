@@ -590,13 +590,24 @@ def _canon_key(v) -> str:
             return KEY_NULL
     except (TypeError, ValueError):
         pass
+    if isinstance(v, (float, np.floating)) and float(v).is_integer():
+        # VALUE-dependent, not dtype-dependent: an integer key column
+        # whose batch contains a null reaches pandas as float64, so the
+        # same logical key 2 would render '2' (int64 batch) or '2.0'
+        # (float64 batch) — a bloom write/probe mismatch, i.e. a FALSE
+        # NEGATIVE and a duplicate doc on at-least-once redelivery.
+        # Integral floats therefore render as their integer string on
+        # both sides (consistent for genuinely-float keys too).
+        return str(int(v))
     return str(v)
 
 
 def _canon_key_series(s: pd.Series) -> pd.Series:
     if s.dtype == bool:
         return s.map({True: "true", False: "false"})
-    if s.dtype.kind in "iu":  # non-null integers: fast vectorized path
+    # fast path: NUMPY (never nullable-extension) integer dtype — cannot
+    # hold nulls, astype(str) matches _canon_key exactly
+    if isinstance(s.dtype, np.dtype) and s.dtype.kind in "iu":
         return s.astype(str)
     return s.map(_canon_key)
 
@@ -877,7 +888,10 @@ def _build_segment_stream(
     fp = _fingerprint(
         docids, docs_pdf["content_sha"],
         f"mode={mode}|codec={codec}|positions={positions}|block={block_size}"
-        f"|qmeta={quantize_meta}",
+        # key_cols changes docs.parquet AND key_bloom.bin — omitting it
+        # made a re-run with different keys silently resume segments
+        # whose sidecars lacked the new columns
+        f"|qmeta={quantize_meta}|keys={','.join(key_cols)}",
     )
     seg_id = f"seg-{int(docids[0]):012d}"
     seg_dir = os.path.join(index_dir, seg_id)
@@ -955,6 +969,11 @@ def _build_segment_stream(
         "segment_id": seg_id, "block_size": block_size,
         "tokenizer_mode": mode, "codec": codec, "fingerprint": fp,
         "has_positions": positions, "key_cols": list(key_cols),
+        # content_col persists so index_config can recover it for
+        # build_index-built indexes (create.json only exists for serve
+        # sessions) — without it replace_docs on an index built with
+        # content_col='body' silently tokenizes the default column
+        "content_col": content_col,
         "quantize_meta": bool(quantize_meta),
     })
     stage["write_sec"] = time.time() - ts
@@ -1068,12 +1087,47 @@ def write_global_term_stats(index_dir: str, manifest: pd.DataFrame) -> str:
     file is ~one row per distinct term, still a single sorted parquet.
     Aggregation here is pyarrow/pandas over dictionary-sized data (terms,
     not postings); it runs inside one task/driver in bounded memory.
+
+    Append fast path: when the new manifest is the OLD manifest plus new
+    segments (nothing removed) and the existing stats file matches the
+    old manifest's recorded sha (not torn), the aggregation merges the
+    prior stats with only the NEW segments' dictionaries — per-batch
+    append cost tracks the batch, not the index (a 10k-segment index
+    would otherwise re-read 10k dictionaries per micro-batch). Exact
+    integer sums, so the result is identical to the full rebuild.
     """
-    frames = []
-    for p in manifest["path"]:
-        t = pq.read_table(os.path.join(p, "terms.parquet"),
-                          columns=["term", "df", "cf"])
-        frames.append(t.to_pandas())
+    paths = list(manifest["path"])
+    frames = None
+    try:
+        old = load_manifest(index_dir)
+        # a REBUILT segment reuses its path with new content — shared
+        # paths must also match on fingerprint, or the old stats would
+        # carry the stale segment's sums
+        old_fp = {s["path"]: s.get("fingerprint")
+                  for s in old.get("segments", [])}
+        new_fp = dict(zip(paths, manifest["fingerprint"]))
+        old_paths = set(old_fp)
+        stats_path = os.path.join(index_dir, "term_stats.parquet")
+        if (old_paths and old_paths <= set(paths)
+                and all(new_fp.get(p) == old_fp[p] for p in old_paths)
+                and os.path.exists(stats_path)
+                and old.get("term_stats_sha")
+                == _term_stats_file_sha(stats_path)):
+            frames = [pq.read_table(
+                stats_path, columns=["term", "df", "cf"]).to_pandas()]
+            for p in paths:
+                if p not in old_paths:
+                    frames.append(pq.read_table(
+                        os.path.join(p, "terms.parquet"),
+                        columns=["term", "df", "cf"]).to_pandas())
+    except (OSError, ValueError, KeyError):
+        frames = None
+    if frames is None:
+        frames = []
+        for p in paths:
+            t = pq.read_table(os.path.join(p, "terms.parquet"),
+                              columns=["term", "df", "cf"])
+            frames.append(t.to_pandas())
     if not frames:  # empty index (e.g. compaction purged every doc)
         frames = [pd.DataFrame({"term": pd.Series([], dtype=str),
                                 "df": pd.Series([], dtype="int64"),
@@ -1165,11 +1219,17 @@ def vocab_dataset_paths(index_dir: str) -> tuple[list[str], bool]:
 
 
 def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str,
-                         docid_epoch: int | None = None) -> dict:
+                         docid_epoch: int | None = None,
+                         stats_sha: str | None = None) -> dict:
     """`docid_epoch` scopes tombstones to a docid numbering: appends keep
     the current epoch (default — preserved from the existing manifest);
     compactions that RENUMBER docids must bump it so stale tombstones are
-    ignored by readers (see plans/merge.mark_deleted)."""
+    ignored by readers (see plans/merge.mark_deleted).
+
+    `stats_sha`: the caller already ran write_global_term_stats for this
+    exact manifest (e.g. compact_in_place, which hoists the aggregation
+    OUT of the tombstone-lock critical section so concurrent deletes are
+    not blocked for the duration) — record it instead of re-running."""
     if docid_epoch is None:
         try:
             docid_epoch = int(load_manifest(index_dir).get("docid_epoch", 0))
@@ -1211,7 +1271,9 @@ def write_index_manifest(index_dir: str, manifest: pd.DataFrame, mode: str,
     # leaves the OLD manifest (whose recorded sha no longer matches) —
     # readers detect the tear and fall back to distributed aggregation
     # instead of serving skewed idf (read_global_term_stats).
-    idx_meta["term_stats_sha"] = write_global_term_stats(index_dir, manifest)
+    idx_meta["term_stats_sha"] = (
+        stats_sha if stats_sha is not None
+        else write_global_term_stats(index_dir, manifest))
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(idx_meta, f, indent=1)

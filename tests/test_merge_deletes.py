@@ -618,3 +618,113 @@ def test_oracle_accepts_empty_corpus(corpus_pdf):
     o = BM25Oracle(corpus_pdf.iloc[0:0])
     assert o.n_docs == 0 and o.postings == {}
     assert len(o.topk(["import"], 5)) == 0
+
+
+def test_vacuum_grace_counts_from_supersession(spark, corpus_df,
+                                               tmp_path_factory):
+    """A segment built long ago but superseded a second ago must survive
+    compact_in_place's vacuum: the grace clock restarts at the FLIP
+    (readers holding the pre-flip manifest snapshot are what min_age_sec
+    documents it protects), not at build time."""
+    import time as _time
+
+    from jvector_spark.plans.merge import compact_in_place
+
+    idx = str(tmp_path_factory.mktemp("idx_grace"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=4)
+    old_segs = [os.path.join(idx, n) for n in os.listdir(idx)
+                if n.startswith("seg-")]
+    assert old_segs
+    # age the build far beyond the grace period
+    stale = _time.time() - 7200
+    for p in old_segs:
+        os.utime(p, (stale, stale))
+    compact_in_place(spark, idx, target_segments=2,
+                     vacuum_min_age_sec=600)
+    # superseded dirs survive: their mtime was bumped at the flip
+    for p in old_segs:
+        assert os.path.isdir(p), "superseded segment vacuumed under a reader"
+    # and an explicit grace-less vacuum still collects them
+    from jvector_spark.plans.merge import vacuum_index
+
+    removed = vacuum_index(idx, min_age_sec=0)
+    assert set(old_segs) <= set(removed)
+
+
+def test_content_col_persists_through_build_and_merge(spark, corpus_pdf,
+                                                     tmp_path_factory):
+    """index_config recovers content_col from segment metas for
+    build_index-built indexes (create.json only exists for serve
+    sessions), and the merged segments carry it through compaction."""
+    from jvector_spark.plans.merge import compact_in_place, index_config
+
+    idx = str(tmp_path_factory.mktemp("idx_cc"))
+    renamed = corpus_pdf.rename(columns={"content": "body"})
+    docs = assign_dense_docids(spark.createDataFrame(renamed))
+    build_index(docs, idx, num_segments=3, content_col="body")
+    assert index_config(idx)["content_col"] == "body"
+    compact_in_place(spark, idx, target_segments=1, vacuum_min_age_sec=0)
+    assert index_config(idx)["content_col"] == "body"
+
+
+def test_merge_of_all_empty_dictionaries_keeps_positions_false(
+        spark, tmp_path_factory):
+    """A compaction group whose segments all have empty dictionaries must
+    not default has_positions to True via a vacuous all() — a merged
+    segment of a position-LESS index claiming positions enables phrase
+    serving against data that never had them."""
+    import pandas as pd
+
+    from jvector_spark.plans.merge import compact_in_place
+
+    idx = str(tmp_path_factory.mktemp("idx_empty"))
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(12)],
+        "path": [f"p{i}" for i in range(12)],
+        "commit": ["c"] * 12,
+        "lang": ["py"] * 12,
+        "content": [""] * 12,  # tokenizes to nothing -> empty dicts
+    })
+    docs = assign_dense_docids(spark.createDataFrame(pdf))
+    build_index(docs, idx, num_segments=2, positions=False)
+    compact_in_place(spark, idx, target_segments=1, vacuum_min_age_sec=0)
+    assert load_manifest(idx)["has_positions"] is False
+
+
+def test_term_stats_incremental_append_matches_full_rebuild(
+        spark, corpus_df, tmp_path_factory):
+    """The append fast path (prior stats + new segments' dictionaries)
+    must produce exactly the full rebuild's aggregation; a segment
+    rebuilt IN PLACE with a different fingerprint must force the full
+    path rather than reuse stale sums."""
+    import pyarrow.parquet as papq
+
+    from jvector_spark.sources.segment import (
+        load_manifest as _lm, write_global_term_stats,
+        write_index_manifest)
+
+    idx = str(tmp_path_factory.mktemp("idx_inc"))
+    build_index(assign_dense_docids(corpus_df), idx, num_segments=4)
+    man = _lm(idx)
+    import pandas as pd
+    full_df = pd.DataFrame(man["segments"])
+    # drop one segment from the manifest view, rewrite stats (full), then
+    # re-add it: the second write takes the incremental path (old subset
+    # of new, fingerprints equal, sha matches)
+    part = full_df.iloc[:-1]
+    write_index_manifest(idx, part, man["tokenizer_mode"])
+    write_index_manifest(idx, full_df, man["tokenizer_mode"])
+    inc = papq.read_table(os.path.join(idx, "term_stats.parquet")).to_pandas()
+    # force the full path by clearing the recorded sha
+    m2 = _lm(idx)
+    write_global_term_stats(idx, full_df)
+    full = papq.read_table(os.path.join(idx, "term_stats.parquet")).to_pandas()
+    pd.testing.assert_frame_equal(
+        inc.reset_index(drop=True), full.reset_index(drop=True))
+    # fingerprint gate: same paths, changed fingerprint -> full rebuild
+    drifted = full_df.copy()
+    drifted.loc[drifted.index[0], "fingerprint"] = "CHANGED"
+    write_index_manifest(idx, drifted, man["tokenizer_mode"])
+    after = papq.read_table(os.path.join(idx, "term_stats.parquet")).to_pandas()
+    pd.testing.assert_frame_equal(
+        after.reset_index(drop=True), full.reset_index(drop=True))

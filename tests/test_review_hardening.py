@@ -280,3 +280,54 @@ def test_fsck_bloom_probe_covers_whole_dictionary(spark, corpus_df,
     ok, errors = _verify_segment(seg, max_terms=0)
     assert not ok
     assert any("false negative" in e for e in errors), errors
+
+
+def test_canon_key_rendering_is_value_not_dtype_dependent():
+    """An integer key column whose batch contains a null reaches pandas
+    as float64 — the same logical key must hash identically from an
+    int64 batch ('2') and a float64 batch (2.0 -> '2'), or the key bloom
+    write/probe parity breaks into a FALSE NEGATIVE (duplicate doc on
+    at-least-once redelivery)."""
+    from jvector_spark.sources.segment import (
+        _canon_key, _canon_key_series, _key_hash60)
+
+    assert _canon_key(2) == _canon_key(2.0) == _canon_key(np.float64(2.0))
+    assert _canon_key(2.5) == "2.5"
+    assert _canon_key(float("nan")) == _canon_key(None)
+    int_batch = pd.DataFrame({"v": pd.Series([1, 2, 3], dtype="int64"),
+                              "k": ["a", "b", "c"]})
+    float_batch = pd.DataFrame(
+        {"v": pd.Series([1.0, 2.0, 3.0], dtype="float64"),
+         "k": ["a", "b", "c"]})
+    assert (_key_hash60(int_batch) == _key_hash60(float_batch)).all()
+    # series path agrees with the scalar path on a mixed column
+    s = pd.Series([1.0, float("nan"), 7.0])
+    assert _canon_key_series(s).tolist() == [_canon_key(v) for v in s]
+
+
+def test_resume_fingerprint_includes_key_cols(spark, tmp_path):
+    """Rebuilding the same docs with different key_cols must REBUILD the
+    segments (their docs.parquet and key bloom change), not resume the
+    old ones missing the new key columns."""
+    from jvector_spark.corpus import generate_corpus
+    from jvector_spark.operators.ids import assign_dense_docids
+    from jvector_spark.sources.segment import build_index
+
+    corpus = generate_corpus(60, seed=3)
+    docs = assign_dense_docids(spark.createDataFrame(corpus))
+    idx = str(tmp_path / "idx")
+    m1 = build_index(docs, idx, num_segments=2,
+                     key_cols=("repo", "path"))
+    assert set(m1["status"]) == {"built"}
+    m2 = build_index(docs, idx, num_segments=2,
+                     key_cols=("repo", "path", "commit"))
+    assert set(m2["status"]) == {"built"}, (
+        "different key_cols silently resumed old segments")
+    import json as _json
+    import os as _os
+    with open(_os.path.join(m2["path"].iloc[0], "meta.json")) as f:
+        assert _json.load(f)["key_cols"] == ["repo", "path", "commit"]
+    # and an unchanged re-run still resumes
+    m3 = build_index(docs, idx, num_segments=2,
+                     key_cols=("repo", "path", "commit"))
+    assert set(m3["status"]) == {"resumed"}
