@@ -60,9 +60,18 @@ def _attr_values(reader, attr: str,
         return d, reader.doclen(d).astype(np.int64)
     raw = pd.Series(reader.doc_attribute(attr)[d - reader._min_docid])
     ok = raw.notna().to_numpy()
-    if ok.all():
-        return d, np.asarray(raw.to_numpy(), dtype=np.int64)
-    return d[ok], np.asarray(raw[ok].tolist(), dtype=np.int64)
+    vals = (np.asarray(raw.to_numpy(), dtype=np.float64) if ok.all()
+            else np.asarray(raw[ok].tolist(), dtype=np.float64))
+    # the int64 cast is a CONTRACT, not a coercion: truncating 9.99 to 9
+    # would silently corrupt sort order, stats, and histogram bins for a
+    # float attribute — refuse loudly instead (int-typed columns that
+    # reach pandas as float64 via nulls are integral and pass)
+    if len(vals) and not np.all(vals == np.floor(vals)):
+        raise ValueError(
+            f"attribute {attr!r} holds non-integral values — the "
+            "attribute surface is integer-keyed (cast/scale the column, "
+            "e.g. cents instead of dollars, before indexing)")
+    return (d if ok.all() else d[ok]), vals.astype(np.int64)
 
 
 def facet_counts(
@@ -117,14 +126,24 @@ def facet_counts(
                     counts = cache[key]
                 else:
                     d = _matched_docids(reader, terms, tomb_l, accept)
+                    # dropna=False: SQL GROUP BY keeps one NULL group —
+                    # silently omitting null-attribute matches would
+                    # under-count vs the oracle (collapse_topk already
+                    # preserves the distinct null group the same way)
                     counts = cache[key] = (
-                        pd.Series(vals[d - reader._min_docid]).value_counts()
+                        pd.Series(vals[d - reader._min_docid])
+                        .value_counts(dropna=False)
                         if len(d) else None
                     )
                 if counts is not None and len(counts):
+                    facet_vals = [
+                        None if (v is None or (isinstance(v, float)
+                                               and v != v))
+                        else str(v)
+                        for v in counts.index.tolist()]
                     yield pd.DataFrame({
                         "qid": np.int64(qid),
-                        "facet": counts.index.astype(str),
+                        "facet": pd.Series(facet_vals, dtype=object),
                         "n_docs": counts.to_numpy(np.int64),
                     })
 

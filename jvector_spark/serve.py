@@ -315,6 +315,9 @@ class VectorPool:
             levels = _node_levels(self.ids[members], R, m)
             top = int(levels.max(initial=0))
             amap: dict[int, dict[int, np.ndarray]] = {}
+            # one fancy-index copy of the cell submatrix for ALL levels
+            # (unit[members] inside the loop would re-copy per level)
+            um = unit[members]
             for lvl in range(1, top + 1):
                 sub = np.flatnonzero(levels >= lvl)
                 if len(sub) == 0:
@@ -324,7 +327,7 @@ class VectorPool:
                     ladj = [[]]
                 else:
                     ladj, _ = _build_cluster_graph(
-                        unit[members][sub], R=R, alpha=1.2)
+                        um[sub], R=R, alpha=1.2)
                 amap[lvl] = {
                     int(sub[j]): sub[np.asarray(a, dtype=np.int64)]
                     for j, a in enumerate(ladj)}
@@ -536,6 +539,12 @@ class VectorPool:
         if ef is not None and ef < 1:
             raise ValueError(f"ef must be >= 1, got {ef}")
         q = np.asarray(qvecs, dtype=np.float64)
+        if q.size == 0:  # empty batch: typed empty frame, not AxisError
+            return pd.DataFrame({
+                "qid": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int32),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64)})
         qn = np.maximum(np.sqrt((q * q).sum(axis=1)), 1e-12)
         outs = []
         use_graph = ef is not None and self._graph is not None
@@ -760,11 +769,10 @@ class IndexServer:
                 "qid": np.int64(q.qid),
                 "rank": np.arange(len(top), dtype=np.int32),
                 "docid": d[top], "n_matches": n[top]}))
+        from jvector_spark.operators.wand import _empty_result
+
         return (pd.concat(outs, ignore_index=True) if outs else
-                pd.DataFrame({"qid": pd.Series([], dtype="int64"),
-                              "rank": pd.Series([], dtype="int32"),
-                              "docid": pd.Series([], dtype="int64"),
-                              "n_matches": pd.Series([], dtype="int64")}))
+                _empty_result("n_matches"))
 
     def delete(self, docids: list[int]) -> dict:
         """Phase-1 delete through the warm session (tombstones visible to
@@ -830,6 +838,10 @@ class IndexServer:
             append_micro_segment)
 
         self.requests_served += 1
+        # refresh BEFORE validating/counting: multi-process serving is
+        # supported, and a stale in-memory manifest would make the
+        # before/written numbers lie after an external append
+        self._refresh_if_stale()
         cfg = index_config(self.index_dir)
         before = int(self.manifest["n_docs"])
         append_micro_segment(
@@ -857,6 +869,11 @@ class IndexServer:
         from jvector_spark.sources.segment import build_index
 
         self.requests_served += 1
+        # refresh BEFORE the emptiness guard: an external process may
+        # have appended since this session loaded its manifest — a stale
+        # n_docs=0 would let bulkload re-issue docids from 0 over the
+        # external segments and clobber their manifest
+        self._refresh_if_stale()
         if int(self.manifest["n_docs"]) > 0:
             raise ValueError(
                 "bulkload requires an empty index — CREATE again to reset")
@@ -926,11 +943,24 @@ class IndexServer:
                 resident = v._codes.nbytes + v._books.nbytes
             else:
                 resident = v.mat.nbytes
+            if v.centroids is not None:
+                # IVF tier: centroid matrix + assignment + cell lists
+                resident += (v.centroids.nbytes + v.assign.nbytes
+                             + sum(c.nbytes for c in v.cells))
             if v._graph is not None:
                 resident += sum(
                     members.nbytes + seeds.nbytes
                     + sum(a.nbytes for a in nbrs)
                     for members, nbrs, seeds in v._graph)
+            if v._hier is not None:
+                # upper-layer adjacency maps (graph_hier)
+                for h in v._hier:
+                    if h is None:
+                        continue
+                    amap, _entry, _top = h
+                    resident += sum(
+                        a.nbytes for lvl in amap.values()
+                        for a in lvl.values())
             if v._fused is not None:
                 # fused neighborhoods duplicate ~R codes/node by design
                 resident += sum(
@@ -1146,11 +1176,10 @@ class IndexServer:
                     "qid": np.int64(qid),
                     "rank": np.arange(len(page_d), dtype=np.int32),
                     "docid": page_d, "score": page_s}))
+        from jvector_spark.operators.wand import _empty_result
+
         return (pd.concat(outs, ignore_index=True) if outs else
-                pd.DataFrame({"qid": pd.Series([], dtype="int64"),
-                              "rank": pd.Series([], dtype="int32"),
-                              "docid": pd.Series([], dtype="int64"),
-                              "score": pd.Series([], dtype="float64")}))
+                _empty_result("score"))
 
     def stats(self) -> dict:
         return {

@@ -61,7 +61,10 @@ def append_micro_segment(
     regroups source files into different micro-batches (availableNow
     collapsing previously-separate batches, at-least-once re-delivery)
     indexes each doc at most once — a whole-batch content hash cannot see
-    through recomposition. Crash-consistency: new segment dirs become
+    through recomposition. `batch_id` exists to satisfy the
+    foreachBatch(df, batch_id) sink signature; it deliberately plays NO
+    role in idempotence (a batch-granular guard would break under the
+    recomposition above). Crash-consistency: new segment dirs become
     visible only via the single merged-manifest os.replace; a crash before
     it leaves the previous manifest fully intact (the orphan segment dirs
     are re-adopted by fingerprint on re-delivery or garbage).
@@ -169,7 +172,13 @@ def _append_micro_segment_locked(
                     *[os.path.join(s["path"], "docs.parquet")
                       for s in candidates]
                 ).select("docid", *key_cols)
-                tomb = load_tombstones(index_dir)
+                # the SNAPSHOT's epoch, not the live one: a compaction
+                # flip between our load_manifest and here would make
+                # the journal look stale ([]), a deleted doc's key in
+                # the snapshot segments would read as committed-live,
+                # and the delete+reinsert cycle would lose the doc
+                tomb = load_tombstones(index_dir,
+                                       epoch=int(old.get("docid_epoch", 0)))
                 if tomb:
                     existing = existing.where(
                         ~F.col("docid").isin([int(t) for t in tomb]))

@@ -76,6 +76,8 @@ def _session_fn_factory(gap_sec: float):
         code touches only the state carry across batches — the open
         session either absorbs the batch's first group (gap <= gap_sec)
         or closes and emits."""
+        import math
+
         import numpy as np
 
         user_id = int(key[0])
@@ -138,9 +140,13 @@ def _session_fn_factory(gap_sec: float):
             if start0 is not None:
                 g_start[vg] = min(float(start0), float(g_start[vg]))
         elif last is not None:
-            # gap before the batch: the open session closes now
+            # gap before the batch: the open session closes now.
+            # math.floor, not int(): the batch twin emits
+            # F.floor(min/max(_sec)) and int() truncates TOWARD ZERO —
+            # they disagree by 1s for negative (pre-1970) fractional
+            # timestamps, breaking the closed==batch parity contract
             out = [(user_id, s_idx, n0, _round4(val0),
-                    int(start0), int(last))]
+                    int(math.floor(start0)), int(math.floor(last)))]
             s_idx += 1
         # every group but the last closes within this batch
         closed = len(starts) - 1
@@ -150,8 +156,9 @@ def _session_fn_factory(gap_sec: float):
                 "session_idx": s_idx + np.arange(closed, dtype=np.int64),
                 "n_events": g_n[:closed],
                 "sum_value": _round4(g_sum[:closed]),
-                "start_sec": g_start[:closed].astype(np.int64),
-                "end_sec": g_end[:closed].astype(np.int64),
+                # floor, not truncate — the batch twin's F.floor contract
+                "start_sec": np.floor(g_start[:closed]).astype(np.int64),
+                "end_sec": np.floor(g_end[:closed]).astype(np.int64),
             })
             if out:
                 emit = pd.concat([

@@ -331,3 +331,72 @@ def test_resume_fingerprint_includes_key_cols(spark, tmp_path):
     m3 = build_index(docs, idx, num_segments=2,
                      key_cols=("repo", "path", "commit"))
     assert set(m3["status"]) == {"resumed"}
+
+
+def test_vector_pool_empty_query_batch(tmp_path_factory):
+    """knn on an empty batch returns a typed empty frame (the serve-loop
+    contract), not an AxisError/concat crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from jvector_spark.serve import VectorPool
+
+    rng = np.random.RandomState(2)
+    X = rng.normal(size=(30, 8)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("ek")) + "/emb.parquet"
+    pq_mod.write_table(pa.table({
+        "vec_id": np.arange(30, dtype=np.int64), "embedding": list(X)}),
+        path)
+    pool = VectorPool(path)
+    for empty in ([], np.zeros((0, 8))):
+        out = pool.knn(empty, 5)
+        assert len(out) == 0
+        assert list(out.columns) == ["qid", "rank", "vec_id", "score"]
+
+
+def test_facet_counts_keeps_sql_null_group(spark, tmp_path_factory):
+    """Docs whose facet value is null must count as ONE null group (SQL
+    GROUP BY semantics), not vanish from the distribution."""
+    from jvector_spark.operators.facets import facet_counts
+    from jvector_spark.operators.ids import assign_dense_docids
+    from jvector_spark.sources.segment import build_index
+
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(10)],
+        "path": [f"p{i}" for i in range(10)],
+        "commit": ["c"] * 10,
+        "lang": ["py", "py", None, None, None, "go", "go", "go", None,
+                 "py"],
+        "content": ["alpha beta"] * 10,
+    })
+    idx = str(tmp_path_factory.mktemp("fnull"))
+    build_index(assign_dense_docids(spark.createDataFrame(pdf)), idx,
+                num_segments=1, key_cols=("repo", "path", "lang"))
+    q = pd.DataFrame({"qid": [0], "terms": [["alpha"]]})
+    out = facet_counts(spark, idx, q, "lang").toPandas()
+    got = {(r["facet"] if pd.notna(r["facet"]) else None): int(r["n_docs"])
+           for _, r in out.iterrows()}
+    assert got == {"py": 3, "go": 3, None: 4}, got
+
+
+def test_attr_surface_rejects_non_integral_values(spark, tmp_path_factory):
+    """A float attribute column with fractional values must be refused
+    loudly — the int64 contract would silently truncate 9.99 to 9 and
+    corrupt sort order, stats, and histogram bins."""
+    from jvector_spark.operators.facets import attr_stats
+    from jvector_spark.operators.ids import assign_dense_docids
+    from jvector_spark.sources.segment import build_index
+
+    pdf = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(6)],
+        "path": [f"p{i}" for i in range(6)],
+        "commit": ["c"] * 6,
+        "price": [9.99, 9.01, 3.5, 1.0, 2.0, 7.25],
+        "content": ["alpha beta"] * 6,
+    })
+    idx = str(tmp_path_factory.mktemp("fattr"))
+    build_index(assign_dense_docids(spark.createDataFrame(pdf)), idx,
+                num_segments=1, key_cols=("repo", "path", "price"))
+    q = pd.DataFrame({"qid": [0], "terms": [["alpha"]]})
+    with pytest.raises(Exception, match="non-integral"):
+        attr_stats(spark, idx, q, "price").toPandas()
