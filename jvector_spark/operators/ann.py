@@ -94,6 +94,29 @@ def _score_expr(metric: str, a, b):
     return F.round(e, 6) if metric == "cosine" else e
 
 
+def _partial_global_topk(scored: DataFrame, k: int,
+                         id_col: str) -> DataFrame:
+    """ONE definition of the two-stage top-k epilogue every exact scan
+    tier shares (brute force, IVF joined, IVF partition-pruned): partial
+    top-k per (qid, input partition) bounds the shuffle, then the global
+    window cuts to k with the (score desc, id asc) tie-break. Tiers must
+    not re-implement this — a change to the cut or tie-break that missed
+    one copy would silently fork the rank contract."""
+    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
+        F.col("prn") <= k
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col,
+                "score")
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -121,18 +144,7 @@ def brute_force_topk(
     )
     if threshold is not None:
         scored = scored.where(F.col("score") >= F.lit(float(threshold)))
-    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
-        F.desc("score"), F.asc(id_col)
-    )
-    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
-        F.col("prn") <= k
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col, "score")
-    )
+    return _partial_global_topk(scored, k, id_col)
 
 
 def exact_rerank(
@@ -251,8 +263,18 @@ def assign_clusters(
             lambda acc, v: acc + v,
         ),
     )
-    return vectors.withColumn(
-        "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    # materialize the O(n_clusters x dim) distance array ONCE behind a
+    # projection boundary — inlining it into both array_position and
+    # array_min doubles the per-row distance work on the full-corpus
+    # assignment scan (the standing re-inlining rule)
+    return (
+        vectors.withColumn("_cdists", dists)
+        .withColumn(
+            "cluster",
+            F.array_position(F.col("_cdists"), F.array_min("_cdists"))
+            .cast("int") - 1,
+        )
+        .drop("_cdists")
     )
 
 
@@ -281,18 +303,10 @@ def ivf_topk(
     ).select(
         F.col(qid_col).alias("qid"),
         F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
+        _score_expr("cosine", F.col(qvec_col), F.col(vec_col))
+        .alias("score"),
     )
-    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
-        F.desc("score"), F.asc(id_col)
-    )
-    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(F.col("prn") <= k)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col, "score")
-    )
+    return _partial_global_topk(scored, k, id_col)
 
 
 def write_ivf_index(
@@ -340,21 +354,10 @@ def ivf_topk_partitioned(
     ).select(
         F.col(qid_col).alias("qid"),
         F.col(id_col),
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("score"),
+        _score_expr("cosine", F.col(qvec_col), F.col(vec_col))
+        .alias("score"),
     )
-    wp = Window.partitionBy("qid", F.spark_partition_id()).orderBy(
-        F.desc("score"), F.asc(id_col)
-    )
-    pruned = scored.withColumn("prn", F.row_number().over(wp)).where(
-        F.col("prn") <= k
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("qid", (F.col("rn") - 1).cast("int").alias("rank"), id_col,
-                "score")
-    )
+    return _partial_global_topk(scored, k, id_col)
 
 
 def assign_probes(
@@ -525,4 +528,11 @@ def _vec_dim(vectors: DataFrame, vec_col: str) -> int:
     row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not row:
         raise ValueError("cannot infer dimension of an empty vector table")
-    return int(row[0]["d"])
+    d = row[0]["d"]
+    if d is None or int(d) <= 0:
+        # a null first row would otherwise propagate as a garbage dim
+        # (np.standard_normal((n, -1)), sequence(0, -2)) far from here
+        raise ValueError(
+            f"cannot infer dimension: first scanned row has a "
+            f"null/empty {vec_col!r}")
+    return int(d)

@@ -123,6 +123,11 @@ def bq_topk(
     """
     if rerank_k is None:
         rerank_k = 4 * k
+    if rerank_k < k:
+        # the reference enforces rerankK >= topK (GraphSearcher
+        # .search:209) — a smaller survivor pool silently returns fewer
+        # than k rows
+        raise ValueError(f"rerank_k ({rerank_k}) must be >= k ({k})")
     spark = encoded.sparkSession
     qpdf = queries.select(qid_col, qvec_col).toPandas()
     Q = np.stack(qpdf[qvec_col].to_numpy()).astype(np.float64)

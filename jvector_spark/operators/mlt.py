@@ -18,8 +18,6 @@ fan-out.  Nothing here is O(corpus).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +50,11 @@ def mlt_select_terms(
     same sources once for its vocabulary pass and hands them down.
     """
     out: dict[int, list[str]] = {}
+    if pretokenized is not None and len(pretokenized) != len(texts):
+        # zip would silently misalign docids with another doc's tokens
+        raise ValueError(
+            f"pretokenized has {len(pretokenized)} entries for "
+            f"{len(texts)} texts — must be parallel to texts.keys()")
     toks = (pretokenized if pretokenized is not None
             else tokenize_series(pd.Series(list(texts.values())), mode))
     for docid, terms in zip(texts.keys(), toks):
@@ -88,6 +91,10 @@ def more_like_this(
     rows); term weighting uses the index's own global stats so an MLT
     query ranks exactly like the user typing those terms.
     """
+    # dedupe while preserving order: duplicated ids would misalign the
+    # pretokenized zip in mlt_select_terms (docid paired with another
+    # doc's tokens) and emit colliding qid rows downstream
+    doc_ids = list(dict.fromkeys(int(d) for d in doc_ids))
     manifest = load_manifest(index_dir)
     mode = manifest.get("tokenizer_mode", "code")
     src = (

@@ -44,6 +44,14 @@ def build_postings(docs: DataFrame, mode: str = "code",
             })
             tf = ex.groupby(["docid", "term"], sort=False).size().rename("tf").reset_index()
             dl = pd.Series(lens.to_numpy(), index=pdf["docid"].to_numpy())
+            if not dl.index.is_unique:
+                # .map() on a duplicated index raises an opaque pandas
+                # InvalidIndexError deep in the executor — name the
+                # contract violation instead
+                dupes = dl.index[dl.index.duplicated()][:5].tolist()
+                raise ValueError(
+                    f"duplicate docids in build_postings input: {dupes} "
+                    "— docids must be unique (assign_dense_docids)")
             tf["dl"] = tf["docid"].map(dl)
             yield tf[["docid", "term", "tf", "dl"]]
 
