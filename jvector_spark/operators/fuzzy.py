@@ -25,7 +25,6 @@ text-engine extension row (§2.11), sibling of regex/phrase.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -85,6 +84,8 @@ def expand_fuzzy(
     # the manifest's per-segment dictionaries — see vocab_dataset_paths)
     paths, aggregated = vocab_dataset_paths(index_dir)
     hits: dict[int, list[tuple[int, str]]] = {qid: [] for qid in queries}
+    if not paths:  # zero-segment index: ds.dataset([]) has no columns
+        return {qid: [] for qid in queries}
     for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
         dfs = batch.column("df").to_numpy()
@@ -155,6 +156,13 @@ def suggest_terms(
 
     paths, aggregated = vocab_dataset_paths(index_dir)
     hits: dict[int, list[tuple[int, int, str]]] = {q: [] for q in queries}
+    if not paths:  # zero-segment index: same guard as expand_fuzzy
+        return pd.DataFrame({
+            "qid": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int32"),
+            "term": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64")})
     for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
         dfs = batch.column("df").to_numpy()

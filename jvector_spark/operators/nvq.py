@@ -41,21 +41,29 @@ LEVELS = 255  # 8-bit code range [0, 255]
 
 def nvq_encode(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """+ (vmin double, delta double, codes array<int>): per-vector affine
-    8-bit quantization, entirely map-side Catalyst (no shuffle, no UDF)."""
+    8-bit quantization, entirely map-side Catalyst (no shuffle, no UDF).
+
+    The codes transform references the MATERIALIZED vmin/delta columns,
+    never the array_min/array_max expressions directly — inlined, those
+    re-evaluate per array ELEMENT inside the lambda (O(d²) per row; a
+    measured ~40x slowdown at d=512), the re-inlining hazard
+    docs/PLANS.md names."""
     v = F.col(vec_col)
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
-    delta = (vmax - vmin) / F.lit(float(LEVELS))
+    with_params = (vectors
+                   .withColumn("vmin", vmin)
+                   .withColumn("delta",
+                               (vmax - F.col("vmin"))
+                               / F.lit(float(LEVELS))))
+    vmin_c, delta_c = F.col("vmin"), F.col("delta")
     code = F.transform(
         v,
-        lambda x: F.when(delta == 0.0, F.lit(0)).otherwise(
-            F.floor((x.cast("double") - vmin) / delta + F.lit(0.5))
+        lambda x: F.when(delta_c == 0.0, F.lit(0)).otherwise(
+            F.floor((x.cast("double") - vmin_c) / delta_c + F.lit(0.5))
         ).cast("int"),
     )
-    return (vectors
-            .withColumn("vmin", vmin)
-            .withColumn("delta", delta)
-            .withColumn("codes", code))
+    return with_params.withColumn("codes", code)
 
 
 def nvq_dequant_expr(codes="codes", vmin="vmin", delta="delta"):
@@ -77,10 +85,13 @@ def nvq_rerank_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """Two-phase search over NVQ codes: approximate cosine against the
-    DEQUANTIZED vectors selects rerank_k survivors per query (partial
-    top-k before the qid exchange — the scan never shuffles), then the
-    survivors' float vectors rerank exactly. (qid, rank, vec_id, score);
-    scores are exact round(cosine, 6).
+    DEQUANTIZED vectors selects rerank_k survivors per query, partial
+    top-k BEFORE the qid exchange — Spark's WindowGroupLimit rewrite
+    places a Partial rank<=rerank_k cut BELOW the Exchange (visible in
+    the executed plan), so only bounded survivors per (qid, scan
+    partition) ever cross the wire — then the survivors' float vectors
+    rerank exactly. (qid, rank, vec_id, score); scores are exact
+    round(cosine, 6).
 
     `encoded` must carry both the NVQ columns (nvq_encode) and the float
     `vec_col` — the float column is only READ for survivor rows (column

@@ -30,8 +30,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from jvector_spark.functions.tokenizer import tokenize_series
 from jvector_spark.sources.segment import SegmentReader, load_manifest
@@ -86,8 +85,14 @@ def match_phrase_on_segment(
     # stay far below 2^31, positions below 2^32.
     base = np.int64(reader.meta["min_docid"])
     anchors = None
+    # decode the positional payload once per UNIQUE term: a phrase like
+    # "do re do re do" otherwise block-reads and varint-decodes the big
+    # positions stream once per SLOT (5x instead of 2x here)
+    pos_cache: dict[str, tuple] = {}
     for j, t in enumerate(terms):
-        d, tf, pos = _positions_by_doc(reader, t, cand)
+        if t not in pos_cache:
+            pos_cache[t] = _positions_by_doc(reader, t, cand)
+        d, tf, pos = pos_cache[t]
         keep = np.isin(d, cand, assume_unique=True)
         occ = np.repeat(keep, tf)
         doc_of_occ = np.repeat(d, tf)[occ]

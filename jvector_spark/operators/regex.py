@@ -102,15 +102,22 @@ def expand_patterns(
     # per-segment df) — never a blind read of a possibly-absent or torn
     # stats file
     paths, aggregated = vocab_dataset_paths(index_dir)
+    if not patterns or not paths:
+        # empty queries: skip the full vocabulary scan; zero-segment
+        # index without a stats file: ds.dataset([]) has no term/df
+        # columns and raises ArrowInvalid — both mean "nothing expands"
+        return {int(k): [] for k in patterns}
     vocab_bytes = sum(os.path.getsize(p) for p in paths)
     if spark is not None and vocab_bytes > driver_budget_bytes:
         return _expand_patterns_distributed(spark, paths, patterns,
                                             max_terms, aggregated)
     import pyarrow.compute as pc
 
-    # pre-compile python twins once: they validate the pattern up front
-    # and serve as the non-RE2 fallback
-    rxs = {key: re.compile(p) for key, p in patterns.items()}
+    # python twins compile LAZILY, only when the RE2 kernel rejects the
+    # pattern: RE2-valid syntax that python's re cannot parse (\p{Lu}
+    # classes etc.) must reach the kernel, not die in re.compile — the
+    # oracle-parity contract is RE2, python is only the fallback engine
+    rxs: dict[int, "re.Pattern"] = {}
     hits: dict[int, tuple[list, list]] = {k: ([], []) for k in patterns}
     re2_ok: dict[int, bool] = {k: True for k in patterns}
     for batch in ds.dataset(paths).to_batches(columns=["term", "df"]):
@@ -134,7 +141,14 @@ def expand_patterns(
                     np_terms = terms.to_numpy(zero_copy_only=False)
                     np_dfs = batch.column("df").to_numpy(
                         zero_copy_only=False)
-                rx = rxs[key]
+                rx = rxs.get(key)
+                if rx is None:
+                    try:
+                        rx = rxs[key] = re.compile(patterns[key])
+                    except re.error as e:
+                        raise ValueError(
+                            f"pattern {patterns[key]!r} rejected by BOTH "
+                            f"the RE2 kernel and python re: {e}") from e
                 m = np.fromiter((rx.search(t) is not None
                                  for t in np_terms),
                                 dtype=bool, count=len(np_terms))
@@ -166,8 +180,9 @@ def _expand_patterns_distributed(
 
     from pyspark.sql.functions import pandas_udf
 
-    for p in patterns.values():  # validate up front, like the driver path
-        re.compile(p)
+    # no up-front re.compile validation: RE2-valid-but-python-invalid
+    # syntax (\p{Lu} classes) must reach the kernel — the python twin
+    # compiles only on the per-batch fallback path, same as the driver
 
     def _matcher(pat: str):
         @pandas_udf("boolean")
@@ -236,18 +251,18 @@ def regex_token_topk(
     """
     manifest = load_manifest(index_dir)
     seg_paths = [s["path"] for s in manifest["segments"]]
+    from jvector_spark.operators.wand import (
+        empty_topk, merge_topk, scatter_paths)
+    from jvector_spark.plans.merge import tombstone_view
+
+    if not seg_paths:  # valid empty index — BEFORE pattern expansion
+        return empty_topk(spark, "n_occ", merge)
     expansions = expand_patterns(
         index_dir,
         {int(q.qid): str(q.pattern) for q in queries.itertuples()},
         max_terms,
         spark=spark,
     )
-    from jvector_spark.operators.wand import (
-        empty_topk, merge_topk, scatter_paths)
-    from jvector_spark.plans.merge import tombstone_view
-
-    if not seg_paths:  # valid empty index
-        return empty_topk(spark, "n_occ", merge)
     tomb_view = tombstone_view(index_dir, epoch=manifest.get("docid_epoch", 0))
     sc = spark.sparkContext
     b_q = sc.broadcast(
