@@ -48,9 +48,20 @@ def _get_session(master: str | None):
     if active is not None:
         return active, False
 
+    # glibc malloc tuning for python workers (same values/rationale as
+    # session.get_spark, where the ~4x encode-throughput impact is
+    # measured) — a CLI build must not run the slow allocator path
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    }
+    for k, v in malloc_env.items():
+        os.environ.setdefault(k, v)
     b = SparkSession.builder.appName("jvector_spark_cli")
     if master:
         b = b.master(master)
+    for k, v in malloc_env.items():  # ship to cluster-mode executors too
+        b = b.config(f"spark.executorEnv.{k}", os.environ[k])
     spark = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -68,15 +79,46 @@ def _get_session(master: str | None):
 
         spark.sparkContext.addPyFile(package_zip())
     except ModuleNotFoundError:
-        # spark-submit case: the zip reached the executors via --py-files,
-        # but (Spark 4) the DRIVER's sys.path no longer gets it implicitly —
-        # add the staged zips ourselves (zipimport handles the rest)
-        conf = spark.sparkContext.getConf()
-        for uri in (conf.get("spark.submit.pyFiles") or "").split(","):
-            path = uri.removeprefix("file:")
-            if path:
-                sys.path.insert(0, path)
+        _bootstrap_pyfiles_path(spark)
     return spark, True
+
+
+def _bootstrap_pyfiles_path(spark) -> None:
+    """spark-submit case: the zip reached the executors via --py-files,
+    but (Spark 4) the DRIVER's sys.path no longer gets it implicitly —
+    add the staged zips ourselves (zipimport handles the rest)."""
+    conf = spark.sparkContext.getConf()
+    for uri in (conf.get("spark.submit.pyFiles") or "").split(","):
+        path = uri.removeprefix("file:")
+        if path:
+            sys.path.insert(0, path)
+
+
+def _ensure_importable() -> None:
+    """Make `import jvector_spark` work on the DRIVER even before any
+    SparkSession exists — the metrics/vacuum/delete/suggest fast paths
+    import the package without ever calling _get_session, and under
+    `spark-submit --py-files` on Spark 4 the driver's sys.path does not
+    include the shipped zip until someone adds it."""
+    try:
+        import jvector_spark  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    # no session yet: recover the zip path from the spark-submit argv
+    # convention (PYSPARK_SUBMIT_ARGS) or the staged SPARK_YARN dirs via
+    # an ephemeral conf read — cheapest reliable source is the
+    # environment spark-submit sets for the driver process
+    sub = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--py-files" in sub:
+        try:
+            files = sub.split("--py-files", 1)[1].strip().split(" ", 1)[0]
+            for uri in files.split(","):
+                path = uri.removeprefix("file:")
+                if path and os.path.exists(path):
+                    sys.path.insert(0, path)
+        except Exception:
+            pass
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -210,9 +252,20 @@ def main(argv: list[str] | None = None) -> int:
                          "per knn request from an on-disk float sidecar "
                          "(quantized pools only; returned scores become "
                          "exact cosines)")
+    sv.add_argument("--vector-fused", action="store_true",
+                    help="fuse neighbor code slabs into the graph tier "
+                         "(FusedADC layout; needs --vector-quantize and "
+                         "--vector-graph-R)")
+    sv.add_argument("--vector-hier", action="store_true",
+                    help="build in-cell HNSW-style upper layers for the "
+                         "graph tier (greedy descent replaces stride "
+                         "seeds; needs --vector-graph-R)")
 
     args = p.parse_args(argv)
 
+    # the sessionless fast paths below import jvector_spark directly —
+    # make sure the package resolves under spark-submit --py-files
+    _ensure_importable()
     if args.cmd == "metrics":
         from jvector_spark.sources.segment import load_manifest
 
@@ -236,6 +289,12 @@ def main(argv: list[str] | None = None) -> int:
         from jvector_spark.operators.fuzzy import suggest_terms
 
         qpdf = pd.read_json(args.queries, lines=True)
+        if qpdf["qid"].duplicated().any():
+            # a dict comprehension would silently keep only the LAST
+            # query per qid — refuse instead of dropping work
+            dup = sorted(qpdf.loc[qpdf["qid"].duplicated(), "qid"]
+                         .unique().tolist())
+            raise SystemExit(f"duplicate qid(s) in queries file: {dup}")
         res = suggest_terms(
             args.index,
             {int(r.qid): (str(r.term), int(r.dist))
@@ -273,40 +332,28 @@ def main(argv: list[str] | None = None) -> int:
                 "resumed": int((manifest["status"] == "resumed").sum()),
                 "n_docs": int(manifest["n_docs"].sum()),
             }))
-        elif args.cmd == "search":
+        elif args.cmd in ("search", "phrase", "regex", "proximity"):
+            # one read-queries -> run -> write -> count block for all
+            # four query surfaces; only the operator differs
             import pandas as pd
 
-            from jvector_spark.operators.wand import search_index
+            def _op(cmd: str):
+                if cmd == "search":
+                    from jvector_spark.operators.wand import search_index
+                    return search_index
+                if cmd == "phrase":
+                    from jvector_spark.operators.phrase import phrase_search
+                    return phrase_search
+                if cmd == "regex":
+                    from jvector_spark.operators.regex import (
+                        regex_token_topk)
+                    return regex_token_topk
+                from jvector_spark.operators.proximity import (
+                    proximity_search)
+                return proximity_search
 
             qpdf = pd.read_json(args.queries, lines=True)
-            res = search_index(spark, args.index, qpdf)
-            res.write.mode("overwrite").parquet(args.output)
-            print(json.dumps({"queries": len(qpdf)}))
-        elif args.cmd == "phrase":
-            import pandas as pd
-
-            from jvector_spark.operators.phrase import phrase_search
-
-            qpdf = pd.read_json(args.queries, lines=True)
-            res = phrase_search(spark, args.index, qpdf)
-            res.write.mode("overwrite").parquet(args.output)
-            print(json.dumps({"queries": len(qpdf)}))
-        elif args.cmd == "regex":
-            import pandas as pd
-
-            from jvector_spark.operators.regex import regex_token_topk
-
-            qpdf = pd.read_json(args.queries, lines=True)
-            res = regex_token_topk(spark, args.index, qpdf)
-            res.write.mode("overwrite").parquet(args.output)
-            print(json.dumps({"queries": len(qpdf)}))
-        elif args.cmd == "proximity":
-            import pandas as pd
-
-            from jvector_spark.operators.proximity import proximity_search
-
-            qpdf = pd.read_json(args.queries, lines=True)
-            res = proximity_search(spark, args.index, qpdf)
+            res = _op(args.cmd)(spark, args.index, qpdf)
             res.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"queries": len(qpdf)}))
         elif args.cmd == "replace":
@@ -322,6 +369,16 @@ def main(argv: list[str] | None = None) -> int:
             from jvector_spark.operators.mlt import more_like_this
 
             docs = spark.read.parquet(args.docs)
+            if args.id_col == "docid" and "docid" not in docs.columns:
+                # the build input has no docid column (dense ids are
+                # assigned internally): re-derive THE SAME mapping the
+                # build used — assign_dense_docids is a pure function of
+                # the index's own key columns
+                from jvector_spark.operators.ids import assign_dense_docids
+                from jvector_spark.plans.merge import index_config
+
+                docs = assign_dense_docids(
+                    docs, key_cols=index_config(args.index)["key_cols"])
             res = more_like_this(
                 spark, args.index, docs,
                 [int(x) for x in args.doc_ids.split(",")],
@@ -358,7 +415,9 @@ def main(argv: list[str] | None = None) -> int:
                                  vector_quantize=args.vector_quantize,
                                  vector_pq_m=args.vector_pq_m,
                                  vector_rerank_k=args.vector_rerank_k,
-                                 vector_graph_R=args.vector_graph_R)
+                                 vector_graph_R=args.vector_graph_R,
+                                 vector_fused=args.vector_fused,
+                                 vector_hier=args.vector_hier)
             handled = serve_loop(server, sys.stdin, sys.stdout)
             print(json.dumps({"served": handled}), file=sys.stderr)
         elif args.cmd == "compact":

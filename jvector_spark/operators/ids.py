@@ -33,8 +33,20 @@ def assign_dense_docids(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns df + `docid:long`, densely numbered by sort order of key_cols."""
+    """Returns df + `docid:long`, densely numbered by sort order of key_cols.
+
+    CONTRACT: key tuples must be UNIQUE (they are the corpus primary key
+    — the dedup/replace paths enforce this). With duplicated keys the
+    relative order of the duplicates — and therefore their docids — is
+    shuffle-arrival-dependent (sortWithinPartitions has no further
+    tie-break), breaking the any-parallelism determinism this function
+    promises. Null keys sort FIRST (Spark asc_nulls_first); the pandas
+    oracle twin matches with na_position='first'."""
     spark = df.sparkSession
+    if "docid" in df.columns:
+        raise ValueError(
+            "input already has a 'docid' column — re-assigning would "
+            "produce a duplicate-name schema (drop or rename it first)")
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [F.col(c) for c in key_cols]

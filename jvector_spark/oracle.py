@@ -27,7 +27,12 @@ class BM25Oracle:
     def __init__(self, corpus: pd.DataFrame, mode: str = "code",
                  key_cols: tuple[str, ...] = ("repo", "path", "commit"),
                  content_col: str = "content"):
-        corpus = corpus.sort_values(list(key_cols), kind="mergesort").reset_index(drop=True)
+        # na_position='first' matches Spark's asc_nulls_first in
+        # assign_dense_docids' range sort — pandas' NaN-last default
+        # would shift every docid after a null key by one vs the engine
+        corpus = corpus.sort_values(
+            list(key_cols), kind="mergesort", na_position="first"
+        ).reset_index(drop=True)
         self.docids = np.arange(len(corpus), dtype=np.int64)
         self.keys = corpus[list(key_cols)]
         toks = tokenize_series(corpus[content_col], mode)

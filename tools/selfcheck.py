@@ -27,8 +27,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
     if len(spark_pdf) != len(duck_pdf):
         return f"ROWCOUNT MISMATCH spark={len(spark_pdf)} duck={len(duck_pdf)}"
     cols = sorted(spark_pdf.columns)
-    a = spark_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
-    b = duck_pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    def _canon_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort on a ROUNDED view of float columns: raw floats as sort
+        # keys let a sub-tolerance (<1e-9) engine difference reorder two
+        # near-equal rows, misaligning the row-wise compare into a false
+        # VALUE MISMATCH on some other column. 6-decimal keys make the
+        # orderings agree wherever the values agree within tolerance
+        # (the engine's own display contract rounds scores to 6).
+        keyed = pdf[cols].copy()
+        key_cols = []
+        for c in cols:
+            if np.issubdtype(keyed[c].to_numpy().dtype, np.floating):
+                keyed[f"_k_{c}"] = keyed[c].round(6)
+                key_cols.append(f"_k_{c}")
+            else:
+                key_cols.append(c)
+        return (keyed.sort_values(key_cols, kind="mergesort")
+                .reset_index(drop=True)[cols])
+
+    a = _canon_sorted(spark_pdf)
+    b = _canon_sorted(duck_pdf)
     for c in cols:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
